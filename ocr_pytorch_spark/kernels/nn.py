@@ -1,0 +1,186 @@
+"""NumPy inference kernels matching torch op semantics.
+
+Conventions follow PyTorch so weights keyed by torch ``state_dict`` names
+drop in directly:
+
+* ``conv2d``: NCHW input, OIHW weight (torch ``nn.Conv2d``).
+* ``maxpool2d``: torch ``nn.MaxPool2d`` with ``ceil_mode=False``.
+* ``batchnorm2d``: inference mode — running stats
+  (reference runs ``model.eval()``: detect/ctpn_predict.py:29,
+  recognize/crnn_recognizer.py:114, so autograd/batch stats never apply).
+* ``bigru`` / ``bilstm``: torch gate orders — GRU rows ``[r,z,n]`` with the
+  reset gate applied *inside* the candidate's hidden term, LSTM rows
+  ``[i,f,g,o]`` (SURVEY.md §2.9 M3/M8).
+
+Everything is float32 with a fixed op order, so results are bit-identical
+between the driver-side oracle and executor-side UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from numpy.lib.stride_tricks import as_strided
+
+
+def _pair(v):
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def conv2d(x: np.ndarray, w: np.ndarray, b: np.ndarray | None,
+           stride=1, padding=0) -> np.ndarray:
+    """2-D convolution (cross-correlation, as torch) via im2col + GEMM.
+
+    x: (B,C,H,W) float32; w: (O,C,kh,kw); b: (O,) or None.
+    """
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    if ph or pw:
+        x = np.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw)))
+    B, C, H, W = x.shape
+    O, _, kh, kw = w.shape
+    oh = (H - kh) // sh + 1
+    ow = (W - kw) // sw + 1
+    s = x.strides
+    cols = as_strided(
+        x,
+        shape=(B, C, kh, kw, oh, ow),
+        strides=(s[0], s[1], s[2], s[3], s[2] * sh, s[3] * sw),
+        writeable=False,
+    )
+    # (C*kh*kw, B*oh*ow) GEMM with (O, C*kh*kw)
+    cols = np.ascontiguousarray(cols.transpose(1, 2, 3, 0, 4, 5)).reshape(
+        C * kh * kw, B * oh * ow)
+    out = np.dot(w.reshape(O, -1), cols)  # (O, B*oh*ow)
+    out = out.reshape(O, B, oh, ow).transpose(1, 0, 2, 3)
+    if b is not None:
+        out = out + b.reshape(1, O, 1, 1)
+    return np.ascontiguousarray(out)
+
+
+def maxpool2d(x: np.ndarray, kernel, stride=None, padding=0) -> np.ndarray:
+    """Max pool, NCHW, ceil_mode=False; padded cells are -inf."""
+    kh, kw = _pair(kernel)
+    sh, sw = _pair(stride if stride is not None else kernel)
+    ph, pw = _pair(padding)
+    if ph or pw:
+        x = np.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw)),
+                   constant_values=-np.inf)
+    B, C, H, W = x.shape
+    oh = (H - kh) // sh + 1
+    ow = (W - kw) // sw + 1
+    s = x.strides
+    win = as_strided(
+        x,
+        shape=(B, C, oh, ow, kh, kw),
+        strides=(s[0], s[1], s[2] * sh, s[3] * sw, s[2], s[3]),
+        writeable=False,
+    )
+    return win.max(axis=(4, 5))
+
+
+def relu(x: np.ndarray) -> np.ndarray:
+    return np.maximum(x, 0.0)
+
+
+def sigmoid(x: np.ndarray) -> np.ndarray:
+    # numerically stable split form (avoids exp overflow warnings)
+    out = np.empty_like(x)
+    pos = x >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
+    ex = np.exp(x[~pos])
+    out[~pos] = ex / (1.0 + ex)
+    return out
+
+
+def softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    m = x.max(axis=axis, keepdims=True)
+    e = np.exp(x - m)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def batchnorm2d(x: np.ndarray, gamma, beta, running_mean, running_var,
+                eps: float = 1e-5) -> np.ndarray:
+    """Inference BN: gamma*(x-mu)/sqrt(var+eps)+beta over channel axis 1."""
+    inv = gamma / np.sqrt(running_var + eps)
+    return x * inv.reshape(1, -1, 1, 1) + (
+        beta - running_mean * inv).reshape(1, -1, 1, 1)
+
+
+def linear(x: np.ndarray, w: np.ndarray, b: np.ndarray | None) -> np.ndarray:
+    """torch nn.Linear: x @ w.T + b; x (..., in), w (out, in)."""
+    out = x @ w.T
+    if b is not None:
+        out = out + b
+    return out
+
+
+def _gru_direction(x, w_ih, w_hh, b_ih, b_hh, reverse: bool):
+    """One GRU direction. x: (B,T,I) -> (B,T,H). torch gate rows [r,z,n]."""
+    B, T, _ = x.shape
+    H = w_hh.shape[1]
+    # precompute input projections for all timesteps: (B,T,3H)
+    xi = x @ w_ih.T + b_ih
+    h = np.zeros((B, H), dtype=x.dtype)
+    out = np.empty((B, T, H), dtype=x.dtype)
+    steps = range(T - 1, -1, -1) if reverse else range(T)
+    w_hr, w_hz, w_hn = w_hh[:H], w_hh[H:2 * H], w_hh[2 * H:]
+    b_hr, b_hz, b_hn = b_hh[:H], b_hh[H:2 * H], b_hh[2 * H:]
+    for t in steps:
+        g = xi[:, t]
+        r = sigmoid(g[:, :H] + h @ w_hr.T + b_hr)
+        z = sigmoid(g[:, H:2 * H] + h @ w_hz.T + b_hz)
+        n = np.tanh(g[:, 2 * H:] + r * (h @ w_hn.T + b_hn))
+        h = (1.0 - z) * n + z * h
+        out[:, t] = h
+    return out
+
+
+def bigru(x: np.ndarray, weights: dict, prefix: str) -> np.ndarray:
+    """Bidirectional single-layer GRU, batch_first (CTPN brnn,
+    detect/ctpn_model.py:96). x: (B,T,I) -> (B,T,2H)."""
+    fwd = _gru_direction(
+        x, weights[f"{prefix}.weight_ih_l0"], weights[f"{prefix}.weight_hh_l0"],
+        weights[f"{prefix}.bias_ih_l0"], weights[f"{prefix}.bias_hh_l0"],
+        reverse=False)
+    bwd = _gru_direction(
+        x, weights[f"{prefix}.weight_ih_l0_reverse"],
+        weights[f"{prefix}.weight_hh_l0_reverse"],
+        weights[f"{prefix}.bias_ih_l0_reverse"],
+        weights[f"{prefix}.bias_hh_l0_reverse"], reverse=True)
+    return np.concatenate([fwd, bwd], axis=2)
+
+
+def _lstm_direction(x, w_ih, w_hh, b_ih, b_hh, reverse: bool):
+    """One LSTM direction. x: (T,B,I) -> (T,B,H). torch gate rows [i,f,g,o]."""
+    T, B, _ = x.shape
+    H = w_hh.shape[1]
+    xi = x @ w_ih.T + b_ih  # (T,B,4H)
+    h = np.zeros((B, H), dtype=x.dtype)
+    c = np.zeros((B, H), dtype=x.dtype)
+    out = np.empty((T, B, H), dtype=x.dtype)
+    steps = range(T - 1, -1, -1) if reverse else range(T)
+    for t in steps:
+        g = xi[t] + h @ w_hh.T + b_hh
+        i = sigmoid(g[:, :H])
+        f = sigmoid(g[:, H:2 * H])
+        gg = np.tanh(g[:, 2 * H:3 * H])
+        o = sigmoid(g[:, 3 * H:])
+        c = f * c + i * gg
+        h = o * np.tanh(c)
+        out[t] = h
+    return out
+
+
+def bilstm(x: np.ndarray, weights: dict, prefix: str) -> np.ndarray:
+    """Bidirectional single-layer LSTM, seq-first (CRNN rnn,
+    recognize/crnn.py:9 — batch_first not set). x: (T,B,I) -> (T,B,2H)."""
+    fwd = _lstm_direction(
+        x, weights[f"{prefix}.weight_ih_l0"], weights[f"{prefix}.weight_hh_l0"],
+        weights[f"{prefix}.bias_ih_l0"], weights[f"{prefix}.bias_hh_l0"],
+        reverse=False)
+    bwd = _lstm_direction(
+        x, weights[f"{prefix}.weight_ih_l0_reverse"],
+        weights[f"{prefix}.weight_hh_l0_reverse"],
+        weights[f"{prefix}.bias_ih_l0_reverse"],
+        weights[f"{prefix}.bias_hh_l0_reverse"], reverse=True)
+    return np.concatenate([fwd, bwd], axis=2)

@@ -1,0 +1,55 @@
+import os
+import sys
+
+# deterministic single-thread BLAS before numpy loads anywhere
+for v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(v, "1")
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+import pytest  # noqa: E402
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+SF_SMALL = os.path.join(TESTDATA, "sf0.001")
+SF_MED = os.path.join(TESTDATA, "sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    spark = (
+        SparkSession.builder
+        .master(f"local[{cpus}]")
+        .appName("ocr_pytorch_spark-tests")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def bundled_weights():
+    from ocr_pytorch_spark.models import weights as W
+
+    return W.load_bundled()
+
+
+@pytest.fixture(scope="session")
+def fixture_cfg():
+    from ocr_pytorch_spark.config import PipelineConfig
+
+    return PipelineConfig.fixture()
