@@ -1,0 +1,197 @@
+"""The flagship distributed OCR span-extraction pipeline.
+
+Relational skeleton (all built-in DataFrame ops — Catalyst prunes the
+``images.data`` bytes off the text branch and picks join strategies):
+
+    documents --posexplode--> spans
+      ├── kind='text'  ----------------------------------------+
+      └── kind='media' --distinct media_ref--+                  |
+    images --left_semi(needed refs)----------+--> salted        |
+              repartition --> mapInPandas(OCR UDF) --> transcripts
+                                 (media_ref, box_order, text)   |
+      media spans  <--join (tiny rows)-- transcripts            |
+            └---------------- unionByName ----------------------+
+                     --> groupBy(doc_id) --> array_sort --> spans
+
+Scale properties (the 100 TB story, SURVEY.md §4.3):
+
+* **OCR runs once per DISTINCT media_ref** — a hot image referenced by
+  10^4 documents is decoded and recognized once; the fan-out back to
+  documents joins only ~100-byte transcript rows.
+* **Image bytes move at most once**: the semi-join against needed refs
+  is broadcast when the ref set is small (no image shuffle at all),
+  else a single shuffle; the salted repartition of distinct images is
+  uniform by construction (distinct keys, xxhash64) — this is the
+  explicit skew-breaker for media-heavy documents: docs were already
+  exploded per-span, so no single doc pins a partition.
+* **Every doc-level shuffle carries only text**: union + groupBy move
+  (doc_id, offset, text) rows, never pixels.
+* AQE (enabled in the session) coalesces the small shuffles and splits
+  any residual skew.
+
+The per-image compute — reference semantics of ocr.py:73-78 — runs in an
+iterator-form ``mapInPandas`` UDF: model weights deserialize once per
+python worker (broadcast + module cache), each Arrow batch carries
+``images_per_batch`` raw-RGB rows, and within a batch images are
+processed by shared NumPy kernels (never per-row Python at the Spark
+level; the per-row loop below is over in-batch numpy arrays, which is
+the Arrow-vectorized pattern the input_hint mandates).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocr_pytorch_spark.config import PipelineConfig
+
+# one cached weight pair per python worker process, keyed by broadcast id
+_WORKER_CACHE: dict[int, tuple[dict, dict]] = {}
+
+OCR_OUT_SCHEMA = "media_ref string, box_order int, text string"
+SPAN_STRUCT = ("struct<kind:string,text:string,media_ref:string,"
+               "offset:int>")
+
+
+def _get_weights(bc) -> tuple[dict, dict]:
+    # worker-side Broadcast has no .id; python object identity is stable
+    # within one worker process, which is all the cache needs
+    key = id(bc)
+    if key not in _WORKER_CACHE:
+        _WORKER_CACHE[key] = bc.value
+    return _WORKER_CACHE[key]
+
+
+def make_ocr_udf(weights_bc, cfg: PipelineConfig):
+    """Iterator-of-DataFrames UDF: (media_ref, height, width, channels,
+    data) batches -> (media_ref, box_order, text) rows."""
+
+    def ocr_batches(batches: Iterator[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ocr_pytorch_spark.oracle import ocr_image
+
+        ctpn_w, crnn_w = _get_weights(weights_bc)
+        for pdf in batches:
+            refs: list[str] = []
+            orders: list[int] = []
+            texts: list[str] = []
+            for ref, h, w, c, data in zip(
+                    pdf["media_ref"], pdf["height"], pdf["width"],
+                    pdf["channels"], pdf["data"]):
+                img = np.frombuffer(data, dtype=np.uint8).reshape(
+                    int(h), int(w), int(c))
+                for order, (_, text) in enumerate(
+                        ocr_image(img, ctpn_w, crnn_w, cfg)):
+                    refs.append(ref)
+                    orders.append(order)
+                    texts.append(text)
+            yield pd.DataFrame(
+                {"media_ref": refs,
+                 "box_order": pd.array(orders, dtype="int32"),
+                 "text": texts})
+
+    return ocr_batches
+
+
+def broadcast_weights(spark: SparkSession, ctpn_w: dict, crnn_w: dict):
+    """Ship model weights to executors once (north_star: weights
+    broadcast, executor-local singleton — mirrors the reference's
+    module-global model load, ocr.py:6)."""
+    return spark.sparkContext.broadcast((ctpn_w, crnn_w))
+
+
+def explode_spans(documents: DataFrame) -> DataFrame:
+    return documents.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("src_offset"),
+    )
+
+
+def ocr_transcripts(images: DataFrame, media_spans: DataFrame,
+                    weights_bc, cfg: PipelineConfig,
+                    salt_partitions: int | None = None) -> DataFrame:
+    """(media_ref, box_order, text) for every distinct needed image."""
+    spark = images.sparkSession
+    needed = media_spans.select("media_ref").distinct()
+    # semi join: image bytes never join doc rows; broadcast when small
+    todo = images.join(needed, "media_ref", "left_semi")
+    p = salt_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    # salted repartition: uniform spread of distinct images for the
+    # compute-heavy UDF stage (explicit skew-breaker, SURVEY.md §4.3)
+    todo = todo.repartition(p, F.xxhash64("media_ref"))
+    return todo.mapInPandas(make_ocr_udf(weights_bc, cfg),
+                            schema=OCR_OUT_SCHEMA)
+
+
+def extract(documents: DataFrame, images: DataFrame, weights_bc,
+            cfg: PipelineConfig | None = None,
+            salt_partitions: int | None = None) -> DataFrame:
+    """documents(doc_id, spans) x images -> extracted(doc_id, spans).
+
+    Text spans pass through untouched; media spans are replaced by their
+    image's OCR'd text spans in reading order; output offsets renumber
+    0..n-1 by (source offset, box order).  Per-row invariant vs the
+    oracle: span-sequence equality on (kind, text, media_ref, order).
+    """
+    cfg = cfg or PipelineConfig.fixture()
+    spans = explode_spans(documents)
+
+    text_spans = (
+        spans.where(F.col("kind") == "text")
+        .select("doc_id", "src_offset",
+                F.lit(0).cast("int").alias("box_order"), "text",
+                F.lit(None).cast("string").alias("media_ref"))
+    )
+    media_spans = (
+        spans.where(F.col("kind") == "media")
+        .select("doc_id", "src_offset", "media_ref")
+    )
+
+    transcripts = ocr_transcripts(images, media_spans, weights_bc, cfg,
+                                  salt_partitions)
+    ocr_spans = (
+        media_spans.join(transcripts, "media_ref", "inner")
+        .select("doc_id", "src_offset", "box_order", "text", "media_ref")
+    )
+
+    all_spans = text_spans.unionByName(ocr_spans)
+    assembled = (
+        all_spans
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct(
+            "src_offset", "box_order", "text", "media_ref"))).alias("seq"))
+        .select(
+            "doc_id",
+            F.transform(
+                "seq",
+                lambda s, i: F.struct(
+                    F.lit("text").alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    i.cast("int").alias("offset"),
+                ),
+            ).cast(f"array<{SPAN_STRUCT}>").alias("spans"),
+        )
+    )
+    # docs whose spans all vanished (or were empty) still appear, with []
+    return (
+        documents.select("doc_id")
+        .join(assembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                "spans",
+                F.expr(f"cast(array() as array<{SPAN_STRUCT}>)"),
+            ).alias("spans"),
+        )
+    )

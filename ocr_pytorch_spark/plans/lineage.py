@@ -1,0 +1,116 @@
+"""Per-partition checkpointed lineage + metrics for idempotent resume.
+
+North-star requirement (BASELINE.json): "per-partition checkpointed
+lineage + metrics tables so any failed partition resumes idempotently."
+
+Layout under the destination root:
+
+    <dst>/data/bucket=<k>/...   extracted spans, hash-bucketed by doc_id
+    <dst>/_lineage/...          one row per (bucket, attempt) commit
+    <dst>/_metrics/...          per-bucket row/span counts per attempt
+
+Protocol (SURVEY.md §4.3):
+* ``bucket = pmod(xxhash64(doc_id), B)`` — deterministic, so a doc
+  always lands in the same bucket across attempts.
+* A bucket is COMMITTED iff a lineage row with status='ok' exists.
+* The data write uses dynamic partition overwrite (Iceberg
+  overwritePartitions / Parquet partitionOverwriteMode=dynamic), so
+  re-running a bucket atomically replaces any partial files from a
+  crashed attempt; lineage rows are appended only after the data write
+  returns, making commit the last step.
+* Resume = anti-join pending buckets against committed lineage and
+  process only those.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocr_pytorch_spark.config import PipelineConfig
+from ocr_pytorch_spark.operators.extract import broadcast_weights, extract
+
+LINEAGE_SCHEMA = ("bucket int, doc_id_min string, doc_id_max string, "
+                  "n_docs long, status string, attempt int, wall_ms long")
+METRICS_SCHEMA = ("stage string, bucket int, n_rows long, n_spans long, "
+                  "attempt int, wall_ms long")
+
+
+def _read_optional(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    if os.path.exists(path):
+        try:
+            return spark.read.schema(schema).parquet(path)
+        except Exception:
+            pass
+    return spark.createDataFrame([], schema)
+
+
+def committed_buckets(spark: SparkSession, dst: str) -> set[int]:
+    lin = _read_optional(spark, os.path.join(dst, "_lineage"),
+                         LINEAGE_SCHEMA)
+    return {r["bucket"] for r in
+            lin.where(F.col("status") == "ok").select("bucket")
+            .distinct().collect()}
+
+
+def run_extract_job(spark: SparkSession, documents: DataFrame,
+                    images: DataFrame, ctpn_w: dict, crnn_w: dict,
+                    dst: str, cfg: PipelineConfig | None = None,
+                    buckets: int = 32, resume: bool = True) -> dict:
+    """Run the extraction into <dst> with bucketed lineage; returns a
+    summary dict.  Safe to re-run after any failure: committed buckets
+    are skipped, uncommitted ones are atomically overwritten."""
+    cfg = cfg or PipelineConfig.fixture()
+    t0 = time.time()
+    done = committed_buckets(spark, dst) if resume else set()
+    docs_b = documents.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).cast("int"))
+    if done:
+        docs_b = docs_b.where(~F.col("bucket").isin(*done))
+    pending_docs = docs_b.persist()
+    n_pending = pending_docs.count()
+    if n_pending == 0:
+        pending_docs.unpersist()
+        return {"buckets_total": buckets, "buckets_skipped": len(done),
+                "docs_processed": 0, "wall_ms": 0}
+
+    bc = broadcast_weights(spark, ctpn_w, crnn_w)
+    out = extract(pending_docs.drop("bucket"), images, bc, cfg)
+    out_b = out.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).cast("int"))
+    data_dir = os.path.join(dst, "data")
+    (out_b.write.mode("overwrite").partitionBy("bucket").parquet(data_dir))
+
+    # commit: lineage + metrics appended only after the data write
+    wall_ms = int((time.time() - t0) * 1000)
+    prev = _read_optional(spark, os.path.join(dst, "_lineage"),
+                          LINEAGE_SCHEMA)
+    prev_attempt = {r["bucket"]: r["max_a"] for r in
+                    prev.groupBy("bucket")
+                    .agg(F.max("attempt").alias("max_a")).collect()}
+    stats = (
+        spark.read.parquet(data_dir)
+        .where(~F.col("bucket").isin(*done) if done else F.lit(True))
+        .groupBy("bucket")
+        .agg(F.min("doc_id").alias("doc_id_min"),
+             F.max("doc_id").alias("doc_id_max"),
+             F.count("*").alias("n_docs"),
+             F.sum(F.size("spans")).alias("n_spans"))
+        .collect())
+    lineage_rows = [(int(r["bucket"]), r["doc_id_min"], r["doc_id_max"],
+                     int(r["n_docs"]), "ok",
+                     int(prev_attempt.get(r["bucket"], 0)) + 1, wall_ms)
+                    for r in stats]
+    metrics_rows = [("extract", int(r["bucket"]), int(r["n_docs"]),
+                     int(r["n_spans"]),
+                     int(prev_attempt.get(r["bucket"], 0)) + 1, wall_ms)
+                    for r in stats]
+    spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(os.path.join(dst, "_lineage"))
+    spark.createDataFrame(metrics_rows, METRICS_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(os.path.join(dst, "_metrics"))
+    pending_docs.unpersist()
+    return {"buckets_total": buckets, "buckets_skipped": len(done),
+            "docs_processed": n_pending, "wall_ms": wall_ms}

@@ -1,0 +1,53 @@
+"""Table loading and the pluggable Iceberg/Parquet writer.
+
+The engine targets Iceberg tables (BASELINE.json north_rule); the sandbox
+has no Iceberg runtime jar, so the writer degrades to partitioned Parquet
+with the same per-partition-atomic overwrite semantics
+(``partitionOverwriteMode=dynamic``), which is what the lineage/resume
+layer relies on (SURVEY.md §4.3, §7.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = ("region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in TPCH_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def write_partitioned(df: DataFrame, dst: str, partition_cols: list[str],
+                      mode: str = "overwrite") -> None:
+    """Write with per-partition-atomic overwrite: Iceberg
+    ``overwritePartitions`` when a catalog is configured, else Parquet
+    dynamic partition overwrite (both make per-bucket re-writes
+    idempotent for resume)."""
+    spark = df.sparkSession
+    if dst.count(".") >= 2 and not os.path.isabs(dst) \
+            and iceberg_available(spark):
+        writer = df.writeTo(dst)
+        if mode == "overwrite":
+            writer.overwritePartitions()
+        else:
+            writer.append()
+        return
+    (df.write.mode(mode).partitionBy(*partition_cols).parquet(dst))

@@ -18,25 +18,11 @@ SF_MED = os.path.join(TESTDATA, "sf0.01")
 
 @pytest.fixture(scope="session")
 def spark():
-    from pyspark.sql import SparkSession
+    from ocr_pytorch_spark.sources.session import get_spark
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
-    spark = (
-        SparkSession.builder
-        .master(f"local[{cpus}]")
-        .appName("ocr_pytorch_spark-tests")
-        .config("spark.sql.shuffle.partitions", "16")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
-        .config("spark.driver.memory", "16g")
-        .config("spark.ui.enabled", "false")
-        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("WARN")
+    spark = get_spark(app="ocr_pytorch_spark-tests", cpus=cpus,
+                      shuffle_partitions=16, arrow_batch=16)
     yield spark
     spark.stop()
 
