@@ -1,0 +1,48 @@
+"""Shared column-expression helpers (JVM-side, codegen'd — no UDFs).
+
+Everything here is expressible identically in DuckDB SQL, which is what
+makes the driver's cross-engine correctness checks exact: md5 returns the
+same lowercase hex in both engines, and hex digits are decoded with
+``instr('0123456789abcdef', c) - 1`` instead of engine-specific conv().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+HEX = "0123456789abcdef"
+
+
+def words(col) -> Column:
+    """Whitespace tokens (single-space corpora; split/string_split agree)."""
+    return F.split(col, " ")
+
+
+def word_rows(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """One row per (id, pos, word) — posexplode; DuckDB analogue is
+    unnest + generate_subscripts."""
+    return df.select(
+        id_col, F.posexplode(words(F.col(text_col))).alias("pos", "word"))
+
+
+def hex_digit_expr(char_sql: str) -> str:
+    """SQL fragment: numeric value of one hex char (portable)."""
+    return f"(instr('{HEX}', {char_sql}) - 1)"
+
+
+def minhash_expr(i: int, shingle_col: str = "shingle") -> Column:
+    """One MinHash component: MIN over md5('<i>:'||shingle) hex strings.
+    String-min of a cryptographic hash is a valid uniform min-hash and is
+    bit-identical across engines."""
+    return F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col(shingle_col)))) \
+        .alias(f"mh{i}")
+
+
+def dot_and_norms(q_val: Column, c_val: Column):
+    """Aggregates for cosine built from exploded (pos, val) rows."""
+    return (
+        F.sum(q_val * c_val).alias("dot"),
+        F.sqrt(F.sum(q_val * q_val)).alias("qn"),
+        F.sqrt(F.sum(c_val * c_val)).alias("cn"),
+    )

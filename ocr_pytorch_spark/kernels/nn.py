@@ -26,6 +26,25 @@ def _pair(v):
     return (v, v) if isinstance(v, int) else tuple(v)
 
 
+# per-process workspace buffers, keyed by role+shape — avoids re-paging
+# fresh allocations on every conv call, which matters when 32 workers
+# share one box (allocation/zeroing churn is cross-core contention)
+_WS: dict[tuple, np.ndarray] = {}
+
+
+def _ws(key: tuple, shape: tuple) -> np.ndarray:
+    """Flat grow-only buffer per role, viewed at the requested shape —
+    one allocation serves every layer/image size."""
+    n = 1
+    for d in shape:
+        n *= d
+    buf = _WS.get(key)
+    if buf is None or buf.size < n:
+        buf = np.empty(n, dtype=np.float32)
+        _WS[key] = buf
+    return buf[:n].reshape(shape)
+
+
 def conv2d(x: np.ndarray, w: np.ndarray, b: np.ndarray | None,
            stride=1, padding=0) -> np.ndarray:
     """2-D convolution (cross-correlation, as torch) via im2col + GEMM.
@@ -34,26 +53,32 @@ def conv2d(x: np.ndarray, w: np.ndarray, b: np.ndarray | None,
     """
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
-    if ph or pw:
-        x = np.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw)))
     B, C, H, W = x.shape
+    if ph or pw:
+        xp = _ws(("pad",), (B, C, H + 2 * ph, W + 2 * pw))
+        xp[:] = 0.0
+        xp[:, :, ph:ph + H, pw:pw + W] = x
+        x = xp
+        H, W = H + 2 * ph, W + 2 * pw
     O, _, kh, kw = w.shape
     oh = (H - kh) // sh + 1
     ow = (W - kw) // sw + 1
     s = x.strides
-    cols = as_strided(
+    cols_view = as_strided(
         x,
         shape=(B, C, kh, kw, oh, ow),
         strides=(s[0], s[1], s[2], s[3], s[2] * sh, s[3] * sw),
         writeable=False,
     )
     # (C*kh*kw, B*oh*ow) GEMM with (O, C*kh*kw)
-    cols = np.ascontiguousarray(cols.transpose(1, 2, 3, 0, 4, 5)).reshape(
-        C * kh * kw, B * oh * ow)
-    out = np.dot(w.reshape(O, -1), cols)  # (O, B*oh*ow)
-    out = out.reshape(O, B, oh, ow).transpose(1, 0, 2, 3)
+    cols = _ws(("cols",), (C, kh, kw, B, oh, ow))
+    np.copyto(cols, cols_view.transpose(1, 2, 3, 0, 4, 5))
+    cols2d = cols.reshape(C * kh * kw, B * oh * ow)
+    out2d = _ws(("gemm",), (O, B * oh * ow))
+    np.dot(w.reshape(O, -1), cols2d, out=out2d)
+    out = out2d.reshape(O, B, oh, ow).transpose(1, 0, 2, 3)
     if b is not None:
-        out = out + b.reshape(1, O, 1, 1)
+        return out + b.reshape(1, O, 1, 1)  # fresh array; ws stays free
     return np.ascontiguousarray(out)
 
 
@@ -80,6 +105,12 @@ def maxpool2d(x: np.ndarray, kernel, stride=None, padding=0) -> np.ndarray:
 
 def relu(x: np.ndarray) -> np.ndarray:
     return np.maximum(x, 0.0)
+
+
+def relu_(x: np.ndarray) -> np.ndarray:
+    """In-place ReLU — for freshly-allocated activations (halves the
+    memory traffic of the conv->relu hot path)."""
+    return np.maximum(x, 0.0, out=x)
 
 
 def sigmoid(x: np.ndarray) -> np.ndarray:

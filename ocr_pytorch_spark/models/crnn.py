@@ -18,9 +18,10 @@ import numpy as np
 
 from ocr_pytorch_spark import config as C
 from ocr_pytorch_spark.kernels import (
-    batchnorm2d, bilstm, conv2d, grayscale_bgr, linear, maxpool2d, relu,
+    batchnorm2d, bilstm, conv2d, grayscale_bgr, linear, maxpool2d,
     resize_lanczos,
 )
+from ocr_pytorch_spark.kernels.nn import relu_
 from ocr_pytorch_spark.models.alphabet import ctc_collapse
 
 
@@ -34,14 +35,14 @@ def crnn_forward(x: np.ndarray, w: dict) -> np.ndarray:
     def cv(x, name, k=3, s=1, p=1):
         return conv2d(x, w[f"{name}.weight"], w[f"{name}.bias"], s, p)
 
-    x = maxpool2d(relu(cv(x, "conv1")), 2, 2)
-    x = maxpool2d(relu(cv(x, "conv2")), 2, 2)
-    x = relu(_bn(cv(x, "conv3_1"), w, "bn3"))
-    x = maxpool2d(relu(cv(x, "conv3_2")), (2, 2), (2, 1), (0, 1))
-    x = relu(_bn(cv(x, "conv4_1"), w, "bn4"))
-    x = maxpool2d(relu(cv(x, "conv4_2")), (2, 2), (2, 1), (0, 1))
-    x = relu(_bn(conv2d(x, w["conv5.weight"], w["conv5.bias"], 1, 0),
-                 w, "bn5"))
+    x = maxpool2d(relu_(cv(x, "conv1")), 2, 2)
+    x = maxpool2d(relu_(cv(x, "conv2")), 2, 2)
+    x = relu_(_bn(cv(x, "conv3_1"), w, "bn3"))
+    x = maxpool2d(relu_(cv(x, "conv3_2")), (2, 2), (2, 1), (0, 1))
+    x = relu_(_bn(cv(x, "conv4_1"), w, "bn4"))
+    x = maxpool2d(relu_(cv(x, "conv4_2")), (2, 2), (2, 1), (0, 1))
+    x = relu_(_bn(conv2d(x, w["conv5.weight"], w["conv5.bias"], 1, 0),
+                  w, "bn5"))
     b, c, h, wd = x.shape
     assert h == 1, f"conv height must be 1, got {h}"
     seq = x[:, :, 0, :].transpose(2, 0, 1)  # (T,B,C)

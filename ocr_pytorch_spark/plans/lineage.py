@@ -30,7 +30,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocr_pytorch_spark.config import PipelineConfig
-from ocr_pytorch_spark.operators.extract import broadcast_weights, extract
+from ocr_pytorch_spark.operators.extract import extract, file_weights_spec
 
 LINEAGE_SCHEMA = ("bucket int, doc_id_min string, doc_id_max string, "
                   "n_docs long, status string, attempt int, wall_ms long")
@@ -56,9 +56,10 @@ def committed_buckets(spark: SparkSession, dst: str) -> set[int]:
 
 
 def run_extract_job(spark: SparkSession, documents: DataFrame,
-                    images: DataFrame, ctpn_w: dict, crnn_w: dict,
-                    dst: str, cfg: PipelineConfig | None = None,
-                    buckets: int = 32, resume: bool = True) -> dict:
+                    images: DataFrame, dst: str,
+                    cfg: PipelineConfig | None = None,
+                    buckets: int = 32, resume: bool = True,
+                    weights_spec: dict | None = None) -> dict:
     """Run the extraction into <dst> with bucketed lineage; returns a
     summary dict.  Safe to re-run after any failure: committed buckets
     are skipped, uncommitted ones are atomically overwritten."""
@@ -76,8 +77,8 @@ def run_extract_job(spark: SparkSession, documents: DataFrame,
         return {"buckets_total": buckets, "buckets_skipped": len(done),
                 "docs_processed": 0, "wall_ms": 0}
 
-    bc = broadcast_weights(spark, ctpn_w, crnn_w)
-    out = extract(pending_docs.drop("bucket"), images, bc, cfg)
+    out = extract(pending_docs.drop("bucket"), images,
+                  weights_spec or file_weights_spec(), cfg)
     out_b = out.withColumn(
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).cast("int"))
     data_dir = os.path.join(dst, "data")

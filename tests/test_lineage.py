@@ -40,8 +40,8 @@ def test_resume_converges_to_clean_run(spark, fixture_tables,
 
     # clean one-shot run
     dst_clean = str(tmp_path_factory.mktemp("clean"))
-    s1 = L.run_extract_job(spark, docs_df, imgs_df, ctpn_w, crnn_w,
-                           dst_clean, fixture_cfg, buckets=BUCKETS)
+    s1 = L.run_extract_job(spark, docs_df, imgs_df, dst_clean,
+                           fixture_cfg, buckets=BUCKETS)
     assert s1["docs_processed"] == N_DOCS
     clean_rows = _table_rows(spark, dst_clean)
 
@@ -50,8 +50,8 @@ def test_resume_converges_to_clean_run(spark, fixture_tables,
     docs_b = docs_df.withColumn(
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(BUCKETS)).cast("int"))
     half = docs_b.where(F.col("bucket") < BUCKETS // 2).drop("bucket")
-    L.run_extract_job(spark, half, imgs_df, ctpn_w, crnn_w, dst,
-                      fixture_cfg, buckets=BUCKETS)
+    L.run_extract_job(spark, half, imgs_df, dst, fixture_cfg,
+                      buckets=BUCKETS)
     committed = L.committed_buckets(spark, dst)
     assert committed and all(b < BUCKETS // 2 for b in committed)
 
@@ -68,8 +68,8 @@ def test_resume_converges_to_clean_run(spark, fixture_tables,
         os.path.join(garbage_dir, "part-garbage.parquet"))
 
     # resume with the full input
-    s2 = L.run_extract_job(spark, docs_df, imgs_df, ctpn_w, crnn_w, dst,
-                           fixture_cfg, buckets=BUCKETS)
+    s2 = L.run_extract_job(spark, docs_df, imgs_df, dst, fixture_cfg,
+                           buckets=BUCKETS)
     assert s2["buckets_skipped"] == len(committed)
 
     rows = _table_rows(spark, dst)
@@ -84,8 +84,8 @@ def test_resume_converges_to_clean_run(spark, fixture_tables,
     assert dup == 0
 
     # second resume is a no-op
-    s3 = L.run_extract_job(spark, docs_df, imgs_df, ctpn_w, crnn_w, dst,
-                           fixture_cfg, buckets=BUCKETS)
+    s3 = L.run_extract_job(spark, docs_df, imgs_df, dst, fixture_cfg,
+                           buckets=BUCKETS)
     assert s3["docs_processed"] == 0
 
 
@@ -94,8 +94,8 @@ def test_metrics_table_written(spark, fixture_tables, bundled_weights,
     docs_df, imgs_df = fixture_tables
     ctpn_w, crnn_w = bundled_weights
     dst = str(tmp_path_factory.mktemp("metrics"))
-    L.run_extract_job(spark, docs_df, imgs_df, ctpn_w, crnn_w, dst,
-                      fixture_cfg, buckets=4)
+    L.run_extract_job(spark, docs_df, imgs_df, dst, fixture_cfg,
+                      buckets=4)
     m = spark.read.parquet(os.path.join(dst, "_metrics"))
     rows = m.collect()
     assert rows and all(r["stage"] == "extract" for r in rows)

@@ -24,8 +24,8 @@ def fixture_tables(spark, tmp_path_factory):
 @pytest.fixture(scope="module")
 def extracted(spark, fixture_tables, bundled_weights, fixture_cfg):
     docs_df, imgs_df = fixture_tables
-    bc = EX.broadcast_weights(spark, *bundled_weights)
-    out = EX.extract(docs_df, imgs_df, bc, fixture_cfg)
+    out = EX.extract(docs_df, imgs_df, EX.file_weights_spec(),
+                     fixture_cfg)
     rows = {r["doc_id"]: _span_tuples(r["spans"]) for r in out.collect()}
     return rows
 
@@ -59,8 +59,8 @@ def test_extract_deterministic_rerun(spark, fixture_tables,
                                      bundled_weights, fixture_cfg,
                                      extracted):
     docs_df, imgs_df = fixture_tables
-    bc = EX.broadcast_weights(spark, *bundled_weights)
-    out2 = EX.extract(docs_df, imgs_df, bc, fixture_cfg)
+    out2 = EX.extract(docs_df, imgs_df, EX.file_weights_spec(),
+                      fixture_cfg)
     rows2 = {r["doc_id"]: _span_tuples(r["spans"])
              for r in out2.collect()}
     assert rows2 == extracted

@@ -1,0 +1,50 @@
+"""Streaming surface test: file-source stream -> foreachBatch extract
+must equal the batch extraction of the same documents."""
+
+import os
+import time
+
+from ocr_pytorch_spark import datagen
+from ocr_pytorch_spark.operators import extract as EX
+from ocr_pytorch_spark.streaming import stream_extract
+
+
+def _span_tuples(spans):
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in spans]
+
+
+def test_stream_extract_matches_batch(spark, bundled_weights, fixture_cfg,
+                                      tmp_path_factory):
+    src = tmp_path_factory.mktemp("stream_src")
+    doc_path, img_path = datagen.write_fixture(str(src), 6)
+    imgs = spark.read.parquet(img_path)
+    docs_batch = spark.read.parquet(doc_path)
+
+    dst = str(tmp_path_factory.mktemp("stream_dst") / "out")
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+
+    # only documents.parquet matches the schema; restrict via pathGlob
+    doc_stream = (spark.readStream.schema(docs_batch.schema)
+                  .option("pathGlobFilter", "documents.parquet")
+                  .parquet(str(src)))
+
+    q = stream_extract(doc_stream, imgs, dst, ckpt, fixture_cfg)
+    # availableNow semantics: wait until the single micro-batch lands
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        if not q.isActive or (q.lastProgress
+                              and q.lastProgress["numInputRows"] > 0
+                              and q.status["isDataAvailable"] is False):
+            break
+        time.sleep(1)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["doc_id"]: _span_tuples(r["spans"])
+           for r in spark.read.parquet(dst).collect()}
+    want_df = EX.extract(docs_batch, imgs, EX.file_weights_spec(),
+                         fixture_cfg)
+    want = {r["doc_id"]: _span_tuples(r["spans"])
+            for r in want_df.collect()}
+    assert got == want
