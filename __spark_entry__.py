@@ -26,6 +26,8 @@ for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
 
 from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
 
+from ocr_pytorch_spark.functions import quant4  # noqa: E402
+
 SF_DEFAULT = "/root/testdata/sf0.001"
 N_OCR_DOCS = 48        # docs used by the flagship OCR query
 N_OCR_IMAGES = 24      # distinct media refs (shared -> dedup exercised)
@@ -120,7 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (_t(spark, sf, "events").where(F.col("value") > 0.5)
                 .groupBy("event_type")
                 .agg(F.count("*").alias("n"),
-                     F.round(F.sum("value") / 1000.0, 4).alias("sum_value_k")))
+                     quant4(F.sum("value") / 1000.0).alias("sum_value_k")))
 
     def filter_minsize(spark, sf):
         return (_t(spark, sf, "lineitem")
@@ -143,7 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def topk_score(spark, sf):
         return (_t(spark, sf, "events")
                 .orderBy(F.col("value").desc(), "event_id")
-                .select("event_id", F.round("value", 4).alias("score"))
+                .select("event_id", quant4(F.col("value")).alias("score"))
                 .limit(100))
 
     def window_reading_order(spark, sf):
@@ -167,17 +169,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def group_line_stats(spark, sf):
         return (_t(spark, sf, "events").groupBy("user_id")
                 .agg(F.count("*").alias("n"),
-                     F.round(F.min("value"), 4).alias("mn"),
-                     F.round(F.max("value"), 4).alias("mx"),
-                     F.round(F.avg("value"), 4).alias("avg_v")))
+                     quant4(F.min("value")).alias("mn"),
+                     quant4(F.max("value")).alias("mx"),
+                     quant4(F.avg("value")).alias("avg_v")))
 
     def group_linefit_regr(spark, sf):
         return (_t(spark, sf, "lineitem").groupBy("l_returnflag")
-                .agg(F.round(F.expr(
-                    "regr_slope(l_extendedprice, l_quantity)"), 4)
+                .agg(quant4(F.expr(
+                    "regr_slope(l_extendedprice, l_quantity)"))
                     .alias("slope"),
-                    F.round(F.expr(
-                        "regr_intercept(l_extendedprice, l_quantity)"), 4)
+                    quant4(F.expr(
+                        "regr_intercept(l_extendedprice, l_quantity)"))
                     .alias("icept")))
 
     def range_self_join(spark, sf):
@@ -204,7 +206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         li.l_partkey == part.p_partkey)
                 .groupBy("p_brand")
                 .agg(F.count("*").alias("n"),
-                     F.round(F.sum("l_extendedprice") / 1e6, 4)
+                     quant4(F.sum("l_extendedprice") / 1e6)
                      .alias("revenue_m")))
 
     def explode_reassemble(spark, sf):
@@ -219,11 +221,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (_t(spark, sf, "lineitem")
                 .where(F.col("l_shipdate") <= "1998-09-02")
                 .groupBy("l_returnflag", "l_linestatus")
-                .agg(F.round(F.sum("l_quantity") / 1000.0, 4)
+                .agg(quant4(F.sum("l_quantity") / 1000.0)
                      .alias("sum_qty_k"),
-                     F.round(F.sum("l_extendedprice") / 1e6, 4)
+                     quant4(F.sum("l_extendedprice") / 1e6)
                      .alias("sum_price_m"),
-                     F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                     quant4(F.avg("l_discount")).alias("avg_disc"),
                      F.count("*").alias("n")))
 
     def tpch_q3_topk(spark, sf):
@@ -231,14 +233,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         o = _t(spark, sf, "orders")
         rev = (li.join(o, li.l_orderkey == o.o_orderkey)
                .groupBy("l_orderkey")
-               .agg(F.round(F.sum(F.col("l_extendedprice")
-                                  * (1 - F.col("l_discount"))) / 1000.0, 4)
+               .agg(quant4(F.sum(F.col("l_extendedprice")
+                                 * (1 - F.col("l_discount"))) / 1000.0)
                     .alias("rev_k")))
         return rev.orderBy(F.col("rev_k").desc(), "l_orderkey").limit(10)
+
+    def sessionize(spark, sf):
+        # gap > 300s starts a new session; classic running-sum window
+        from pyspark.sql import Window
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ev = (_t(spark, sf, "events")
+              .select("user_id", "ts", "event_id",
+                      F.lag("ts").over(w).alias("prev")))
+        # ts is TIMESTAMP_NTZ: route through timestamp (session tz=UTC)
+        # to epoch seconds, matching DuckDB's epoch(ts)
+        def _epoch(c):
+            return F.col(c).cast("timestamp").cast("long")
+        new_s = F.when(
+            F.col("prev").isNull()
+            | (_epoch("ts") - _epoch("prev") > 300), 1).otherwise(0)
+        sess = ev.select(
+            "user_id", "ts", "event_id",
+            F.sum(new_s).over(
+                w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("session_id"))
+        return (sess.groupBy("user_id")
+                .agg(F.max("session_id").cast("long").alias("n_sessions"),
+                     F.count("*").alias("n_events")))
+
+    def distinct_agg(spark, sf):
+        return (_t(spark, sf, "lineitem").groupBy("l_returnflag")
+                .agg(F.countDistinct("l_partkey").alias("n_parts"),
+                     F.count("*").alias("n")))
+
+    def rollup_agg(spark, sf):
+        return (_t(spark, sf, "lineitem")
+                .rollup("l_returnflag", "l_linestatus")
+                .agg(F.count("*").alias("n"),
+                     quant4(F.sum("l_extendedprice") / 1e6)
+                     .alias("rev_m")))
+
+    def set_ops(spark, sf):
+        o = _t(spark, sf, "orders")
+        hi = (o.where(F.col("o_totalprice") > 150000)
+              .select("o_custkey").distinct())
+        urgent = (o.where(F.col("o_orderpriority") == "1-URGENT")
+                  .select("o_custkey").distinct())
+        return hi.exceptAll(urgent).distinct()
+
+    def pivot_counts(spark, sf):
+        ev = _t(spark, sf, "events")
+        aggs = [F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+                .cast("long").alias(f"n_{t}")
+                for t in ("click", "view", "purchase")]
+        return ev.groupBy("user_id").agg(*aggs)
+
+    def histogram_value(spark, sf):
+        return (_t(spark, sf, "events")
+                .select(F.floor(F.col("value") / 25.0).cast("int")
+                        .alias("bucket"))
+                .groupBy("bucket").agg(F.count("*").alias("n")))
 
     return {
         # SURVEY §7.3 reference-operator analogues
         "filter_threshold": filter_threshold,
+        "sessionize": sessionize,
+        "distinct_agg": distinct_agg,
+        "rollup_agg": rollup_agg,
+        "set_ops": set_ops,
+        "pivot_counts": pivot_counts,
+        "histogram_value": histogram_value,
         "filter_minsize": filter_minsize,
         "project_bbox_decode": project_bbox_decode,
         "topk_score": topk_score,
@@ -336,19 +400,71 @@ def oracle_sql() -> dict[str, str]:
     return {
         "filter_threshold": """
             SELECT event_type, count(*) AS n,
-                   round(sum(value) / 1000.0, 4) AS sum_value_k
+                   floor((sum(value) / 1000.0) * 10000 + 0.5) / 10000 AS sum_value_k
             FROM events WHERE value > 0.5 GROUP BY event_type""",
         "filter_minsize": """
             SELECT l_returnflag, count(*) AS n FROM lineitem
             WHERE l_quantity >= 16 AND l_extendedprice >= 1000
             GROUP BY l_returnflag""",
+        "sessionize": """
+            WITH lagged AS (
+              SELECT user_id, ts, event_id,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+              FROM events
+            ), marked AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN prev IS NULL
+                            OR epoch(ts) - epoch(prev) > 300
+                          THEN 1 ELSE 0 END AS new_s
+              FROM lagged
+            ), sess AS (
+              SELECT user_id,
+                     sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS session_id
+              FROM marked
+            )
+            SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id""",
+        "distinct_agg": """
+            SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag""",
+        "rollup_agg": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   floor((sum(l_extendedprice) / 1e6) * 10000 + 0.5)
+                     / 10000 AS rev_m
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        "set_ops": """
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_totalprice > 150000
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'""",
+        "pivot_counts": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_purchase
+            FROM events GROUP BY user_id""",
+        "histogram_value": """
+            SELECT CAST(floor(value / 25.0) AS INT) AS bucket,
+                   count(*) AS n
+            FROM events GROUP BY 1""",
         "project_bbox_decode": """
             SELECT l_orderkey, l_linenumber,
                    l_quantity * 0.5 + exp(l_discount) * 8.0 AS y_dec,
                    l_extendedprice / 1000.0 - l_tax * 16.0 AS x_dec
             FROM lineitem WHERE l_orderkey % 8 = 0""",
         "topk_score": """
-            SELECT event_id, round(value, 4) AS score FROM events
+            SELECT event_id, floor((value) * 10000 + 0.5) / 10000 AS score FROM events
             ORDER BY value DESC, event_id LIMIT 100""",
         "window_reading_order": """
             SELECT user_id, event_id, rn FROM (
@@ -365,15 +481,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE prev IS NULL OR event_type <> prev
             GROUP BY user_id""",
         "group_line_stats": """
-            SELECT user_id, count(*) AS n, round(min(value), 4) AS mn,
-                   round(max(value), 4) AS mx,
-                   round(avg(value), 4) AS avg_v
+            SELECT user_id, count(*) AS n, floor((min(value)) * 10000 + 0.5) / 10000 AS mn,
+                   floor((max(value)) * 10000 + 0.5) / 10000 AS mx,
+                   floor((avg(value)) * 10000 + 0.5) / 10000 AS avg_v
             FROM events GROUP BY user_id""",
         "group_linefit_regr": """
             SELECT l_returnflag,
-                   round(regr_slope(l_extendedprice, l_quantity), 4)
+                   floor((regr_slope(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000
                      AS slope,
-                   round(regr_intercept(l_extendedprice, l_quantity), 4)
+                   floor((regr_intercept(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000
                      AS icept
             FROM lineitem GROUP BY l_returnflag""",
         "range_self_join": """
@@ -390,7 +506,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag""",
         "broadcast_dim_join": """
             SELECT p_brand, count(*) AS n,
-                   round(sum(l_extendedprice) / 1e6, 4) AS revenue_m
+                   floor((sum(l_extendedprice) / 1e6) * 10000 + 0.5) / 10000 AS revenue_m
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand""",
         "explode_reassemble": _W_CTE + """
@@ -399,16 +515,16 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY doc_id""",
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity) / 1000.0, 4) AS sum_qty_k,
-                   round(sum(l_extendedprice) / 1e6, 4) AS sum_price_m,
-                   round(avg(l_discount), 4) AS avg_disc, count(*) AS n
+                   floor((sum(l_quantity) / 1000.0) * 10000 + 0.5) / 10000 AS sum_qty_k,
+                   floor((sum(l_extendedprice) / 1e6) * 10000 + 0.5) / 10000 AS sum_price_m,
+                   floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc, count(*) AS n
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus""",
         "tpch_q3_topk": """
             SELECT l_orderkey,
-                   round(sum(l_extendedprice * (1 - l_discount))
-                         / 1000.0, 4) AS rev_k
+                   floor((sum(l_extendedprice * (1 - l_discount))
+                         / 1000.0) * 10000 + 0.5) / 10000 AS rev_k
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY l_orderkey ORDER BY rev_k DESC, l_orderkey LIMIT 10""",
         "dedup_exact": """
@@ -461,11 +577,11 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY c.doc_a, c.doc_b
             )
             SELECT i.doc_a, i.doc_b,
-                   round(i.i / (sa.n + sb.n - i.i), 4) AS jaccard
+                   floor((i.i / (sa.n + sb.n - i.i)) * 10000 + 0.5) / 10000 AS jaccard
             FROM inter i
             JOIN sizes sa ON sa.doc_id = i.doc_a
             JOIN sizes sb ON sb.doc_id = i.doc_b
-            WHERE round(i.i / (sa.n + sb.n - i.i), 4) >= 0.5""",
+            WHERE floor((i.i / (sa.n + sb.n - i.i)) * 10000 + 0.5) / 10000 >= 0.5""",
         "sim_topk_cosine": _EMB_CTE + """
             SELECT q_id, vec_id, cos, rank FROM (
               SELECT q_id, vec_id, cos,
@@ -473,9 +589,9 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY cos DESC, vec_id) AS INT) AS rank
               FROM (
                 SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
-                       round(sum(q.val * c.val)
+                       floor((sum(q.val * c.val)
                              / (sqrt(sum(q.val * q.val))
-                                * sqrt(sum(c.val * c.val))), 4) AS cos
+                                * sqrt(sum(c.val * c.val)))) * 10000 + 0.5) / 10000 AS cos
                 FROM e q JOIN e c ON q.pos = c.pos
                 WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
                 GROUP BY q.vec_id, c.vec_id))
@@ -500,9 +616,9 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY cos DESC, vec_id) AS INT) AS rank
               FROM (
                 SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
-                       round(sum(q.val * c.val)
+                       floor((sum(q.val * c.val)
                              / (sqrt(sum(q.val * q.val))
-                                * sqrt(sum(c.val * c.val))), 4) AS cos
+                                * sqrt(sum(c.val * c.val)))) * 10000 + 0.5) / 10000 AS cos
                 FROM eb q JOIN eb c
                   ON q.pos = c.pos AND q.bucket = c.bucket
                 WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
@@ -523,19 +639,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(length(text) AS INT) AS n_chars_calc,
                    CAST(len(string_split(text, ' ')) AS BIGINT)
                      AS n_tokens,
-                   round((length(text) - (len(string_split(text, ' '))
-                          - 1)) / len(string_split(text, ' ')), 4)
+                   floor(((length(text) - (len(string_split(text, ' '))
+                          - 1)) / len(string_split(text, ' '))) * 10000 + 0.5) / 10000
                      AS avg_word_len,
-                   round(({_STOP_HITS_SQL})
-                         / len(string_split(text, ' ')), 4) AS stop_ratio,
-                   round(least(len(string_split(text, ' ')) / 64.0, 1.0)
+                   floor((({_STOP_HITS_SQL})
+                         / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS stop_ratio,
+                   floor((least(len(string_split(text, ' ')) / 64.0, 1.0)
                            * 0.5
                          + least((length(text)
                                   - (len(string_split(text, ' ')) - 1))
                                  / len(string_split(text, ' ')) / 8.0,
                                  1.0) * 0.3
                          + (({_STOP_HITS_SQL})
-                            / len(string_split(text, ' '))) * 0.2, 4)
+                            / len(string_split(text, ' '))) * 0.2) * 10000 + 0.5) / 10000
                      AS quality
             FROM documents""",
         "text_token_count": """

@@ -26,6 +26,19 @@ def word_rows(df: DataFrame, id_col: str = "doc_id",
         id_col, F.posexplode(words(F.col(text_col))).alias("pos", "word"))
 
 
+def quant4(col: Column) -> Column:
+    """4dp quantizer: floor(x*10000 + 0.5)/10000.  Used instead of
+    round(x, 4) because Spark (BigDecimal HALF_UP on the shortest
+    decimal repr) and DuckDB (binary round) disagree on exact-half
+    values; floor of an identical double is identical everywhere.
+    SQL analogue: floor((x) * 10000 + 0.5) / 10000."""
+    return F.floor(col * 10000 + F.lit(0.5)) / 10000
+
+
+def quant4_sql(expr: str) -> str:
+    return f"floor(({expr}) * 10000 + 0.5) / 10000"
+
+
 def hex_digit_expr(char_sql: str) -> str:
     """SQL fragment: numeric value of one hex char (portable)."""
     return f"(instr('{HEX}', {char_sql}) - 1)"

@@ -21,7 +21,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ocr_pytorch_spark.functions import HEX
+from ocr_pytorch_spark.functions import HEX, quant4
 from ocr_pytorch_spark.operators.text import word_ngrams
 
 
@@ -139,8 +139,8 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
            .join(sizes.select(F.col("doc_id").alias("doc_b"),
                               F.col("n").alias("nb")), "doc_b")
            .select("doc_a", "doc_b",
-                   F.round(F.col("i") / (F.col("na") + F.col("nb")
-                                         - F.col("i")), 4)
+                   quant4(F.col("i") / (F.col("na") + F.col("nb")
+                                        - F.col("i")))
                    .alias("jaccard"))
            .where(F.col("jaccard") >= threshold))
     return out

@@ -20,7 +20,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ocr_pytorch_spark.functions import HEX
+from ocr_pytorch_spark.functions import HEX, quant4
 
 
 def _exploded(embeddings: DataFrame) -> DataFrame:
@@ -42,7 +42,7 @@ def _pair_cosine(qe: DataFrame, ce: DataFrame) -> DataFrame:
              F.sqrt(F.sum(F.col("qv") * F.col("qv"))).alias("qn"),
              F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("cn"))
         .select("q_id", "vec_id",
-                F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 4)
+                quant4(F.col("dot") / (F.col("qn") * F.col("cn")))
                 .alias("cos"))
     )
 
@@ -104,7 +104,7 @@ def lsh_cosine_topk(embeddings: DataFrame, n_queries: int = 5,
              F.sqrt(F.sum(F.col("qv") * F.col("qv"))).alias("qn"),
              F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("cn"))
         .select("q_id", "vec_id",
-                F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 4)
+                quant4(F.col("dot") / (F.col("qn") * F.col("cn")))
                 .alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")

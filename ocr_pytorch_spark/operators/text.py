@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ocr_pytorch_spark.functions import word_rows, words
+from ocr_pytorch_spark.functions import quant4, word_rows, words
 
 # tiny deterministic stopword list used by the lang-ID and quality ops
 STOPWORDS = ("the", "a", "of", "and", "to")
@@ -55,15 +55,15 @@ def quality_score(documents: DataFrame) -> DataFrame:
     n_tokens = F.size(words(F.col("text")))
     avg_wl = (n_chars - (n_tokens - 1)) / n_tokens
     stop_ratio = _stop_hits("text") / n_tokens
-    quality = F.round(
+    quality = quant4(
         F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * 0.5
         + F.least(avg_wl / F.lit(8.0), F.lit(1.0)) * 0.3
-        + stop_ratio * 0.2, 4)
+        + stop_ratio * 0.2)
     return documents.select(
         "doc_id", n_chars.alias("n_chars_calc"),
         n_tokens.cast("long").alias("n_tokens"),
-        F.round(avg_wl, 4).alias("avg_word_len"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
+        quant4(avg_wl).alias("avg_word_len"),
+        quant4(stop_ratio).alias("stop_ratio"),
         quality.alias("quality"))
 
 

@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) for the deterministic kernels —
+invariants that must hold for arbitrary inputs, not just fixtures."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from ocr_pytorch_spark.kernels import resize_area, softmax
+from ocr_pytorch_spark.models.alphabet import ALPHABET, ctc_collapse, encode
+from ocr_pytorch_spark.models.ctpn import clip_box, filter_bbox, nms
+
+
+@given(st.integers(2, 40), st.integers(2, 40), st.integers(1, 20),
+       st.integers(1, 20))
+@settings(max_examples=30, deadline=None)
+def test_resize_area_bounds_and_shape(h, w, oh, ow):
+    img = np.random.default_rng(h * 41 + w).integers(
+        0, 256, (h, w)).astype(np.uint8)
+    out = resize_area(img, oh, ow)
+    assert out.shape == (oh, ow)
+    # area averaging cannot escape the input value range
+    assert out.min() >= img.min() - 1 and out.max() <= img.max() + 1
+
+
+@given(st.integers(1, 6), st.integers(2, 9))
+@settings(max_examples=20, deadline=None)
+def test_softmax_rows_sum_to_one(n, k):
+    x = np.random.default_rng(n * 10 + k).normal(
+        scale=50, size=(n, k)).astype(np.float32)
+    p = softmax(x, axis=-1)
+    np.testing.assert_allclose(p.sum(axis=-1), 1.0, rtol=1e-5)
+    assert (p >= 0).all()
+
+
+@given(st.lists(st.integers(0, 95), max_size=60))
+@settings(max_examples=60, deadline=None)
+def test_ctc_collapse_properties(codes):
+    out = ctc_collapse(np.array(codes, dtype=int))
+    # no output longer than input, chars all from the alphabet
+    assert len(out) <= len(codes)
+    assert all(c in ALPHABET for c in out)
+    # collapsing twice via re-encode never grows (idempotent-ish bound)
+    assert len(ctc_collapse(np.array(encode(out)))) <= len(out)
+    # no two consecutive equal codes survive from a constant run
+    if codes and all(c == codes[0] for c in codes):
+        assert len(out) <= 1
+
+
+@given(st.integers(1, 25))
+@settings(max_examples=20, deadline=None)
+def test_nms_keep_is_subset_and_nonoverlapping(n):
+    rng = np.random.default_rng(n)
+    x1 = rng.uniform(0, 80, n)
+    y1 = rng.uniform(0, 80, n)
+    dets = np.stack([x1, y1, x1 + rng.uniform(4, 30, n),
+                     y1 + rng.uniform(4, 30, n),
+                     rng.uniform(0, 1, n)], axis=1)
+    keep = nms(dets, 0.3)
+    assert set(keep) <= set(range(n)) and len(set(keep)) == len(keep)
+    # surviving boxes pairwise IoU <= threshold
+    for a in keep:
+        for b in keep:
+            if a >= b:
+                continue
+            xx1 = max(dets[a, 0], dets[b, 0])
+            yy1 = max(dets[a, 1], dets[b, 1])
+            xx2 = min(dets[a, 2], dets[b, 2])
+            yy2 = min(dets[a, 3], dets[b, 3])
+            inter = max(0, xx2 - xx1 + 1) * max(0, yy2 - yy1 + 1)
+            aa = (dets[a, 2] - dets[a, 0] + 1) * (dets[a, 3] - dets[a, 1] + 1)
+            ab = (dets[b, 2] - dets[b, 0] + 1) * (dets[b, 3] - dets[b, 1] + 1)
+            assert inter / (aa + ab - inter) <= 0.3 + 1e-9
+
+
+@given(st.integers(1, 30))
+@settings(max_examples=20, deadline=None)
+def test_clip_then_filter_inside_image(n):
+    rng = np.random.default_rng(n + 99)
+    bbox = rng.uniform(-100, 400, (n, 4))
+    clipped = clip_box(bbox.copy(), (200, 300))
+    assert (clipped[:, [0, 2]] >= 0).all()
+    assert (clipped[:, [0, 2]] <= 299).all()
+    assert (clipped[:, [1, 3]] <= 199).all()
+    keep = filter_bbox(clipped.astype(np.int32), 16)
+    ws = clipped[keep, 2] - clipped[keep, 0] + 1
+    assert (ws.astype(int) >= 16).all()

@@ -1,0 +1,115 @@
+"""Guardrails for the 100 TB plan shape (SURVEY.md §4): these assert the
+structural properties the scaling argument in BENCH/BASELINE.md relies
+on, so a refactor can't silently regress them."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_pytorch_spark import datagen
+from ocr_pytorch_spark.config import PipelineConfig
+from ocr_pytorch_spark.operators import extract as EX
+
+
+@pytest.fixture(scope="module")
+def hot_tables(spark, tmp_path_factory):
+    """40 docs that all reference the SAME single image (max hot-key
+    skew) plus one unique image each for a few docs."""
+    docs = []
+    for i in range(40):
+        docs.append({
+            "doc_id": f"doc-{i:04d}",
+            "spans": [
+                {"kind": "text", "text": f"t {i}", "media_ref": None,
+                 "offset": 0},
+                {"kind": "media", "text": None, "media_ref": "img-HOT",
+                 "offset": 1},
+            ],
+        })
+    refs = ["img-HOT"]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp("hot")
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()), ("offset", pa.int32())])
+    pq.write_table(pa.table({
+        "doc_id": [d["doc_id"] for d in docs],
+        "spans": pa.array([[(s["kind"], s["text"], s["media_ref"],
+                             s["offset"]) for s in d["spans"]]
+                           for d in docs], pa.list_(span_t))}),
+        str(out / "documents.parquet"))
+    imgs = datagen.gen_images(refs)
+    pq.write_table(pa.table({
+        "media_ref": [r["media_ref"] for r in imgs],
+        "height": pa.array([r["height"] for r in imgs], pa.int32()),
+        "width": pa.array([r["width"] for r in imgs], pa.int32()),
+        "channels": pa.array([3] * len(imgs), pa.int32()),
+        "data": pa.array([r["data"] for r in imgs], pa.binary())}),
+        str(out / "images.parquet"))
+    return (spark.read.parquet(str(out / "documents.parquet")),
+            spark.read.parquet(str(out / "images.parquet")))
+
+
+def test_hot_image_ocr_runs_once(spark, hot_tables, bundled_weights,
+                                 fixture_cfg):
+    """An image referenced by 40 docs is OCR'd exactly once: the
+    transcripts table has one row set per DISTINCT media_ref, and the
+    fan-out to 40 docs happens in the (tiny-row) join."""
+    docs_df, imgs_df = hot_tables
+    spans = EX.explode_spans(docs_df)
+    media = spans.where(F.col("kind") == "media").select(
+        "doc_id", "src_offset", "media_ref")
+    tr = EX.ocr_transcripts(imgs_df, media, EX.file_weights_spec(),
+                            fixture_cfg)
+    rows = tr.collect()
+    # exactly one transcript set for the single distinct ref — if the
+    # OCR ran per document we'd see 40x duplicates here
+    assert len(rows) == len({r["box_order"] for r in rows})
+    assert {r["media_ref"] for r in rows} == {"img-HOT"}
+
+    # and the full pipeline replicates it to every doc identically
+    out = EX.extract(docs_df, imgs_df, EX.file_weights_spec(),
+                     fixture_cfg)
+    per_doc = [tuple((s["text"], s["media_ref"]) for s in r["spans"][1:])
+               for r in out.collect()]
+    assert len(set(per_doc)) == 1 and len(per_doc) == 40
+
+
+def test_plan_semi_join_keeps_image_bytes_unshuffled(spark, hot_tables,
+                                                     fixture_cfg):
+    """The needed-refs filter on the images table must be a (broadcast)
+    LEFT SEMI join — image bytes never join doc rows directly."""
+    docs_df, imgs_df = hot_tables
+    spans = EX.explode_spans(docs_df)
+    media = spans.where(F.col("kind") == "media").select(
+        "doc_id", "src_offset", "media_ref")
+    tr = EX.ocr_transcripts(imgs_df, media, EX.file_weights_spec(),
+                            fixture_cfg)
+    plan = _plan_of(tr)
+    assert "LeftSemi" in plan
+
+
+def _plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_transcript_schema_has_no_pixels(spark, hot_tables, fixture_cfg):
+    """Everything downstream of the OCR UDF carries only transcript
+    columns — the binary image data cannot reach the reassembly
+    shuffles because the UDF output schema excludes it."""
+    docs_df, imgs_df = hot_tables
+    spans = EX.explode_spans(docs_df)
+    media = spans.where(F.col("kind") == "media").select(
+        "doc_id", "src_offset", "media_ref")
+    tr = EX.ocr_transcripts(imgs_df, media, EX.file_weights_spec(),
+                            fixture_cfg)
+    assert set(tr.columns) == {"media_ref", "box_order", "text"}
+    out = EX.extract(docs_df, imgs_df, EX.file_weights_spec(),
+                     fixture_cfg)
+    assert set(out.columns) == {"doc_id", "spans"}
