@@ -228,6 +228,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      quant4(F.avg("l_discount")).alias("avg_disc"),
                      F.count("*").alias("n")))
 
+    def tpch_q6(spark, sf):
+        # selective scan: both predicates push down to the parquet scan
+        return (_t(spark, sf, "lineitem")
+                .where((F.col("l_shipdate") >= "1994-01-01")
+                       & (F.col("l_shipdate") < "1995-01-01")
+                       & (F.col("l_discount") >= 0.05)
+                       & (F.col("l_quantity") < 24))
+                .agg(quant4(F.sum(F.col("l_extendedprice")
+                                  * F.col("l_discount")) / 1000.0)
+                     .alias("revenue_k"),
+                     F.count("*").alias("n")))
+
     def tpch_q3_topk(spark, sf):
         li = _t(spark, sf, "lineitem")
         o = _t(spark, sf, "orders")
@@ -315,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_dim_join": broadcast_dim_join,
         "explode_reassemble": explode_reassemble,
         "tpch_q1": tpch_q1,
+        "tpch_q6": tpch_q6,
         "tpch_q3_topk": tpch_q3_topk,
         # training-data pipeline operators
         "dedup_exact": lambda s, sf: D.exact_dedup(_t(s, sf, "documents")),
@@ -521,6 +534,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus""",
+        "tpch_q6": """
+            SELECT floor((sum(l_extendedprice * l_discount) / 1000.0)
+                         * 10000 + 0.5) / 10000 AS revenue_k,
+                   count(*) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_quantity < 24""",
         "tpch_q3_topk": """
             SELECT l_orderkey,
                    floor((sum(l_extendedprice * (1 - l_discount))

@@ -44,18 +44,3 @@ def hex_digit_expr(char_sql: str) -> str:
     return f"(instr('{HEX}', {char_sql}) - 1)"
 
 
-def minhash_expr(i: int, shingle_col: str = "shingle") -> Column:
-    """One MinHash component: MIN over md5('<i>:'||shingle) hex strings.
-    String-min of a cryptographic hash is a valid uniform min-hash and is
-    bit-identical across engines."""
-    return F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col(shingle_col)))) \
-        .alias(f"mh{i}")
-
-
-def dot_and_norms(q_val: Column, c_val: Column):
-    """Aggregates for cosine built from exploded (pos, val) rows."""
-    return (
-        F.sum(q_val * c_val).alias("dot"),
-        F.sqrt(F.sum(q_val * q_val)).alias("qn"),
-        F.sqrt(F.sum(c_val * c_val)).alias("cn"),
-    )

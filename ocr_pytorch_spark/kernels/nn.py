@@ -54,13 +54,22 @@ def conv2d(x: np.ndarray, w: np.ndarray, b: np.ndarray | None,
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     B, C, H, W = x.shape
+    O, _, kh, kw = w.shape
+    if (kh, kw, sh, sw, ph, pw) == (1, 1, 1, 1, 0, 0) and B == 1:
+        # 1x1 conv fast path: the GEMM input IS the (C, H*W) tensor —
+        # no im2col copy (CTPN lstm_fc + twin heads)
+        out2d = _ws(("gemm",), (O, H * W))
+        np.dot(w.reshape(O, C), x.reshape(C, H * W), out=out2d)
+        out = out2d.reshape(1, O, H, W)
+        if b is not None:
+            return out + b.reshape(1, O, 1, 1)
+        return out.copy()
     if ph or pw:
         xp = _ws(("pad",), (B, C, H + 2 * ph, W + 2 * pw))
         xp[:] = 0.0
         xp[:, :, ph:ph + H, pw:pw + W] = x
         x = xp
         H, W = H + 2 * ph, W + 2 * pw
-    O, _, kh, kw = w.shape
     oh = (H - kh) // sh + 1
     ow = (W - kw) // sw + 1
     s = x.strides

@@ -7,7 +7,7 @@ in ``__spark_entry__.oracle_sql``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ocr_pytorch_spark.functions import quant4, word_rows, words
 

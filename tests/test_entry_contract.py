@@ -80,6 +80,28 @@ def test_query_matches_duckdb(spark, key):
         raise AssertionError(f"{key}: value mismatch, first diffs: {diffs}")
 
 
+# float-heavy queries re-checked at sf0.1: bigger sums exercise the
+# quantizer's half-grid robustness (the round() divergence that bit us
+# only appears at this scale)
+FLOAT_STRESS_KEYS = ["group_line_stats", "text_quality", "tpch_q1",
+                     "broadcast_dim_join", "sim_topk_cosine",
+                     "group_linefit_regr"]
+
+
+@pytest.mark.parametrize("key", FLOAT_STRESS_KEYS)
+def test_query_matches_duckdb_sf01(spark, key):
+    sf = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.1")
+    got_df = _QUERIES[key](spark, sf).toPandas()
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    want_df = con.sql(_ORACLES[key]).df()
+    g_cols, g_rows = _normalize(got_df)
+    w_cols, w_rows = _normalize(want_df)
+    assert g_cols == w_cols and g_rows == w_rows
+
+
 @pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
 def test_rows_only_queries_run(spark, key):
     df = _QUERIES[key](spark, SF_SMALL)
