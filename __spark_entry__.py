@@ -278,6 +278,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.countDistinct("l_partkey").alias("n_parts"),
                      F.count("*").alias("n")))
 
+    def approx_distinct(spark, sf):
+        # HLL sketch — algorithms differ across engines, so this is a
+        # rows-only check; exactness is covered by distinct_agg
+        return (_t(spark, sf, "lineitem").groupBy("l_returnflag")
+                .agg(F.approx_count_distinct("l_partkey")
+                     .alias("approx_parts")))
+
     def rollup_agg(spark, sf):
         return (_t(spark, sf, "lineitem")
                 .rollup("l_returnflag", "l_linestatus")
@@ -311,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_threshold": filter_threshold,
         "sessionize": sessionize,
         "distinct_agg": distinct_agg,
+        "approx_distinct": approx_distinct,  # rows-only (HLL differs)
         "rollup_agg": rollup_agg,
         "set_ops": set_ops,
         "pivot_counts": pivot_counts,

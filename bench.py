@@ -29,8 +29,9 @@ OCR_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_OCR_DOCS", "256"))
 OCR_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_OCR_IMAGES", "128"))
 
 HEADLINE = [
-    "tpch_q1", "broadcast_dim_join", "tpch_q3_topk", "range_self_join",
-    "window_reading_order", "group_linefit_regr", "explode_reassemble",
+    "tpch_q1", "tpch_q6", "broadcast_dim_join", "tpch_q3_topk",
+    "range_self_join", "window_reading_order", "sessionize",
+    "group_linefit_regr", "explode_reassemble",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "sim_topk_cosine", "sim_lsh_topk",
     "text_quality", "text_fingerprint", "multimodal_features",

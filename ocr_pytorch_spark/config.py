@@ -64,8 +64,9 @@ class PipelineConfig:
     min_box_size: int = MIN_BOX_SIZE
     expand: bool = True  # get_det_boxes(expand=True) default, applied (ctpn_predict.py:38,79)
     adjust: bool = False  # charRec(adjust=False) — ocr.py:77 calls with default
-    # Arrow batching: images per pandas batch fed to the detect+recognize UDF.
-    images_per_batch: int = 16
+    # NOTE: Arrow batch size (images per pandas batch in the OCR UDF) is
+    # a session-level knob: spark.sql.execution.arrow.maxRecordsPerBatch
+    # (set in sources/session.py), not a per-pipeline field.
 
     @staticmethod
     def reference() -> "PipelineConfig":

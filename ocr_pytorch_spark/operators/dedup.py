@@ -63,6 +63,10 @@ def minhash_lsh_pairs(documents: DataFrame, k: int = 8, bands: int = 4
         band_cols.append(
             F.md5(F.concat_ws("|", *parts)).alias(f"band{b}"))
     banded = sigs.select("doc_id", *band_cols)
+    # the band table feeds BOTH sides of the candidate self-join; persist
+    # it so the shingle-explode + 8 min-aggs lineage runs once (at real
+    # scale you'd materialize signatures to a table instead)
+    banded = banded.persist()
     # long form: (band_idx, key, doc_id)
     stacked = banded.select(
         "doc_id",
@@ -124,7 +128,8 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
                 F.col("b.doc_id").alias("doc_b")))
     from ocr_pytorch_spark.functions import word_rows
 
-    dw = word_rows(documents).select("doc_id", "word").distinct()
+    # distinct words feed three consumers (sizes + both join sides)
+    dw = word_rows(documents).select("doc_id", "word").distinct().persist()
     sizes = dw.groupBy("doc_id").agg(F.count("*").alias("n"))
     # intersection size via double equi-join on the word
     dwa = dw.select(F.col("doc_id").alias("doc_a"),

@@ -55,6 +55,10 @@ from ocr_pytorch_spark.config import PipelineConfig
 _WORKER_CACHE: dict[tuple, tuple[dict, dict]] = {}
 
 OCR_OUT_SCHEMA = "media_ref string, box_order int, text string"
+
+# transcript rows with this box_order mark a failed image decode/OCR —
+# excluded from document reassembly, surfaced via ocr_errors()
+ERROR_BOX_ORDER = -1
 SPAN_STRUCT = ("struct<kind:string,text:string,media_ref:string,"
                "offset:int>")
 
@@ -110,10 +114,20 @@ def make_ocr_udf(weights_spec, cfg: PipelineConfig):
             for ref, h, w, c, data in zip(
                     pdf["media_ref"], pdf["height"], pdf["width"],
                     pdf["channels"], pdf["data"]):
-                img = np.frombuffer(data, dtype=np.uint8).reshape(
-                    int(h), int(w), int(c))
-                for order, (_, text) in enumerate(
-                        ocr_image(img, ctpn_w, crnn_w, cfg)):
+                try:
+                    img = np.frombuffer(data, dtype=np.uint8).reshape(
+                        int(h), int(w), int(c))
+                    results = ocr_image(img, ctpn_w, crnn_w, cfg)
+                except Exception as exc:  # poison-row tolerance (K3):
+                    # one corrupt image must not fail the partition;
+                    # emit an ERROR_BOX_ORDER row for the metrics/error
+                    # sink instead (reference analogue: error_imgs.txt,
+                    # train_code/.../dataset.py:181-190)
+                    refs.append(ref)
+                    orders.append(ERROR_BOX_ORDER)
+                    texts.append(f"{type(exc).__name__}: {exc}"[:200])
+                    continue
+                for order, (_, text) in enumerate(results):
                     refs.append(ref)
                     orders.append(order)
                     texts.append(text)
@@ -186,6 +200,13 @@ def ocr_transcripts(images: DataFrame, media_spans: DataFrame,
                             schema=OCR_OUT_SCHEMA)
 
 
+def ocr_errors(transcripts: DataFrame) -> DataFrame:
+    """Error-sink view over a transcripts frame: one row per image whose
+    decode/OCR failed (media_ref, error message)."""
+    return (transcripts.where(F.col("box_order") == ERROR_BOX_ORDER)
+            .select("media_ref", F.col("text").alias("error")))
+
+
 def extract(documents: DataFrame, images: DataFrame, weights_spec=None,
             cfg: PipelineConfig | None = None,
             salt_partitions: int | None = None) -> DataFrame:
@@ -215,7 +236,9 @@ def extract(documents: DataFrame, images: DataFrame, weights_spec=None,
     transcripts = ocr_transcripts(images, media_spans, weights_spec, cfg,
                                   salt_partitions)
     ocr_spans = (
-        media_spans.join(transcripts, "media_ref", "inner")
+        media_spans.join(
+            transcripts.where(F.col("box_order") != ERROR_BOX_ORDER),
+            "media_ref", "inner")
         .select("doc_id", "src_offset", "box_order", "text", "media_ref")
     )
 
