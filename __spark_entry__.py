@@ -37,6 +37,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make ocr_pytorch_spark importable in python workers even when the
+    session was created by an external harness (no PYTHONPATH, arbitrary
+    cwd): zip the package and addPyFile it, once per session."""
+    if getattr(spark, "_ocr_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.join(REPO_ROOT, "ocr_pytorch_spark")
+    zpath = os.path.join(tempfile.gettempdir(),
+                         f"ocr_pytorch_spark_pkg_{os.getpid()}.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    zf.write(full, os.path.relpath(full, REPO_ROOT))
+    spark.sparkContext.addPyFile(zpath)
+    spark._ocr_pkg_shipped = True
+
+
 # --- flagship: interleaved docs derived from the testdata corpus ---
 
 def _interleaved_docs(spark: SparkSession, sf_dir: str,
@@ -78,6 +100,7 @@ def _fixture_images(spark: SparkSession,
 
 
 def _ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ship_package(spark)
     from ocr_pytorch_spark.config import PipelineConfig
     from ocr_pytorch_spark.models import weights as W
     from ocr_pytorch_spark.operators.extract import (extract,
@@ -102,6 +125,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ship_package(spark)
     from ocr_pytorch_spark.operators.multimodal import image_features
 
     out = image_features(_fixture_images(spark))
