@@ -370,6 +370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": lambda s, sf: D.simhash(_t(s, sf, "documents")),
         "dedup_ngram_jaccard": lambda s, sf: D.ngram_jaccard_pairs(
             _t(s, sf, "documents")),
+        "dedup_embedding_cosine": lambda s, sf: D.embedding_neardup_pairs(
+            _t(s, sf, "embeddings")),
         "sim_topk_cosine": lambda s, sf: S.cosine_topk(
             _t(s, sf, "embeddings")),
         "sim_lsh_buckets": lambda s, sf: S.lsh_buckets(
@@ -635,6 +637,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.doc_a
             JOIN sizes sb ON sb.doc_id = i.doc_b
             WHERE floor((i.i / (sa.n + sb.n - i.i)) * 10000 + 0.5) / 10000 >= 0.5""",
+        "dedup_embedding_cosine": _EMB_CTE + f""", proj AS (
+              SELECT vec_id, {_LSH_PROJ} FROM e GROUP BY vec_id
+            ), bk AS (
+              SELECT vec_id, CAST({_LSH_BUCKET} AS INT) AS bucket
+              FROM proj
+            ), eb AS (
+              SELECT e.vec_id, e.pos, e.val, bk.bucket
+              FROM e JOIN bk ON e.vec_id = bk.vec_id
+            )
+            SELECT vec_a, vec_b, cos FROM (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     floor((sum(a.val * b.val)
+                            / (sqrt(sum(a.val * a.val))
+                               * sqrt(sum(b.val * b.val))))
+                           * 10000 + 0.5) / 10000 AS cos
+              FROM eb a JOIN eb b
+                ON a.pos = b.pos AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id
+              GROUP BY a.vec_id, b.vec_id)
+            WHERE cos >= 0.35""",
         "sim_topk_cosine": _EMB_CTE + """
             SELECT q_id, vec_id, cos, rank FROM (
               SELECT q_id, vec_id, cos,

@@ -1,4 +1,5 @@
-"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
 
 Scale notes (100 TB story):
 * exact: one shuffle on the text hash — never on text bodies.
@@ -10,6 +11,9 @@ Scale notes (100 TB story):
 * n-gram Jaccard: restricted to candidate buckets (length prefix) so the
   pair join stays linear-ish; the verify join moves only (doc_id, word)
   rows.
+* embedding-cosine: candidates restricted to sign-random-projection
+  buckets (shared with operators/similarity.py), exact cosine verify —
+  the all-pairs product never materializes.
 
 All hashes are md5-hex based so every operator has a bit-exact DuckDB
 oracle (see functions/__init__.py).
@@ -110,6 +114,41 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
                                     F.lit(2 ** j)).otherwise(F.lit(0)),
         range(bits), F.lit(0))
     return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def embedding_neardup_pairs(embeddings: DataFrame,
+                            threshold: float = 0.35,
+                            n_planes: int = 4) -> DataFrame:
+    """Embedding-cosine near-dup detection: candidates = vector pairs in
+    the same sign-random-projection bucket (the O(n) scale path — the
+    all-pairs product never materializes), verified by exact cosine.
+    Output: vec_a, vec_b (vec_a < vec_b), cos >= threshold."""
+    from ocr_pytorch_spark.operators.similarity import lsh_buckets
+
+    buckets = lsh_buckets(embeddings, n_planes)
+    ex = (embeddings.join(buckets, "vec_id")
+          .select("vec_id", "bucket",
+                  F.posexplode("embedding").alias("pos", "val"))
+          .select("vec_id", "bucket", "pos",
+                  F.col("val").cast("double").alias("v")))
+    a = ex.select(F.col("vec_id").alias("vec_a"),
+                  F.col("bucket").alias("ba"),
+                  F.col("pos").alias("pa"), F.col("v").alias("va"))
+    b = ex.select(F.col("vec_id").alias("vec_b"), "bucket", "pos",
+                  F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, (F.col("pa") == F.col("pos"))
+               & (F.col("ba") == F.col("bucket"))
+               & (F.col("vec_a") < F.col("vec_b")))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"),
+             F.sqrt(F.sum(F.col("va") * F.col("va"))).alias("na"),
+             F.sqrt(F.sum(F.col("vb") * F.col("vb"))).alias("nb"))
+        .select("vec_a", "vec_b",
+                quant4(F.col("dot") / (F.col("na") * F.col("nb")))
+                .alias("cos"))
+        .where(F.col("cos") >= threshold))
+    return pairs
 
 
 def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
