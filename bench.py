@@ -33,7 +33,8 @@ HEADLINE = [
     "range_self_join", "window_reading_order", "sessionize",
     "group_linefit_regr", "explode_reassemble",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "sim_topk_cosine", "sim_lsh_topk",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "sim_topk_cosine", "sim_lsh_topk",
     "text_quality", "text_fingerprint", "multimodal_features",
 ]
 

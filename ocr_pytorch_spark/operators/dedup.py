@@ -126,11 +126,13 @@ def embedding_neardup_pairs(embeddings: DataFrame,
     from ocr_pytorch_spark.operators.similarity import lsh_buckets
 
     buckets = lsh_buckets(embeddings, n_planes)
+    # component rows feed both sides of the pair join; persist so the
+    # bucket computation + explode lineage runs once
     ex = (embeddings.join(buckets, "vec_id")
           .select("vec_id", "bucket",
                   F.posexplode("embedding").alias("pos", "val"))
           .select("vec_id", "bucket", "pos",
-                  F.col("val").cast("double").alias("v")))
+                  F.col("val").cast("double").alias("v"))).persist()
     a = ex.select(F.col("vec_id").alias("vec_a"),
                   F.col("bucket").alias("ba"),
                   F.col("pos").alias("pa"), F.col("v").alias("va"))
