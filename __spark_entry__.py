@@ -374,7 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "embeddings")),
         "sim_topk_cosine": lambda s, sf: S.cosine_topk(
             _t(s, sf, "embeddings")),
-        "sim_lsh_buckets": lambda s, sf: S.lsh_buckets(
+        "sim_lsh_buckets": lambda s, sf: S.lsh_band_keys(
             _t(s, sf, "embeddings")),
         "sim_lsh_topk": lambda s, sf: S.lsh_cosine_topk(
             _t(s, sf, "embeddings")),
@@ -428,19 +428,56 @@ _MH = ", ".join(f"min(md5('{i}:' || gram)) AS mh{i}" for i in range(8))
 _BANDS = ", ".join(
     f"md5(mh{b * 2} || '|' || mh{b * 2 + 1}) AS band{b}" for b in range(4))
 
-_LSH_PROJ = ", ".join(
-    f"sum(CAST(val AS DOUBLE) * ((instr('0123456789abcdef', "
-    f"substr(md5('{p}:' || CAST(pos - 1 AS VARCHAR)), 1, 1)) - 1) - 7.5))"
-    f" AS proj{p}" for p in range(4))
-_LSH_BUCKET = " + ".join(
-    f"(CASE WHEN proj{p} > 0 THEN {2 ** p} ELSE 0 END)" for p in range(4))
+# --- embedding-family oracle fragments: generated from the SAME
+# constants as operators/similarity.py (32 planes, 4 bands of 8,
+# Hamming<=1 multi-probe, literal md5-derived weights).  DuckDB
+# list_dot_product == Spark aggregate(zip_with(...)) bit-for-bit (both
+# are in-order float64 folds), so quant4'd cosines hash-match.
 
-_EMB_CTE = """WITH e AS (
-  SELECT vec_id,
-         CAST(unnest(embedding) AS DOUBLE) AS val,
-         generate_subscripts(embedding, 1) AS pos
-  FROM embeddings
+from ocr_pytorch_spark.functions import (  # noqa: E402
+    quant4_sql, weight_array_sql)
+from ocr_pytorch_spark.operators.similarity import (  # noqa: E402
+    BANDS as _EMB_BANDS, DIM as _EMB_DIM, N_PLANES as _EMB_PLANES)
+
+_EMB_R = _EMB_PLANES // _EMB_BANDS
+
+_VEC_CTE = """WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), vn AS (
+  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v
 )"""
+
+_EMB_PROJ = ", ".join(
+    f"list_dot_product(vec, {weight_array_sql(p, _EMB_DIM)}) AS proj{p}"
+    for p in range(_EMB_PLANES))
+
+
+def _emb_band_key(b: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN proj{b * _EMB_R + j} > 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(_EMB_R))
+
+
+_EMB_BANDS_SQL = "\n  UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band_idx,"
+    f" CAST({_emb_band_key(b)} AS INT) AS bucket FROM proj"
+    for b in range(_EMB_BANDS))
+
+_EMB_PROBES = "[bucket, " + ", ".join(
+    f"xor(bucket, {1 << j})" for j in range(_EMB_R)) + "]"
+
+_EMB_LSH_CTE = _VEC_CTE + f""", proj AS (
+  SELECT vec_id, {_EMB_PROJ} FROM v
+), bands AS (
+  {_EMB_BANDS_SQL}
+), probes AS (
+  SELECT vec_id, band_idx, unnest({_EMB_PROBES}) AS bucket FROM bands
+)"""
+
+_PAIR_COS = quant4_sql(
+    "list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm)")
+_QC_COS = quant4_sql(
+    "list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm)")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -613,17 +650,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash
             FROM bits""",
-        "dedup_ngram_jaccard": _W_CTE + """, dw AS (
+        "dedup_ngram_jaccard": _GRAMS_CTE + f""", sig AS (
+              SELECT doc_id, {_MH} FROM grams GROUP BY doc_id
+            ), banded AS (
+              SELECT doc_id, {_BANDS} FROM sig
+            ), stacked AS (
+              SELECT doc_id, 0 AS band_idx, band0 AS key FROM banded
+              UNION ALL SELECT doc_id, 1, band1 FROM banded
+              UNION ALL SELECT doc_id, 2, band2 FROM banded
+              UNION ALL SELECT doc_id, 3, band3 FROM banded
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM stacked a JOIN stacked b
+                ON a.band_idx = b.band_idx AND a.key = b.key
+               AND a.doc_id < b.doc_id
+            ), dw AS (
               SELECT DISTINCT doc_id, word FROM w
             ), sizes AS (
               SELECT doc_id, count(*) AS n FROM dw GROUP BY doc_id
-            ), cand AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM (SELECT doc_id, substr(text,1,12) AS bucket
-                    FROM documents) a
-              JOIN (SELECT doc_id, substr(text,1,12) AS bucket
-                    FROM documents) b
-                ON a.bucket = b.bucket AND a.doc_id < b.doc_id
             ), inter AS (
               SELECT c.doc_a, c.doc_b, count(*) AS i
               FROM cand c
@@ -637,67 +681,47 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.doc_a
             JOIN sizes sb ON sb.doc_id = i.doc_b
             WHERE floor((i.i / (sa.n + sb.n - i.i)) * 10000 + 0.5) / 10000 >= 0.5""",
-        "dedup_embedding_cosine": _EMB_CTE + f""", proj AS (
-              SELECT vec_id, {_LSH_PROJ} FROM e GROUP BY vec_id
-            ), bk AS (
-              SELECT vec_id, CAST({_LSH_BUCKET} AS INT) AS bucket
-              FROM proj
-            ), eb AS (
-              SELECT e.vec_id, e.pos, e.val, bk.bucket
-              FROM e JOIN bk ON e.vec_id = bk.vec_id
+        "dedup_embedding_cosine": _EMB_LSH_CTE + f""", cand AS (
+              SELECT DISTINCT least(p.vec_id, s.vec_id) AS vec_a,
+                              greatest(p.vec_id, s.vec_id) AS vec_b
+              FROM probes p JOIN bands s
+                ON p.band_idx = s.band_idx AND p.bucket = s.bucket
+               AND p.vec_id <> s.vec_id
             )
             SELECT vec_a, vec_b, cos FROM (
-              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                     floor((sum(a.val * b.val)
-                            / (sqrt(sum(a.val * a.val))
-                               * sqrt(sum(b.val * b.val))))
-                           * 10000 + 0.5) / 10000 AS cos
-              FROM eb a JOIN eb b
-                ON a.pos = b.pos AND a.bucket = b.bucket
-               AND a.vec_id < b.vec_id
-              GROUP BY a.vec_id, b.vec_id)
+              SELECT c.vec_a, c.vec_b, {_PAIR_COS} AS cos
+              FROM cand c
+              JOIN vn a ON c.vec_a = a.vec_id
+              JOIN vn b ON c.vec_b = b.vec_id)
             WHERE cos >= 0.35""",
-        "sim_topk_cosine": _EMB_CTE + """
+        "sim_topk_cosine": _VEC_CTE + f"""
             SELECT q_id, vec_id, cos, rank FROM (
               SELECT q_id, vec_id, cos,
                      CAST(row_number() OVER (PARTITION BY q_id
                           ORDER BY cos DESC, vec_id) AS INT) AS rank
               FROM (
                 SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
-                       floor((sum(q.val * c.val)
-                             / (sqrt(sum(q.val * q.val))
-                                * sqrt(sum(c.val * c.val)))) * 10000 + 0.5) / 10000 AS cos
-                FROM e q JOIN e c ON q.pos = c.pos
-                WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
-                GROUP BY q.vec_id, c.vec_id))
+                       {_QC_COS} AS cos
+                FROM vn q JOIN vn c
+                  ON q.vec_id < 5 AND q.vec_id <> c.vec_id))
             WHERE rank <= 10""",
-        "sim_lsh_buckets": _EMB_CTE + f""", proj AS (
-              SELECT vec_id, {_LSH_PROJ} FROM e GROUP BY vec_id
-            )
-            SELECT vec_id, CAST({_LSH_BUCKET} AS INT) AS bucket
-            FROM proj""",
-        "sim_lsh_topk": _EMB_CTE + f""", proj AS (
-              SELECT vec_id, {_LSH_PROJ} FROM e GROUP BY vec_id
-            ), bk AS (
-              SELECT vec_id, CAST({_LSH_BUCKET} AS INT) AS bucket
-              FROM proj
-            ), eb AS (
-              SELECT e.vec_id, e.pos, e.val, bk.bucket
-              FROM e JOIN bk ON e.vec_id = bk.vec_id
+        "sim_lsh_buckets": _EMB_LSH_CTE + """
+            SELECT vec_id, band_idx, bucket FROM bands""",
+        "sim_lsh_topk": _EMB_LSH_CTE + f""", qc AS (
+              SELECT DISTINCT p.vec_id AS q_id, s.vec_id
+              FROM probes p JOIN bands s
+                ON p.band_idx = s.band_idx AND p.bucket = s.bucket
+              WHERE p.vec_id < 5 AND p.vec_id <> s.vec_id
             )
             SELECT q_id, vec_id, cos, rank FROM (
               SELECT q_id, vec_id, cos,
                      CAST(row_number() OVER (PARTITION BY q_id
                           ORDER BY cos DESC, vec_id) AS INT) AS rank
               FROM (
-                SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
-                       floor((sum(q.val * c.val)
-                             / (sqrt(sum(q.val * q.val))
-                                * sqrt(sum(c.val * c.val)))) * 10000 + 0.5) / 10000 AS cos
-                FROM eb q JOIN eb c
-                  ON q.pos = c.pos AND q.bucket = c.bucket
-                WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
-                GROUP BY q.vec_id, c.vec_id))
+                SELECT qc.q_id, qc.vec_id, {_QC_COS} AS cos
+                FROM qc
+                JOIN vn q ON qc.q_id = q.vec_id
+                JOIN vn c ON qc.vec_id = c.vec_id))
             WHERE rank <= 10""",
         "text_lang_id": f"""
             SELECT doc_id,

@@ -44,3 +44,67 @@ def hex_digit_expr(char_sql: str) -> str:
     return f"(instr('{HEX}', {char_sql}) - 1)"
 
 
+# --- array-native vector helpers -------------------------------------
+#
+# Cosine / random-projection math on array columns, NOT exploded
+# (vec_id, pos, val) rows: a 10^9-vector pair join must move ONE row
+# per pair, not `dim` rows.  Bit-exact DuckDB parity holds because both
+# sides accumulate float64 sequentially in component order:
+#   Spark  aggregate(zip_with(a, b, (x,y)->x*y), 0D, (acc,x)->acc+x)
+#   DuckDB list_dot_product(CAST(a AS DOUBLE[]), CAST(b AS DOUBLE[]))
+# (verified element-for-element on the testdata embeddings).
+
+
+def as_double_array(col) -> Column:
+    """array<float> -> array<double> (exact widening, both engines)."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def array_dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold float64 dot product of two array<double>
+    columns — whole-stage codegen (higher-order functions, no Python),
+    bit-identical to DuckDB list_dot_product."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def plane_weight(p: int, i: int) -> float:
+    """Hyperplane weight for (plane p, component i): first md5 hex digit
+    of '{p}:{i}' minus 7.5 (symmetric around 0).  Computed driver-side
+    with hashlib (== engine md5) so plans embed literal weight arrays
+    instead of hashing per row."""
+    import hashlib
+
+    return float(int(hashlib.md5(f"{p}:{i}".encode())
+                     .hexdigest()[0], 16)) - 7.5
+
+
+def plane_weights(p: int, dim: int) -> list[float]:
+    return [plane_weight(p, i) for i in range(dim)]
+
+
+def weight_array(p: int, dim: int) -> Column:
+    """Literal array<double> of hyperplane p's weights.  A single
+    ArrayType Literal node (F.lit of the list), NOT 64 CreateArray
+    children — per-column literals make Catalyst analysis/codegen the
+    dominant cost of small-scale runs."""
+    return F.lit(plane_weights(p, dim))
+
+
+def weights_matrix(n_planes: int, dim: int) -> Column:
+    """All hyperplanes as one array<array<double>> literal — pair with
+    transform() to compute every projection in a single expression."""
+    return F.lit([plane_weights(p, dim) for p in range(n_planes)])
+
+
+def weight_array_sql(p: int, dim: int) -> str:
+    """DuckDB literal for the same weights."""
+    return "[" + ",".join(repr(w) for w in plane_weights(p, dim)) \
+        + "]::DOUBLE[]"
+
+
+def dot_sql(a: str, b: str) -> str:
+    """DuckDB fragment matching array_dot bit-for-bit."""
+    return f"list_dot_product({a}, {b})"
+
+

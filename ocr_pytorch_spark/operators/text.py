@@ -80,17 +80,20 @@ def token_count(documents: DataFrame) -> DataFrame:
 
 
 def word_ngrams(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, gram) rows of word n-grams via posexplode + self-joins on
-    consecutive positions (portable to unnest+ordinality SQL)."""
-    w = word_rows(documents)
-    out = w.select("doc_id", F.col("pos").alias("p0"),
-                   F.col("word").alias("g0"))
-    for i in range(1, n):
-        wi = w.select("doc_id", (F.col("pos") - i).alias("p0"),
-                      F.col("word").alias(f"g{i}"))
-        out = out.join(wi, ["doc_id", "p0"])
-    gram = F.concat_ws(" ", *[F.col(f"g{i}") for i in range(n)])
-    return out.select("doc_id", gram.alias("gram"))
+    """(doc_id, gram) rows of word n-grams, built map-side from the
+    token array (transform-with-index + slice + explode) — zero
+    shuffles; the old posexplode + positional self-joins moved the
+    whole token stream through two exchanges.  Docs with fewer than n
+    words yield no grams (same as the join formulation; the DuckDB
+    oracle keeps the unnest+ordinality self-join)."""
+    from ocr_pytorch_spark.functions import words
+
+    ws = words(F.col("text"))
+    grams = F.transform(
+        ws, lambda x, i: F.concat_ws(" ", F.slice(ws, i + 1, n)))
+    grams = F.slice(grams, 1,
+                    F.greatest(F.size(ws) - n + 1, F.lit(0)))
+    return documents.select("doc_id", F.explode(grams).alias("gram"))
 
 
 def fingerprint(documents: DataFrame, n: int = 3) -> DataFrame:

@@ -39,12 +39,15 @@ METRICS_SCHEMA = ("stage string, bucket int, n_rows long, n_spans long, "
 
 
 def _read_optional(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    if os.path.exists(path):
-        try:
-            return spark.read.schema(schema).parquet(path)
-        except Exception:
-            pass
-    return spark.createDataFrame([], schema)
+    # Probe by attempting the read, not os.path.exists: dst may live on
+    # HDFS/S3 where a driver-local stat is always false and would make
+    # resume silently reprocess everything.
+    try:
+        df = spark.read.schema(schema).parquet(path)
+        df.head(1)
+        return df
+    except Exception:
+        return spark.createDataFrame([], schema)
 
 
 def committed_buckets(spark: SparkSession, dst: str) -> set[int]:
@@ -82,7 +85,13 @@ def run_extract_job(spark: SparkSession, documents: DataFrame,
     out_b = out.withColumn(
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).cast("int"))
     data_dir = os.path.join(dst, "data")
-    (out_b.write.mode("overwrite").partitionBy("bucket").parquet(data_dir))
+    # partitionOverwriteMode is pinned on the WRITER: under a
+    # harness-owned session left at Spark's default ("static"), a resume
+    # would otherwise truncate data/ wholesale and delete committed
+    # buckets that _lineage still marks ok.
+    (out_b.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("bucket").parquet(data_dir))
 
     # commit: lineage + metrics appended only after the data write
     wall_ms = int((time.time() - t0) * 1000)

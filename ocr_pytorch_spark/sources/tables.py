@@ -50,4 +50,7 @@ def write_partitioned(df: DataFrame, dst: str, partition_cols: list[str],
         else:
             writer.append()
         return
-    (df.write.mode(mode).partitionBy(*partition_cols).parquet(dst))
+    # pin dynamic overwrite on the writer — session conf may be static
+    (df.write.mode(mode)
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(*partition_cols).parquet(dst))

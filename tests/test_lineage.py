@@ -100,3 +100,36 @@ def test_metrics_table_written(spark, fixture_tables, bundled_weights,
     rows = m.collect()
     assert rows and all(r["stage"] == "extract" for r in rows)
     assert sum(r["n_rows"] for r in rows) == N_DOCS
+
+
+def test_resume_preserves_committed_under_static_overwrite(
+        spark, fixture_tables, bundled_weights, fixture_cfg,
+        tmp_path_factory):
+    """ADVICE r1: resume must not rely on the session-level
+    partitionOverwriteMode — under Spark's default 'static' a resume
+    would truncate data/ and silently delete committed buckets."""
+    docs_df, imgs_df = fixture_tables
+    dst = str(tmp_path_factory.mktemp("staticmode"))
+
+    docs_b = docs_df.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(BUCKETS)).cast("int"))
+    half = docs_b.where(F.col("bucket") < BUCKETS // 2).drop("bucket")
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        L.run_extract_job(spark, half, imgs_df, dst, fixture_cfg,
+                          buckets=BUCKETS)
+        committed = L.committed_buckets(spark, dst)
+        assert committed
+        before = {r[0] for r in _table_rows(spark, dst)}
+
+        L.run_extract_job(spark, docs_df, imgs_df, dst, fixture_cfg,
+                          buckets=BUCKETS)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    after = {r[0] for r in _table_rows(spark, dst)}
+    # every committed doc survived the resume, full input now present
+    assert before <= after
+    assert len(after) == N_DOCS

@@ -48,3 +48,25 @@ def test_stream_extract_matches_batch(spark, bundled_weights, fixture_cfg,
     want = {r["doc_id"]: _span_tuples(r["spans"])
             for r in want_df.collect()}
     assert got == want
+
+
+def test_replayed_micro_batch_does_not_duplicate(spark, bundled_weights,
+                                                 fixture_cfg,
+                                                 tmp_path_factory):
+    """foreachBatch is at-least-once: writing the SAME batch_id twice
+    (a crash/replay) must leave exactly one copy of its rows."""
+    from ocr_pytorch_spark.streaming import write_batch
+
+    src = tmp_path_factory.mktemp("replay_src")
+    doc_path, img_path = datagen.write_fixture(str(src), 4)
+    docs = spark.read.parquet(doc_path)
+    imgs = spark.read.parquet(img_path)
+    out = EX.extract(docs, imgs, EX.file_weights_spec(), fixture_cfg)
+
+    dst = str(tmp_path_factory.mktemp("replay_dst") / "out")
+    write_batch(out, 0, dst)
+    once = sorted(r["doc_id"] for r in spark.read.parquet(dst).collect())
+    write_batch(out, 0, dst)  # replay
+    twice = sorted(r["doc_id"] for r in spark.read.parquet(dst).collect())
+    assert once == twice
+    assert len(once) == len(set(once)) == 4
