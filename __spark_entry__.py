@@ -124,6 +124,31 @@ def entry(spark: SparkSession) -> DataFrame:
     return _ocr_extract(spark, SF_DEFAULT)
 
 
+def _png_ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-image-file ingestion: a PNG corpus (fixture images encoded
+    across all five PNG filter types + the checked-in reference
+    test_images/t1.png) is decoded by the pure-NumPy codec and OCR'd —
+    the reference's own demo input path (demo.py:11 cv2.imread of
+    test_images/*.png), end to end in Spark.  Rows-only (model forward
+    is not SQL-expressible)."""
+    _ship_package(spark)
+    from ocr_pytorch_spark.config import PipelineConfig
+    from ocr_pytorch_spark.models import weights as W
+    from ocr_pytorch_spark.operators.extract import (file_weights_spec,
+                                                     ocr_transcripts)
+    from ocr_pytorch_spark.sources import png as PNG
+
+    refs = [f"img-td-{i:04d}" for i in range(8)]
+    corpus = PNG.encode_fixture_pngs(spark, refs)
+    real = PNG.read_png_dir(
+        spark, os.path.join(REPO_ROOT, "tests", "assets"))
+    images = PNG.decode_png_images(corpus.unionByName(real))
+    ok = images.where(F.col("height") > 0)
+    W.load_bundled()
+    return ocr_transcripts(ok, ok.select("media_ref"),
+                           file_weights_spec(), PipelineConfig.fixture())
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ship_package(spark)
     from ocr_pytorch_spark.operators.multimodal import image_features
@@ -388,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # non-SQL-expressible (NumPy model forwards) -> rows-only checks
         "ocr_extract": _ocr_extract,
         "multimodal_features": _multimodal_features,
+        "png_ocr_extract": _png_ocr_extract,
     }
 
 

@@ -36,8 +36,14 @@ def decode_raw_rgb(data: bytes, h: int, w: int, c: int):
 
 
 def decode_codec(data: bytes, codec: str):
-    """JPEG/PNG/audio decode — STUB: no codec libraries in this
-    environment; wire PIL/soundfile here on a real cluster."""
+    """Codec decode.  PNG is REAL (pure-NumPy/zlib codec,
+    kernels/png.py — covers the reference's own demo inputs,
+    test_images/*.png).  JPEG/audio remain stubbed: those require
+    PIL/soundfile, not available in this environment."""
+    if codec.lower() == "png":
+        from ocr_pytorch_spark.kernels.png import decode_png
+
+        return decode_png(data)
     raise NotImplementedError(
         f"codec decode ({codec}) requires PIL/ffmpeg, not available here")
 
