@@ -22,7 +22,8 @@ from ocr_pytorch_spark.kernels import (
     resize_lanczos,
 )
 from ocr_pytorch_spark.kernels.nn import relu_
-from ocr_pytorch_spark.models.alphabet import ctc_collapse
+from ocr_pytorch_spark.models.alphabet import (alphabet_for_nclass,
+                                               ctc_collapse)
 
 
 def _bn(x, w, name):
@@ -89,4 +90,8 @@ def recognize(img: np.ndarray, weights: dict) -> str:
         return ""
     preds = crnn_forward(x, weights)  # (T,1,nclass)
     codes = preds.argmax(axis=2)[:, 0]  # argmax over classes, B=1
-    return ctc_collapse(codes).strip()
+    # alphabet keyed off the head size: fixture (96) or full reference
+    # alphabet (5835, recognize/keys.py:21-23) — real checkpoints
+    # decode CJK with zero configuration
+    alphabet = alphabet_for_nclass(preds.shape[2])
+    return ctc_collapse(codes, alphabet).strip()

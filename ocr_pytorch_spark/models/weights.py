@@ -78,7 +78,11 @@ def gen_ctpn_weights(seed: int = SEED) -> dict[str, np.ndarray]:
     return w
 
 
-def gen_crnn_weights(seed: int = SEED) -> dict[str, np.ndarray]:
+def gen_crnn_weights(seed: int = SEED,
+                     nclass: int = NCLASS) -> dict[str, np.ndarray]:
+    """nclass defaults to the 96-class fixture alphabet; pass
+    alphabet.full_nclass() (5835) for real-checkpoint-shaped heads
+    (crnn_recognizer.py:104)."""
     rng = np.random.default_rng(seed + 1)
     w: dict[str, np.ndarray] = {}
     convs = [("conv1", 1, 64, 3), ("conv2", 64, 128, 3),
@@ -106,9 +110,9 @@ def gen_crnn_weights(seed: int = SEED) -> dict[str, np.ndarray]:
     # final head: large weight / small bias so per-timestep features (not
     # the bias) pick the argmax class -> diverse fixture transcripts
     w["rnn.1.embedding.weight"] = rng.uniform(
-        -8 * k, 8 * k, size=(NCLASS, 512)).astype(np.float32)
+        -8 * k, 8 * k, size=(nclass, 512)).astype(np.float32)
     w["rnn.1.embedding.bias"] = rng.uniform(
-        -0.1 * k, 0.1 * k, size=(NCLASS,)).astype(np.float32)
+        -0.1 * k, 0.1 * k, size=(nclass,)).astype(np.float32)
     return w
 
 

@@ -61,3 +61,45 @@ def test_recognize_deterministic_and_stripped(bundled_weights):
     t2 = recognize(crop, crnn_w)
     assert t1 == t2
     assert t1 == t1.strip()
+
+
+def test_full_alphabet_resource():
+    """The checked-in resource mirrors recognize/alphabet.pkl: 5834
+    sorted unique chars, printable-ASCII prefix, nclass 5835
+    (recognize/keys.py:21-23, crnn_recognizer.py:104)."""
+    from ocr_pytorch_spark.models import alphabet as A
+
+    full = A.full_alphabet()
+    assert len(full) == 5834 and len(set(full)) == 5834
+    assert list(full) == sorted(full)  # keys.py builds it sorted
+    assert full[:95] == A.ALPHABET  # fixture is a strict prefix
+    assert A.full_nclass() == 5835
+    # CJK round-trip through the codec
+    text = "深度学习"
+    codes = A.encode(text, full)
+    assert all(c > 0 for c in codes)
+    assert A.ctc_collapse(
+        [codes[0], 0, codes[1], 0, codes[2], codes[2], 0, codes[3]],
+        full) == text
+    assert A.alphabet_for_nclass(96) == A.ALPHABET
+    assert A.alphabet_for_nclass(5835) == full
+
+
+def test_recognize_with_full_nclass_head(fixture_cfg):
+    """A full-size (nclass 5835) head — the real-checkpoint shape —
+    runs end-to-end and decodes through the full alphabet."""
+    import numpy as np
+
+    from ocr_pytorch_spark.models import alphabet as A
+    from ocr_pytorch_spark.models import weights as W
+    from ocr_pytorch_spark.models.crnn import recognize
+
+    w = W.gen_crnn_weights(nclass=A.full_nclass())
+    assert w["rnn.1.embedding.weight"].shape[0] == 5835
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 96, 3), dtype=np.uint8)
+    out = recognize(img, w)
+    assert isinstance(out, str)
+    assert all(ch in A.full_alphabet() for ch in out)
+    # random 5835-way heads essentially always emit some non-ASCII
+    assert len(out) > 0
