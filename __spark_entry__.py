@@ -197,6 +197,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("event_id", quant4(F.col("value")).alias("score"))
                 .limit(100))
 
+    def ohem_topk_sum(spark, sf):
+        """W5/A5 relational analogue (train_ctpn/ctpn_model.py:56-81):
+        per group, loss = (sum of positive losses + sum of the hardest
+        (300 - n_pos) negative losses) / 300 — OHEM as a window rank +
+        conditional sum, fully distributed (no per-group collect)."""
+        from pyspark.sql import Window
+
+        ev = _t(spark, sf, "events").select(
+            "event_type", "event_id", F.col("value").alias("loss"),
+            (F.col("value") >= 0.9).alias("pos"))
+        ranked = ev.withColumn(
+            "rk", F.when(~F.col("pos"),
+                         F.row_number().over(
+                             Window.partitionBy("event_type", "pos")
+                             .orderBy(F.col("loss").desc(), "event_id")))
+            .otherwise(F.lit(None)))
+        agg = ranked.groupBy("event_type").agg(
+            F.count(F.when(F.col("pos"), 1)).alias("n_pos"),
+            F.sum(F.when(F.col("pos"), F.col("loss"))
+                  .otherwise(F.lit(0.0))).alias("pos_sum"))
+        hard_neg = (ranked.where(~F.col("pos"))
+                    .join(agg.select("event_type", "n_pos"), "event_type")
+                    .where(F.col("rk") <= 300 - F.col("n_pos"))
+                    .groupBy("event_type")
+                    .agg(F.sum("loss").alias("neg_sum")))
+        return (agg.join(hard_neg, "event_type", "left")
+                .select("event_type", "n_pos",
+                        quant4((F.col("pos_sum")
+                                + F.coalesce(F.col("neg_sum"),
+                                             F.lit(0.0))) / 300)
+                        .alias("ohem_loss")))
+
     def window_reading_order(spark, sf):
         from pyspark.sql import Window
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -375,6 +407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_minsize": filter_minsize,
         "project_bbox_decode": project_bbox_decode,
         "topk_score": topk_score,
+        "ohem_topk_sum": ohem_topk_sum,
         "window_reading_order": window_reading_order,
         "dedupe_consecutive_lag": dedupe_consecutive_lag,
         "group_line_stats": group_line_stats,
@@ -645,6 +678,35 @@ def oracle_sql() -> dict[str, str]:
                          / 1000.0) * 10000 + 0.5) / 10000 AS rev_k
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY l_orderkey ORDER BY rev_k DESC, l_orderkey LIMIT 10""",
+        "ohem_topk_sum": """
+            WITH ev AS (
+              SELECT event_type, event_id, value AS loss,
+                     value >= 0.9 AS pos
+              FROM events
+            ), ranked AS (
+              SELECT *,
+                     CASE WHEN NOT pos THEN
+                       row_number() OVER (PARTITION BY event_type, pos
+                                          ORDER BY loss DESC, event_id)
+                     END AS rk
+              FROM ev
+            ), agg AS (
+              SELECT event_type,
+                     count(CASE WHEN pos THEN 1 END) AS n_pos,
+                     sum(CASE WHEN pos THEN loss ELSE 0.0 END)
+                       AS pos_sum
+              FROM ranked GROUP BY event_type
+            ), hard_neg AS (
+              SELECT r.event_type, sum(r.loss) AS neg_sum
+              FROM ranked r JOIN agg a ON r.event_type = a.event_type
+              WHERE NOT r.pos AND r.rk <= 300 - a.n_pos
+              GROUP BY r.event_type
+            )
+            SELECT a.event_type, a.n_pos,
+                   floor(((a.pos_sum + coalesce(h.neg_sum, 0.0)) / 300)
+                         * 10000 + 0.5) / 10000 AS ohem_loss
+            FROM agg a LEFT JOIN hard_neg h
+              ON a.event_type = h.event_type""",
         "dedup_exact": """
             SELECT doc_id, md5(text) AS text_hash,
                    count(*) OVER (PARTITION BY md5(text)) AS dup_count,

@@ -38,9 +38,11 @@ _VGG_LAYERS = (
 )
 
 
-def ctpn_forward(x: np.ndarray, w: dict) -> tuple[np.ndarray, np.ndarray]:
+def ctpn_forward(x: np.ndarray, w: dict, return_features: bool = False):
     """x: (1,3,H,W) float32 mean-subtracted -> (cls, regr) each (1,N,2),
-    N = (H/16)*(W/16)*10 in h,w,k order (detect/ctpn_model.py:101-128)."""
+    N = (H/16)*(W/16)*10 in h,w,k order (detect/ctpn_model.py:101-128).
+    return_features additionally yields the shared lstm_fc feature map
+    (consumed by the v2 side-refinement head, models/variants.py)."""
     for layer in _VGG_LAYERS:
         if layer[0] == "pool":
             x = maxpool2d(x, 2, 2)
@@ -61,6 +63,8 @@ def ctpn_forward(x: np.ndarray, w: dict) -> tuple[np.ndarray, np.ndarray]:
                   w["rpn_regress.conv.bias"])
     cls = cls.transpose(0, 2, 3, 1).reshape(b, h * wd * 10, 2)
     regr = regr.transpose(0, 2, 3, 1).reshape(b, h * wd * 10, 2)
+    if return_features:
+        return cls, regr, x3
     return cls, regr
 
 
