@@ -482,7 +482,9 @@ _SIMHASH_BITS = ", ".join(
 _SIMHASH_VAL = " + ".join(
     f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(16))
 
-_MH = ", ".join(f"min(md5('{i}:' || gram)) AS mh{i}" for i in range(8))
+_MH = ", ".join(
+    f"min(substr(md5('{i // 4}:' || gram), {(i % 4) * 8 + 1}, 8))"
+    f" AS mh{i}" for i in range(8))
 
 _BANDS = ", ".join(
     f"md5(mh{b * 2} || '|' || mh{b * 2 + 1}) AS band{b}" for b in range(4))

@@ -18,11 +18,24 @@ def words(col) -> Column:
     return F.split(col, " ")
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Repartition ONLY under-partitioned inputs up to the cluster's
+    parallelism (small local files arrive as one split and would
+    serialize every map-side stage).  A no-op whenever the scan already
+    has enough splits — at real scale the input has thousands, so this
+    never adds a shuffle there."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def word_rows(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """One row per (id, pos, word) — posexplode; DuckDB analogue is
     unnest + generate_subscripts."""
-    return df.select(
+    return fan_out(df).select(
         id_col, F.posexplode(words(F.col(text_col))).alias("pos", "word"))
 
 

@@ -291,9 +291,11 @@ def get_text_lines(proposals: np.ndarray, scores: np.ndarray,
 
 
 def get_det_boxes(image: np.ndarray, weights: dict,
-                  cfg: C.PipelineConfig) -> tuple[np.ndarray, np.ndarray]:
+                  cfg: C.PipelineConfig, return_anchors: bool = False):
     """Full detection for one (H,W,3) uint8 image -> ((M,9) quads,
-    resized image). Mirrors detect/ctpn_predict.py:38-111 minus drawing."""
+    resized image). Mirrors detect/ctpn_predict.py:38-111 minus drawing;
+    return_anchors also yields the kept proposal anchors the framed
+    sink (K2, kernels/draw.py) composites."""
     h0, w0 = image.shape[:2]
     r = cfg.detect_height / float(h0)
     image = resize_area(image, cfg.detect_height, int(w0 * r))
@@ -314,7 +316,10 @@ def get_det_boxes(image: np.ndarray, weights: dict,
     select_anchor = select_anchor[keep_index]
     select_score = select_score[keep_index].reshape(-1, 1)
     if select_anchor.shape[0] == 0:
-        return np.zeros((0, 9), dtype=np.float64), image
+        empty = np.zeros((0, 9), dtype=np.float64)
+        if return_anchors:
+            return empty, image, select_anchor
+        return empty, image
     nmsbox = np.hstack([select_anchor.astype(np.float64), select_score])
     keep = nms(nmsbox, cfg.nms_thresh)
     select_anchor = select_anchor[keep]
@@ -328,4 +333,6 @@ def get_det_boxes(image: np.ndarray, weights: dict,
             text[idx][2] = min(text[idx][2] + C.EXPAND_X, w - 1)
             text[idx][4] = max(text[idx][4] - C.EXPAND_X, 0)
             text[idx][6] = min(text[idx][6] + C.EXPAND_X, w - 1)
+    if return_anchors:
+        return text, image, select_anchor
     return text, image

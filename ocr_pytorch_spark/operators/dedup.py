@@ -56,12 +56,16 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 def minhash_signatures(documents: DataFrame, k: int = 8,
                        shingle_n: int = 3) -> DataFrame:
-    """k-component MinHash over word shingles: component i is
-    MIN(md5('<i>:' || shingle)) — string-min over a cryptographic hash is
-    a uniform minwise hash and is engine-portable.
-    Output: doc_id, mh0..mh{k-1}."""
+    """k-component MinHash over word shingles: component i is the MIN
+    over grams of an 8-hex-char slice of md5('<i//4>:' || gram) — the
+    classic one-hash-k-pieces minwise family (each 32-bit slice is an
+    independent uniform hash, so string-min per slice is a valid
+    minwise sample) at 2 md5 calls per gram instead of k.
+    Engine-portable; output: doc_id, mh0..mh{k-1}."""
     grams = word_ngrams(documents, shingle_n)
-    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("gram"))))
+    halves = [F.md5(F.concat(F.lit(f"{h}:"), F.col("gram")))
+              for h in range((k + 3) // 4)]
+    aggs = [F.min(F.substring(halves[i // 4], (i % 4) * 8 + 1, 8))
             .alias(f"mh{i}") for i in range(k)]
     return grams.groupBy("doc_id").agg(*aggs)
 
@@ -173,6 +177,11 @@ def embedding_neardup_pairs(embeddings: DataFrame,
     dim = dim or S.DIM
     keys = S.cap_buckets(
         S.lsh_band_keys(embeddings, n_planes, bands, dim), bucket_cap)
+    # materialize the shared projection lineage through one exchange on
+    # the join key: both consumers (probe explode + join right side)
+    # reuse it (ReusedExchange), so the n_planes dot products run once —
+    # and it is the partitioning the band join needs anyway
+    keys = keys.repartition("band_idx", "bucket")
     probe = S.probe_keys(keys, n_planes, bands)
     p = probe.select(F.col("vec_id").alias("pv"), "band_idx", "bucket")
     cand = (p.join(keys, ["band_idx", "bucket"])

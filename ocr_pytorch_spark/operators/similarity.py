@@ -158,6 +158,9 @@ def lsh_cosine_topk(embeddings: DataFrame, n_queries: int = 5,
     Output: q_id, vec_id, cos, rank (rank within candidate set)."""
     keys = cap_buckets(lsh_band_keys(embeddings, n_planes, bands, dim),
                        bucket_cap)
+    # one exchange on the join key -> the projection lineage runs once
+    # and both the query-probe side and the join reuse it
+    keys = keys.repartition("band_idx", "bucket")
     qprobe = (probe_keys(keys.where(F.col("vec_id") < n_queries),
                          n_planes, bands)
               .withColumnRenamed("vec_id", "q_id"))

@@ -86,14 +86,15 @@ def word_ngrams(documents: DataFrame, n: int = 3) -> DataFrame:
     whole token stream through two exchanges.  Docs with fewer than n
     words yield no grams (same as the join formulation; the DuckDB
     oracle keeps the unnest+ordinality self-join)."""
-    from ocr_pytorch_spark.functions import words
+    from ocr_pytorch_spark.functions import fan_out, words
 
     ws = words(F.col("text"))
     grams = F.transform(
         ws, lambda x, i: F.concat_ws(" ", F.slice(ws, i + 1, n)))
     grams = F.slice(grams, 1,
                     F.greatest(F.size(ws) - n + 1, F.lit(0)))
-    return documents.select("doc_id", F.explode(grams).alias("gram"))
+    return fan_out(documents).select(
+        "doc_id", F.explode(grams).alias("gram"))
 
 
 def fingerprint(documents: DataFrame, n: int = 3) -> DataFrame:
