@@ -197,6 +197,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("event_id", quant4(F.col("value")).alias("score"))
                 .limit(100))
 
+    def filename_munge(spark, sf):
+        """C12 (demo.py:26-27): derive sink file names from source
+        paths — basename for the framed image, stem + '.txt' for the
+        transcript file.  Pure string expressions, engine-portable."""
+        docs = _t(spark, sf, "documents")
+        path = F.concat(F.lit("/data/in/imgs/doc-"),
+                        F.col("doc_id").cast("string"), F.lit(".png"))
+        base = F.element_at(F.split(path, "/"), -1)
+        stem = F.element_at(F.split(base, "\\."), 1)
+        return docs.select(
+            "doc_id",
+            base.alias("output_file"),
+            F.concat(stem, F.lit(".txt")).alias("txt_file"))
+
     def ohem_topk_sum(spark, sf):
         """W5/A5 relational analogue (train_ctpn/ctpn_model.py:56-81):
         per group, loss = (sum of positive losses + sum of the hardest
@@ -428,8 +442,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": lambda s, sf: D.simhash(_t(s, sf, "documents")),
         "dedup_ngram_jaccard": lambda s, sf: D.ngram_jaccard_pairs(
             _t(s, sf, "documents")),
+        "dedup_components": lambda s, sf: D.dup_components(
+            _t(s, sf, "documents")),
         "dedup_embedding_cosine": lambda s, sf: D.embedding_neardup_pairs(
             _t(s, sf, "embeddings")),
+        "filename_munge": filename_munge,
         "sim_topk_cosine": lambda s, sf: S.cosine_topk(
             _t(s, sf, "embeddings")),
         "sim_lsh_buckets": lambda s, sf: S.lsh_band_keys(
@@ -771,6 +788,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.doc_a
             JOIN sizes sb ON sb.doc_id = i.doc_b
             WHERE floor((i.i / (sa.n + sb.n - i.i)) * 10000 + 0.5) / 10000 >= 0.5""",
+        "dedup_components": _GRAMS_CTE.replace(
+            "WITH w AS", "WITH RECURSIVE w AS", 1) + f""", sig AS (
+              SELECT doc_id, {_MH} FROM grams GROUP BY doc_id
+            ), banded AS (
+              SELECT doc_id, {_BANDS} FROM sig
+            ), stacked AS (
+              SELECT doc_id, 0 AS band_idx, band0 AS key FROM banded
+              UNION ALL SELECT doc_id, 1, band1 FROM banded
+              UNION ALL SELECT doc_id, 2, band2 FROM banded
+              UNION ALL SELECT doc_id, 3, band3 FROM banded
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM stacked a JOIN stacked b
+                ON a.band_idx = b.band_idx AND a.key = b.key
+               AND a.doc_id < b.doc_id
+            ), sym AS (
+              SELECT doc_a AS a, doc_b AS b FROM cand
+              UNION SELECT doc_b, doc_a FROM cand
+            ), reach(doc, lab) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.doc
+            )
+            SELECT doc AS doc_id, min(lab) AS component,
+                   (doc = min(lab)) AS is_keeper
+            FROM reach GROUP BY doc""",
+        "filename_munge": """
+            SELECT doc_id,
+                   string_split('/data/in/imgs/doc-'
+                                || CAST(doc_id AS VARCHAR)
+                                || '.png', '/')[-1] AS output_file,
+                   string_split(string_split('/data/in/imgs/doc-'
+                                || CAST(doc_id AS VARCHAR)
+                                || '.png', '/')[-1], '.')[1]
+                     || '.txt' AS txt_file
+            FROM documents""",
         "dedup_embedding_cosine": _EMB_LSH_CTE + f""", cand AS (
               SELECT DISTINCT least(p.vec_id, s.vec_id) AS vec_a,
                               greatest(p.vec_id, s.vec_id) AS vec_b

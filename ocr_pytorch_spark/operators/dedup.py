@@ -206,6 +206,54 @@ def embedding_neardup_pairs(embeddings: DataFrame,
             .where(F.col("cos") >= threshold))
 
 
+def dup_components(documents: DataFrame, edges: DataFrame | None = None,
+                   max_iter: int = 25,
+                   bucket_cap: int | None = None) -> DataFrame:
+    """Transitive duplicate groups: connected components over the
+    near-dup pair graph, so keeper selection works across chains
+    (a~b, b~c => one group even when a!~c).  Component id = min doc_id
+    reachable.  Output: doc_id, component, is_keeper.
+
+    Distributed BSP min-label propagation: each round joins the
+    (symmetrized) edge list with current labels and takes the per-node
+    min — the shuffle carries only (doc_id, long) rows;
+    ``localCheckpoint`` truncates the per-round lineage.  Rounds needed
+    = graph diameter (near-dup clusters are shallow; the 25 cap is a
+    runaway guard).  At 10^12 nodes you would switch to the
+    large-star/small-star variant (fewer rounds, same per-round shape);
+    the driver-side loop itself is how Spark iterative algorithms work
+    (GraphX/GraphFrames do the same).
+
+    The DuckDB oracle is a recursive CTE over the same edges — fully
+    SQL-expressible, hash-checked."""
+    if edges is None:
+        edges = (minhash_lsh_pairs(documents, bucket_cap=bucket_cap)
+                 .select("doc_a", "doc_b"))
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b")))
+    labels = documents.select(
+        "doc_id", F.col("doc_id").alias("component")).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (sym.join(labels,
+                          sym["doc_a"] == labels["doc_id"])
+                 .select(F.col("doc_b").alias("doc_id"), "component"))
+        new = (labels.select("doc_id", "component").union(neigh)
+               .groupBy("doc_id")
+               .agg(F.min("component").alias("component"))
+               .localCheckpoint())
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .where(F.col("n.component") < F.col("o.component"))
+                   .count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", "component",
+        (F.col("doc_id") == F.col("component")).alias("is_keeper"))
+
+
 def word_sets(documents: DataFrame) -> DataFrame:
     """(doc_id, ws: array<string> distinct words, n: long) — the
     verify-side dimension table for set-similarity checks."""

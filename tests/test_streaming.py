@@ -70,3 +70,69 @@ def test_replayed_micro_batch_does_not_duplicate(spark, bundled_weights,
     twice = sorted(r["doc_id"] for r in spark.read.parquet(dst).collect())
     assert once == twice
     assert len(once) == len(set(once)) == 4
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path_factory):
+    """Watermarked tumbling-window agg over a file-source stream must
+    equal the same window() aggregation run in batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ocr_pytorch_spark.streaming.windows import windowed_event_counts
+    from tests.conftest import SF_SMALL
+
+    src = os.path.join(SF_SMALL, "events.parquet")
+    batch = spark.read.parquet(src)
+    want = {(r["w_start"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in windowed_event_counts(batch).collect()}
+
+    stream = (spark.readStream.schema(batch.schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(SF_SMALL))
+    ckpt = str(tmp_path_factory.mktemp("win_ckpt"))
+    q = (windowed_event_counts(stream).writeStream
+         .format("memory").queryName("win_counts")
+         .outputMode("complete")
+         .option("checkpointLocation", ckpt).start())
+    q.processAllAvailable()
+    got = {(r["w_start"], r["event_type"]): (r["n"], r["sum_value"])
+           for r in spark.sql("select * from win_counts").collect()}
+    q.stop()
+    assert got == want
+
+
+def test_running_user_totals_stateful(spark, tmp_path_factory):
+    """applyInPandasWithState running totals: after draining the
+    stream, per-user totals equal the batch groupBy."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ocr_pytorch_spark.streaming.windows import running_user_totals
+    from tests.conftest import SF_SMALL
+
+    batch = spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+    want = {r["user_id"]: (r["n"], round(r["s"], 6))
+            for r in batch.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .collect()}
+
+    stream = (spark.readStream.schema(batch.schema)
+              .option("pathGlobFilter", "events.parquet")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(SF_SMALL))
+    ckpt = str(tmp_path_factory.mktemp("state_ckpt"))
+    q = (running_user_totals(stream).writeStream
+         .format("memory").queryName("user_totals")
+         .outputMode("update")
+         .option("checkpointLocation", ckpt).start())
+    q.processAllAvailable()
+    rows = spark.sql(
+        "select * from user_totals").collect()
+    q.stop()
+    # update mode may emit per batch; the LAST row per user is final
+    got = {}
+    for r in rows:  # memory sink appends update rows in batch order
+        got[r["user_id"]] = (r["n_events"], round(r["sum_value"], 6))
+    assert got == want
