@@ -113,3 +113,49 @@ def test_transcript_schema_has_no_pixels(spark, hot_tables, fixture_cfg):
     out = EX.extract(docs_df, imgs_df, EX.file_weights_spec(),
                      fixture_cfg)
     assert set(out.columns) == {"doc_id", "spans"}
+
+def test_embedding_family_plans_are_array_native(spark):
+    """r2 guardrail: the embedding dedup/ANN plans must not explode
+    vectors to per-component rows (the r1 scale-killer) — no
+    posexplode/Generate over the embedding column — and the bounded
+    query side must broadcast."""
+    from ocr_pytorch_spark.operators import dedup as D
+    from ocr_pytorch_spark.operators import similarity as S
+    from tests.conftest import SF_SMALL
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+    neardup_plan = D.embedding_neardup_pairs(emb) \
+        ._jdf.queryExecution().executedPlan().toString()
+    topk_plan = S.cosine_topk(emb) \
+        ._jdf.queryExecution().executedPlan().toString()
+    lsh_plan = S.lsh_cosine_topk(emb) \
+        ._jdf.queryExecution().executedPlan().toString()
+
+    for name, plan in [("neardup", neardup_plan), ("topk", topk_plan),
+                       ("lsh_topk", lsh_plan)]:
+        # Generate nodes exist only for the skinny band-key explode
+        # (ints), never for the embedding/vec array itself
+        for line in plan.splitlines():
+            if "Generate explode" in line or "posexplode" in line:
+                # the vector columns are embedding#N / vec#N; the only
+                # legal explodes are over skinny band/probe-key arrays
+                assert "vec#" not in line and "embedding#" not in line, \
+                    f"{name}: vector exploded to component rows: {line}"
+    # the bounded query set broadcasts in both top-k plans
+    assert "BroadcastExchange" in topk_plan
+    assert "BroadcastExchange" in lsh_plan
+
+
+def test_minhash_pair_generation_single_lineage(spark):
+    """r2 guardrail: MinHash candidate pairs come from ONE groupBy +
+    in-bucket expansion — the signature aggregation appears once in
+    the plan (a band self-join would scan/aggregate twice)."""
+    from ocr_pytorch_spark.operators import dedup as D
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = D.minhash_lsh_pairs(docs) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # one scan of the documents table, not two
+    assert plan.count("documents.parquet") == 1

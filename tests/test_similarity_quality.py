@@ -33,3 +33,39 @@ def test_lsh_recall_against_exact(spark):
         key = (r["q_id"], r["vec_id"])
         if key in exact_cos:
             assert abs(r["cos"] - exact_cos[key]) < 1e-9
+
+
+def test_neardup_pair_recall_and_precision(spark):
+    """Banded multi-probe LSH pair recall vs the exact all-pairs
+    truth at the demo threshold, plus exactness of every surfaced
+    cosine.  At real near-dup thresholds (cos>=0.9) the analytic
+    recall of 4 bands x 8 planes with Hamming<=1 probing is >=0.999;
+    this data has no true near-dups (max cos ~0.51), so the measured
+    number documents the hostile-threshold floor instead."""
+    import numpy as np
+
+    from ocr_pytorch_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    rows = emb.orderBy("vec_id").collect()
+    E = np.array([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in rows])
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    C = En @ En.T
+    iu = np.triu_indices(len(E), 1)
+    # the operator thresholds the 4dp-quantized cosine — mirror that
+    q4 = np.floor(C * 10000 + 0.5) / 10000
+    truth = {(int(a), int(b)): C[a, b]
+             for a, b in zip(*iu) if q4[a, b] >= 0.35}
+
+    got = {(r["vec_a"], r["vec_b"]): r["cos"]
+           for r in embedding_neardup_pairs(emb).collect()}
+
+    # every surfaced pair is a true pair with the exact cosine (4dp)
+    for (a, b), cos in got.items():
+        assert (a, b) in truth, f"false positive {(a, b)}"
+        assert abs(cos - truth[(a, b)]) < 1.5e-4
+    # recall floor at the hostile threshold (analytically ~0.4 for
+    # these params; clearly better than the ~2% random-bucket rate)
+    recall = len(got) / max(1, len(truth))
+    assert recall >= 0.25, f"near-dup recall collapsed: {recall:.2f}"
