@@ -453,6 +453,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "embeddings")),
         "sim_lsh_topk": lambda s, sf: S.lsh_cosine_topk(
             _t(s, sf, "embeddings")),
+        "sim_ivf_cells": lambda s, sf: S.ivf_cells(
+            _t(s, sf, "embeddings")),
+        "sim_ivf_topk": lambda s, sf: S.ivf_cosine_topk(
+            _t(s, sf, "embeddings")),
         "text_lang_id": lambda s, sf: T.lang_id(_t(s, sf, "documents")),
         "text_quality": lambda s, sf: T.quality_score(
             _t(s, sf, "documents")),
@@ -850,6 +854,54 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 10""",
         "sim_lsh_buckets": _EMB_LSH_CTE + """
             SELECT vec_id, band_idx, bucket FROM bands""",
+        "sim_ivf_cells": _VEC_CTE + f""", cents AS (
+              SELECT vec_id AS cell, vec AS cv, nrm AS cn
+              FROM vn WHERE vec_id < 16
+            )
+            SELECT vec_id, cell FROM (
+              SELECT v.vec_id, c.cell,
+                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       {quant4_sql("list_dot_product(v.vec, c.cv)"
+                                   " / (v.nrm * c.cn)")} DESC, c.cell)
+                       AS rk
+              FROM vn v CROSS JOIN cents c)
+            WHERE rk = 1""",
+        "sim_ivf_topk": _VEC_CTE + f""", cents AS (
+              SELECT vec_id AS cell, vec AS cv, nrm AS cn
+              FROM vn WHERE vec_id < 16
+            ), assign AS (
+              SELECT vec_id, cell FROM (
+                SELECT v.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                         {quant4_sql("list_dot_product(v.vec, c.cv)"
+                                     " / (v.nrm * c.cn)")} DESC, c.cell)
+                         AS rk
+                FROM vn v CROSS JOIN cents c)
+              WHERE rk = 1
+            ), probed AS (
+              SELECT q_id, cell FROM (
+                SELECT v.vec_id AS q_id, c.cell,
+                       row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                         {quant4_sql("list_dot_product(v.vec, c.cv)"
+                                     " / (v.nrm * c.cn)")} DESC, c.cell)
+                         AS rk
+                FROM vn v CROSS JOIN cents c WHERE v.vec_id < 5)
+              WHERE rk <= 2
+            ), cand AS (
+              SELECT p.q_id, a.vec_id
+              FROM assign a JOIN probed p ON a.cell = p.cell
+              WHERE p.q_id <> a.vec_id
+            )
+            SELECT q_id, vec_id, cos, rank FROM (
+              SELECT q_id, vec_id, cos,
+                     CAST(row_number() OVER (PARTITION BY q_id
+                          ORDER BY cos DESC, vec_id) AS INT) AS rank
+              FROM (
+                SELECT cd.q_id, cd.vec_id, {_QC_COS} AS cos
+                FROM cand cd
+                JOIN vn q ON cd.q_id = q.vec_id
+                JOIN vn c ON cd.vec_id = c.vec_id))
+            WHERE rank <= 10""",
         "sim_lsh_topk": _EMB_LSH_CTE + f""", qc AS (
               SELECT DISTINCT p.vec_id AS q_id, s.vec_id
               FROM probes p JOIN bands s

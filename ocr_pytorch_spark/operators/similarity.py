@@ -149,6 +149,65 @@ def bucket_sizes(keys: DataFrame) -> DataFrame:
         F.count("*").alias("n"))
 
 
+def ivf_cells(embeddings: DataFrame,
+              n_centroids: int = 16) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its
+    nearest-by-cosine centroid.  Centroids here are a deterministic
+    sample (vec_id < n_centroids) — a real deployment trains k-means
+    offline and broadcasts the trained codebook; the assignment plan
+    (broadcast the k centroids against one linear scan, array-native
+    cosine, argmax per row) is identical either way and is the part
+    that must scale.  Output: vec_id, cell."""
+    vt = vectors_with_norm(embeddings)
+    cents = (vt.where(F.col("vec_id") < n_centroids)
+             .select(F.col("vec_id").alias("cell"),
+                     F.col("vec").alias("cv"),
+                     F.col("nrm").alias("cn")))
+    cos = (vt.crossJoin(F.broadcast(cents))
+           .select("vec_id", "cell",
+                   _pair_cos(F.col("vec"), F.col("cv"),
+                             F.col("nrm"), F.col("cn")).alias("cos")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(),
+                                             "cell")
+    return (cos.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1).select("vec_id", "cell"))
+
+
+def ivf_cosine_topk(embeddings: DataFrame, n_queries: int = 5,
+                    k: int = 10, n_centroids: int = 16,
+                    n_probe: int = 2) -> DataFrame:
+    """IVF ANN top-k: each query probes its n_probe nearest cells and
+    ranks exact cosine within them — the candidate set is
+    ~n_probe/n_centroids of the corpus, cut by the cell equi-join (the
+    standard IVF trade; raise n_centroids with corpus size so cells
+    stay bounded).  Output: q_id, vec_id, cos, rank."""
+    vt = vectors_with_norm(embeddings)
+    cells = ivf_cells(embeddings, n_centroids)
+    cents = (vt.where(F.col("vec_id") < n_centroids)
+             .select(F.col("vec_id").alias("cell"),
+                     F.col("vec").alias("cv"),
+                     F.col("nrm").alias("cn")))
+    q = (vt.where(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("vec").alias("qv"), F.col("nrm").alias("qn")))
+    qcos = (q.crossJoin(F.broadcast(cents))
+            .select("q_id", "cell",
+                    _pair_cos(F.col("qv"), F.col("cv"),
+                              F.col("qn"), F.col("cn")).alias("cos")))
+    wq = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "cell")
+    probed = (qcos.withColumn("rk", F.row_number().over(wq))
+              .where(F.col("rk") <= n_probe).select("q_id", "cell"))
+    cand = (cells.join(F.broadcast(probed), "cell")
+            .where(F.col("q_id") != F.col("vec_id"))
+            .select("q_id", "vec_id"))
+    cos = (cand.join(vt, "vec_id").join(F.broadcast(
+        q.select("q_id", "qv", "qn")), "q_id")
+        .select("q_id", "vec_id",
+                _pair_cos(F.col("qv"), F.col("vec"),
+                          F.col("qn"), F.col("nrm")).alias("cos")))
+    return _two_phase_topk(cos, k)
+
+
 def lsh_cosine_topk(embeddings: DataFrame, n_queries: int = 5,
                     k: int = 10, n_planes: int = N_PLANES,
                     bands: int = BANDS, dim: int = DIM,

@@ -69,3 +69,29 @@ def test_neardup_pair_recall_and_precision(spark):
     # these params; clearly better than the ~2% random-bucket rate)
     recall = len(got) / max(1, len(truth))
     assert recall >= 0.25, f"near-dup recall collapsed: {recall:.2f}"
+
+
+def test_ivf_recall_against_exact(spark):
+    """IVF(16 cells, probe 2) top-k recall vs brute force — the second
+    ANN family next to LSH; must beat random clearly and agree on
+    cosines for shared hits."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    exact = S.cosine_topk(emb, n_queries=5, k=10).collect()
+    approx = S.ivf_cosine_topk(emb, n_queries=5, k=10).collect()
+
+    exact_sets, approx_sets, exact_cos = {}, {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+        exact_cos[(r["q_id"], r["vec_id"])] = r["cos"]
+    for r in approx:
+        approx_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+        key = (r["q_id"], r["vec_id"])
+        if key in exact_cos:
+            assert abs(r["cos"] - exact_cos[key]) < 1e-9
+
+    recalls = [len(exact_sets[q] & approx_sets.get(q, set())) / 10
+               for q in exact_sets]
+    mean_recall = sum(recalls) / len(recalls)
+    # probing 2/16 cells scans ~12.5% of the corpus; near neighbors
+    # concentrate in the query's cells, so recall must far exceed that
+    assert mean_recall >= 0.3, f"IVF recall collapsed: {recalls}"
