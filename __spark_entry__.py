@@ -462,6 +462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "documents")),
         "text_token_count": lambda s, sf: T.token_count(
             _t(s, sf, "documents")),
+        "corpus_filter": lambda s, sf: T.corpus_filter(
+            _t(s, sf, "documents")),
         "text_fingerprint": lambda s, sf: T.fingerprint(
             _t(s, sf, "documents")),
         # non-SQL-expressible (NumPy model forwards) -> rows-only checks
@@ -948,10 +950,51 @@ def oracle_sql() -> dict[str, str]:
                             / len(string_split(text, ' '))) * 0.2) * 10000 + 0.5) / 10000
                      AS quality
             FROM documents""",
+        "corpus_filter": f"""
+            WITH keep AS (
+              SELECT doc_id FROM (
+                SELECT doc_id,
+                       (min(doc_id) OVER (PARTITION BY md5(text))
+                        = doc_id) AS is_keeper
+                FROM documents) WHERE is_keeper
+            ), lng AS (
+              SELECT doc_id,
+                     CASE WHEN len(string_split(text, ' ')) < 5
+                            THEN 'short'
+                          WHEN ({_STOP_HITS_SQL}) * 10
+                               >= len(string_split(text, ' '))
+                            THEN 'en'
+                          ELSE 'other' END AS lang_pred
+              FROM documents
+            ), qual AS (
+              SELECT doc_id,
+                     floor((least(len(string_split(text, ' ')) / 64.0,
+                                  1.0) * 0.5
+                           + least((length(text)
+                                    - (len(string_split(text, ' '))
+                                       - 1))
+                                   / len(string_split(text, ' '))
+                                   / 8.0, 1.0) * 0.3
+                           + (({_STOP_HITS_SQL})
+                              / len(string_split(text, ' '))) * 0.2)
+                           * 10000 + 0.5) / 10000 AS quality,
+                     CAST(len(string_split(text, ' ')) AS BIGINT)
+                       AS n_tokens
+              FROM documents
+            )
+            SELECT d.doc_id, l.lang_pred, q.quality, q.n_tokens
+            FROM documents d
+            JOIN keep k ON d.doc_id = k.doc_id
+            JOIN lng l ON d.doc_id = l.doc_id
+            JOIN qual q ON d.doc_id = q.doc_id
+            WHERE l.lang_pred = 'en' AND q.quality >= 0.5""",
         "text_token_count": """
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT)
                      AS ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
+                     AS bpe_tokens,
                    CAST(ceil(length(replace(text, ' ', '')) / 4.0)
                      AS BIGINT) AS subword_est
             FROM documents""",

@@ -67,14 +67,48 @@ def quality_score(documents: DataFrame) -> DataFrame:
         quality.alias("quality"))
 
 
+def corpus_filter(documents: DataFrame, min_quality: float = 0.5,
+                  lang: str = "en") -> DataFrame:
+    """The end-to-end training-corpus cleaning composition: exact-dedup
+    keepers ∩ language match ∩ quality threshold — the standard
+    "dedup, then filter" pipeline over one documents table, all stages
+    Catalyst-composable (the dedup window, lang/quality expressions and
+    final filter collapse into one plan; nothing materializes between
+    stages).  Output: doc_id, lang_pred, quality, n_tokens."""
+    from ocr_pytorch_spark.operators.dedup import exact_dedup
+
+    keepers = exact_dedup(documents).where("is_keeper") \
+        .select("doc_id")
+    langs = lang_id(documents).select("doc_id", "lang_pred")
+    qual = quality_score(documents).select("doc_id", "quality",
+                                           "n_tokens")
+    return (documents.select("doc_id")
+            .join(keepers, "doc_id")
+            .join(langs, "doc_id")
+            .join(qual, "doc_id")
+            .where((F.col("lang_pred") == lang)
+                   & (F.col("quality") >= min_quality))
+            .select("doc_id", "lang_pred", "quality", "n_tokens"))
+
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single symbol —
+# the GPT-2-style split shape, restricted to classes whose semantics
+# agree between Java regex (Spark) and RE2 (DuckDB)
+BPE_SPLIT = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
 def token_count(documents: DataFrame) -> DataFrame:
-    """Whitespace token count + a BPE-ish subword estimate (ceil of
-    non-space chars / 4, the empirical chars-per-token constant).
-    Output: doc_id, ws_tokens, subword_est."""
+    """Token statistics: whitespace tokens, a BPE-ish regex token count
+    (letter/digit runs + symbols, the GPT-2 pre-tokenizer shape), and
+    the chars/4 subword estimate (the empirical chars-per-token
+    constant).  Output: doc_id, ws_tokens, bpe_tokens, subword_est."""
     non_space = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    bpe = F.size(F.expr(
+        f"regexp_extract_all(text, '{BPE_SPLIT}', 0)"))
     return documents.select(
         "doc_id",
         F.size(words(F.col("text"))).cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
         F.ceil(non_space / 4).cast("long").alias("subword_est"),
     )
 
