@@ -85,7 +85,9 @@ def test_query_matches_duckdb(spark, key):
 # only appears at this scale)
 FLOAT_STRESS_KEYS = ["group_line_stats", "text_quality", "tpch_q1",
                      "broadcast_dim_join", "sim_topk_cosine",
-                     "group_linefit_regr"]
+                     "group_linefit_regr", "corpus_filter",
+                     "dedup_embedding_cosine", "sim_ivf_topk",
+                     "ohem_topk_sum"]
 
 
 @pytest.mark.parametrize("key", FLOAT_STRESS_KEYS)
