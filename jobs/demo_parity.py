@@ -1,0 +1,116 @@
+"""Reproduce the reference demo end-to-end in Spark: PNG files in,
+per-image ordered transcripts out (demo.py:10-31's flow — glob
+test_images/*.png, OCR each, write <stem>.txt per image).
+
+With the published checkpoints this is bit-for-bit the reference
+pipeline: pass --ctpn/--crnn pointing at ctpn.pth/crnn.pth (converted
+on the fly by models/checkpoint.pth_to_npz, no torch needed) and the
+full 5834-char alphabet engages automatically (selected by head size).
+Without them it falls back to the bundled seed-42 fixture weights, so
+the plumbing is exercisable in this sandbox where the checkpoint
+download does not exist (reference README.md:29-30).
+
+    python jobs/demo_parity.py --images /root/reference/test_images \\
+        [--ctpn ctpn.pth --crnn crnn.pth] [--dst /tmp/demo_out]
+
+Writes one parquet table (media_ref, box_order, text) plus, when --dst
+is given, one <stem>.txt per image with the ordered transcripts —
+demo.py:27-29's output shape.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def _weights_spec(ctpn_pth: str | None, crnn_pth: str | None,
+                  workdir: str) -> dict:
+    from ocr_pytorch_spark.models import weights as W
+    from ocr_pytorch_spark.operators.extract import file_weights_spec
+
+    if ctpn_pth or crnn_pth:
+        from ocr_pytorch_spark.models.checkpoint import pth_to_npz
+
+        os.makedirs(workdir, exist_ok=True)
+        ctpn_npz = os.path.join(workdir, "ctpn.npz")
+        crnn_npz = os.path.join(workdir, "crnn.npz")
+        if ctpn_pth:
+            pth_to_npz(ctpn_pth, ctpn_npz)
+        if crnn_pth:
+            pth_to_npz(crnn_pth, crnn_npz)
+        W.load_bundled()  # for whichever side wasn't supplied
+        d = W.weights_dir()
+        return file_weights_spec(
+            ctpn_npz if ctpn_pth else os.path.join(d, "ctpn.npz"),
+            crnn_npz if crnn_pth else os.path.join(d, "crnn.npz"))
+    W.load_bundled()
+    return file_weights_spec()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", required=True,
+                    help="directory of *.png inputs")
+    ap.add_argument("--ctpn", default=None, help="ctpn .pth checkpoint")
+    ap.add_argument("--crnn", default=None, help="crnn .pth checkpoint")
+    ap.add_argument("--dst", default=None,
+                    help="output dir for parquet + per-image .txt")
+    ap.add_argument("--reference-profile", action="store_true",
+                    help="detect at the reference's 720px height "
+                         "instead of the fixture profile")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from ocr_pytorch_spark.config import PipelineConfig
+    from ocr_pytorch_spark.operators.extract import ocr_transcripts
+    from ocr_pytorch_spark.sources import png as PNG
+    from ocr_pytorch_spark.sources.session import get_spark
+
+    spark = get_spark(app="demo-parity")
+    cfg = (PipelineConfig.reference() if args.reference_profile
+           else PipelineConfig.fixture())
+    spec = _weights_spec(args.ctpn, args.crnn,
+                         args.dst or "/tmp/demo_parity_weights")
+
+    images = PNG.decode_png_images(PNG.read_png_dir(spark, args.images))
+    bad = PNG.png_errors(images).collect()
+    for row in bad:
+        print(f"DECODE ERROR {row['media_ref']}: {row['error']}",
+              file=sys.stderr)
+    ok = images.where(F.col("height") > 0)
+    spans = (ocr_transcripts(ok, ok.select("media_ref"), spec, cfg)
+             .where(F.col("box_order") >= 0)
+             .orderBy("media_ref", "box_order"))
+
+    rows = spans.collect()
+    by_img: dict[str, list[str]] = {}
+    for r in rows:
+        by_img.setdefault(r["media_ref"], []).append(r["text"])
+    for ref, texts in sorted(by_img.items()):
+        print(f"== {ref}: {len(texts)} lines")
+        for t in texts:
+            print(f"   {t}")
+
+    if args.dst:
+        os.makedirs(args.dst, exist_ok=True)
+        spans.write.mode("overwrite").parquet(
+            os.path.join(args.dst, "transcripts"))
+        for ref, texts in by_img.items():  # demo.py:27-29 shape
+            stem = ref.rsplit(".", 1)[0]
+            with open(os.path.join(args.dst, stem + ".txt"), "w",
+                      encoding="utf-8") as f:
+                f.write("\n".join(texts) + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
