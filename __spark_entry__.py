@@ -464,6 +464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "documents")),
         "corpus_filter": lambda s, sf: T.corpus_filter(
             _t(s, sf, "documents")),
+        "text_winnow_fp": lambda s, sf: T.winnow_fingerprint(
+            _t(s, sf, "documents")),
         "text_fingerprint": lambda s, sf: T.fingerprint(
             _t(s, sf, "documents")),
         # non-SQL-expressible (NumPy model forwards) -> rows-only checks
@@ -998,6 +1000,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ceil(length(replace(text, ' ', '')) / 4.0)
                      AS BIGINT) AS subword_est
             FROM documents""",
+        "text_winnow_fp": """
+            WITH g AS (
+              SELECT doc_id, pos,
+                     substr(md5(substring(text, CAST(pos AS INT), 8)),
+                            1, 8) AS h,
+                     length(text) AS n
+              FROM documents,
+                   LATERAL unnest(CASE WHEN length(text) >= 8 THEN
+                       range(1, length(text) - 8 + 2)
+                     ELSE [] END) AS t(pos)
+            ), m AS (
+              SELECT DISTINCT doc_id, mn FROM (
+                SELECT doc_id, pos, n,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW
+                                    AND 3 FOLLOWING) AS mn
+                FROM g)
+              WHERE pos <= n - 8 + 1 - 3
+            )
+            SELECT doc_id, count(*) AS n_fps,
+                   min(mn) AS fp_min, max(mn) AS fp_max
+            FROM m GROUP BY doc_id""",
         "text_fingerprint": _GRAMS_CTE + """
             SELECT doc_id, min(md5(gram)) AS fp_min,
                    max(md5(gram)) AS fp_max

@@ -67,6 +67,42 @@ def quality_score(documents: DataFrame) -> DataFrame:
         quality.alias("quality"))
 
 
+def winnow_fingerprint(documents: DataFrame, k: int = 8,
+                       w: int = 4) -> DataFrame:
+    """Rolling-hash winnowing fingerprint (the MOSS scheme): hash every
+    char k-gram, slide a w-window over the hash sequence, keep each
+    window's minimum — the classic content-defined sampling that makes
+    near-identical documents share most fingerprints regardless of
+    alignment.  Hashes stay as 8-hex md5 prefixes (string min/distinct
+    are engine-portable; no numeric decode needed).
+    Output: doc_id, n_fps (distinct minima), fp_min, fp_max."""
+    from pyspark.sql import Window
+
+    from ocr_pytorch_spark.functions import fan_out
+
+    n = F.length("text")
+    pos_arr = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = (fan_out(documents)
+             .select("doc_id", F.explode(pos_arr).alias("pos"),
+                     F.col("text"))
+             .select("doc_id", "pos",
+                     F.substring(F.md5(F.expr(
+                         f"substring(text, pos, {k})")), 1, 8)
+                     .alias("h"),
+                     F.length("text").alias("n")))
+    win = (Window.partitionBy("doc_id").orderBy("pos")
+           .rowsBetween(0, w - 1))
+    minima = (grams
+              .withColumn("m", F.min("h").over(win))
+              .where(F.col("pos") <= F.col("n") - k + 1 - (w - 1))
+              .select("doc_id", "m").distinct())
+    return (minima.groupBy("doc_id")
+            .agg(F.count("*").alias("n_fps"),
+                 F.min("m").alias("fp_min"),
+                 F.max("m").alias("fp_max")))
+
+
 def corpus_filter(documents: DataFrame, min_quality: float = 0.5,
                   lang: str = "en") -> DataFrame:
     """The end-to-end training-corpus cleaning composition: exact-dedup
