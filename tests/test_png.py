@@ -146,3 +146,29 @@ def test_spark_png_ingest_to_ocr(spark, bundled_weights, fixture_cfg):
         have = sorted((r["box_order"], r["text"]) for r in got
                       if r["media_ref"] == ref)
         assert have == sorted(want)
+
+
+def test_multi_idat_and_gray_alpha():
+    """Decoder handles split IDAT streams and color type 4."""
+    import zlib
+
+    rng = np.random.default_rng(9)
+    # build a gray+alpha (type 4) PNG manually with IDAT split in 3
+    g = rng.integers(0, 256, (6, 7), dtype=np.uint8)
+    a = rng.integers(0, 256, (6, 7), dtype=np.uint8)
+    raw = b""
+    for y in range(6):
+        row = np.empty(14, np.uint8)
+        row[0::2] = g[y]
+        row[1::2] = a[y]
+        raw += b"\x00" + row.tobytes()
+    comp = zlib.compress(raw)
+    thirds = [comp[:len(comp) // 3], comp[len(comp) // 3:2 * len(comp) // 3],
+              comp[2 * len(comp) // 3:]]
+    png = b"\x89PNG\r\n\x1a\n" + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 7, 6, 8, 4, 0, 0, 0))
+    for t in thirds:
+        png += _chunk(b"IDAT", t)
+    png += _chunk(b"IEND", b"")
+    img = decode_png(png)
+    assert np.array_equal(img, np.repeat(g[:, :, None], 3, 2))
