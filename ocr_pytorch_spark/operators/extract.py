@@ -187,7 +187,9 @@ def ocr_transcripts(images: DataFrame, media_spans: DataFrame,
     # semi join: image bytes never join doc rows; broadcast when small
     todo = images.join(needed, "media_ref", "left_semi")
     # 4 waves per core: small task quanta bound the straggler penalty of
-    # variable per-image cost (image widths vary ~3x)
+    # variable per-image cost (image widths vary ~3x).  Swept r2 at
+    # bench scale (128 imgs, local[32]): 32p=20.6, 64p=25.6, 128p=26.0,
+    # 256p=21.0 img/s — the 4-wave default is the measured optimum
     p = salt_partitions or max(
         int(spark.conf.get("spark.sql.shuffle.partitions")),
         4 * spark.sparkContext.defaultParallelism)
