@@ -211,6 +211,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             base.alias("output_file"),
             F.concat(stem, F.lit(".txt")).alias("txt_file"))
 
+    def funnel_counts(spark, sf):
+        """Ordered-funnel analytics: users progressing view -> click ->
+        purchase, where each stage's FIRST event must follow the prior
+        stage's first event.  One groupBy (first-touch timestamps per
+        user) + one aggregation — no per-user collect, no self-joins."""
+        ev = _t(spark, sf, "events")
+        firsts = ev.groupBy("user_id").agg(
+            F.min(F.when(F.col("event_type") == "view",
+                         F.col("ts"))).alias("t_view"),
+            F.min(F.when(F.col("event_type") == "click",
+                         F.col("ts"))).alias("t_click"),
+            F.min(F.when(F.col("event_type") == "purchase",
+                         F.col("ts"))).alias("t_buy"))
+        reached_click = (F.col("t_view").isNotNull()
+                         & (F.col("t_click") > F.col("t_view")))
+        reached_buy = reached_click & (F.col("t_buy") > F.col("t_click"))
+        agg = firsts.agg(
+            F.count(F.when(F.col("t_view").isNotNull(), 1))
+            .alias("n_view"),
+            F.count(F.when(reached_click, 1)).alias("n_click"),
+            F.count(F.when(reached_buy, 1)).alias("n_purchase"))
+        return agg.select(
+            "n_view", "n_click", "n_purchase",
+            quant4(F.col("n_click") / F.col("n_view"))
+            .alias("view_to_click"),
+            quant4(F.col("n_purchase") / F.col("n_click"))
+            .alias("click_to_buy"))
+
+    def retention_cohorts(spark, sf):
+        """Cohort retention: users grouped by first-seen day; distinct
+        active users per (cohort_day, day_offset) for the first week.
+        Two shuffles (first-touch groupBy + cohort-cell distinct), both
+        on skinny (user, day) rows."""
+        ev = _t(spark, sf, "events").select(
+            "user_id", F.date_trunc("DAY", "ts").alias("day"))
+        first = ev.groupBy("user_id").agg(
+            F.min("day").alias("cohort_day"))
+        act = (ev.join(first, "user_id")
+               .select("user_id", "cohort_day",
+                       F.datediff(F.col("day").cast("date"),
+                                  F.col("cohort_day").cast("date"))
+                       .alias("day_offset"))
+               .where(F.col("day_offset") <= 7))
+        return (act.groupBy(F.date_format("cohort_day", "yyyy-MM-dd")
+                            .alias("cohort_day"), "day_offset")
+                .agg(F.count_distinct("user_id").alias("n_users")))
+
     def ohem_topk_sum(spark, sf):
         """W5/A5 relational analogue (train_ctpn/ctpn_model.py:56-81):
         per group, loss = (sum of positive losses + sum of the hardest
@@ -422,6 +469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "project_bbox_decode": project_bbox_decode,
         "topk_score": topk_score,
         "ohem_topk_sum": ohem_topk_sum,
+        "funnel_counts": funnel_counts,
+        "retention_cohorts": retention_cohorts,
         "window_reading_order": window_reading_order,
         "dedupe_consecutive_lag": dedupe_consecutive_lag,
         "group_line_stats": group_line_stats,
@@ -705,6 +754,52 @@ def oracle_sql() -> dict[str, str]:
                          / 1000.0) * 10000 + 0.5) / 10000 AS rev_k
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY l_orderkey ORDER BY rev_k DESC, l_orderkey LIMIT 10""",
+        "funnel_counts": """
+            WITH firsts AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END)
+                       AS t_view,
+                     min(CASE WHEN event_type = 'click' THEN ts END)
+                       AS t_click,
+                     min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS t_buy
+              FROM events GROUP BY user_id
+            ), agg AS (
+              SELECT count(CASE WHEN t_view IS NOT NULL THEN 1 END)
+                       AS n_view,
+                     count(CASE WHEN t_view IS NOT NULL
+                                 AND t_click > t_view THEN 1 END)
+                       AS n_click,
+                     count(CASE WHEN t_view IS NOT NULL
+                                 AND t_click > t_view
+                                 AND t_buy > t_click THEN 1 END)
+                       AS n_purchase
+              FROM firsts
+            )
+            SELECT n_view, n_click, n_purchase,
+                   floor((n_click / n_view) * 10000 + 0.5) / 10000
+                     AS view_to_click,
+                   floor((n_purchase / n_click) * 10000 + 0.5) / 10000
+                     AS click_to_buy
+            FROM agg""",
+        "retention_cohorts": """
+            WITH ev AS (
+              SELECT user_id, date_trunc('day', ts) AS day FROM events
+            ), first AS (
+              SELECT user_id, min(day) AS cohort_day
+              FROM ev GROUP BY user_id
+            ), act AS (
+              SELECT e.user_id,
+                     strftime(CAST(f.cohort_day AS DATE), '%Y-%m-%d')
+                       AS cohort_date,
+                     date_diff('day', CAST(f.cohort_day AS DATE),
+                               CAST(e.day AS DATE)) AS day_offset
+              FROM ev e JOIN first f ON e.user_id = f.user_id
+            )
+            SELECT cohort_date AS cohort_day, day_offset,
+                   count(DISTINCT user_id) AS n_users
+            FROM act WHERE day_offset <= 7
+            GROUP BY cohort_date, day_offset""",
         "ohem_topk_sum": """
             WITH ev AS (
               SELECT event_type, event_id, value AS loss,
