@@ -211,6 +211,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             base.alias("output_file"),
             F.concat(stem, F.lit(".txt")).alias("txt_file"))
 
+    def percentiles_value(spark, sf):
+        """Exact linear-interpolated percentiles per event_type (Spark
+        percentile() == DuckDB quantile_cont, both the standard
+        type-7 estimator; quant4 absorbs last-ulp differences).  The
+        exact form needs a per-group sort — the approx path for 10^12
+        rows is percentile_approx (see approx_distinct for the sketch
+        precedent)."""
+        ev = _t(spark, sf, "events")
+        ps = [0.25, 0.5, 0.75, 0.99]
+        cols = [quant4(F.expr(f"percentile(value, {p})"))
+                .alias(f"p{int(p * 100)}") for p in ps]
+        return ev.groupBy("event_type").agg(*cols)
+
     def funnel_counts(spark, sf):
         """Ordered-funnel analytics: users progressing view -> click ->
         purchase, where each stage's FIRST event must follow the prior
@@ -471,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohem_topk_sum": ohem_topk_sum,
         "funnel_counts": funnel_counts,
         "retention_cohorts": retention_cohorts,
+        "percentiles_value": percentiles_value,
         "window_reading_order": window_reading_order,
         "dedupe_consecutive_lag": dedupe_consecutive_lag,
         "group_line_stats": group_line_stats,
@@ -754,6 +768,17 @@ def oracle_sql() -> dict[str, str]:
                          / 1000.0) * 10000 + 0.5) / 10000 AS rev_k
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY l_orderkey ORDER BY rev_k DESC, l_orderkey LIMIT 10""",
+        "percentiles_value": """
+            SELECT event_type,
+                   floor(quantile_cont(value, 0.25) * 10000 + 0.5)
+                     / 10000 AS p25,
+                   floor(quantile_cont(value, 0.5) * 10000 + 0.5)
+                     / 10000 AS p50,
+                   floor(quantile_cont(value, 0.75) * 10000 + 0.5)
+                     / 10000 AS p75,
+                   floor(quantile_cont(value, 0.99) * 10000 + 0.5)
+                     / 10000 AS p99
+            FROM events GROUP BY event_type""",
         "funnel_counts": """
             WITH firsts AS (
               SELECT user_id,
