@@ -211,6 +211,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             base.alias("output_file"),
             F.concat(stem, F.lit(".txt")).alias("txt_file"))
 
+    def cube_agg(spark, sf):
+        """CUBE over (event_type, value-band): all 4 grouping-set
+        combinations in one pass (partial aggregation per set)."""
+        ev = _t(spark, sf, "events").select(
+            "event_type", (F.col("value") >= 50).cast("int").alias("hi"),
+            "value")
+        return (ev.cube("event_type", "hi")
+                .agg(F.count("*").alias("n"),
+                     quant4(F.sum("value") / 1000).alias("sum_value_k")))
+
+    def window_moving_avg(spark, sf):
+        """Rolling 5-row mean of value per user (frame-based window) —
+        one sort-based shuffle, emitted per event row."""
+        from pyspark.sql import Window
+
+        w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(-4, 0))
+        return (_t(spark, sf, "events")
+                .select("user_id", "event_id",
+                        quant4(F.avg("value").over(w)).alias("mavg5")))
+
+    def asof_join_events(spark, sf):
+        """As-of join — the canonical operator Spark lacks natively,
+        composed from built-ins (brief: compose before dropping to
+        UDFs): each purchase gets the most recent view at-or-before it
+        per user.  Implementation: union the two streams tagged, one
+        window pass per user ordered by (ts, is_right) carrying
+        last(view_ts ignorenulls) — a single sort-based shuffle, no
+        per-row Python, no cross product.  The DuckDB oracle uses the
+        native ASOF LEFT JOIN, so the composition is checked against a
+        real asof implementation."""
+        from pyspark.sql import Window
+
+        ev = _t(spark, sf, "events")
+        views = (ev.where(F.col("event_type") == "view")
+                 .select("user_id", F.col("ts").alias("view_ts")))
+        buys = (ev.where(F.col("event_type") == "purchase")
+                .select("user_id", "event_id", "ts"))
+        tagged = (views.select("user_id",
+                               F.col("view_ts").alias("ts"),
+                               F.lit(None).cast("long").alias("event_id"),
+                               F.col("view_ts"),
+                               F.lit(0).alias("side"))
+                  .unionByName(buys.select(
+                      "user_id", "ts", "event_id",
+                      F.lit(None).cast(views.schema["view_ts"].dataType)
+                      .alias("view_ts"), F.lit(1).alias("side"))))
+        # views sort before purchases at equal ts (side 0 < 1), so a
+        # same-instant view is visible to the purchase — ASOF >= match
+        w = (Window.partitionBy("user_id")
+             .orderBy("ts", "side", "event_id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        out = (tagged
+               .withColumn("last_view",
+                           F.last("view_ts", ignorenulls=True).over(w))
+               .where(F.col("side") == 1))
+        return out.select(
+            "user_id", "event_id",
+            F.col("ts").cast("timestamp").cast("long").alias("buy_s"),
+            F.col("last_view").cast("timestamp").cast("long")
+            .alias("view_s"))
+
     def percentiles_value(spark, sf):
         """Exact linear-interpolated percentiles per event_type (Spark
         percentile() == DuckDB quantile_cont, both the standard
@@ -485,6 +547,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_counts": funnel_counts,
         "retention_cohorts": retention_cohorts,
         "percentiles_value": percentiles_value,
+        "asof_join_events": asof_join_events,
+        "cube_agg": cube_agg,
+        "window_moving_avg": window_moving_avg,
         "window_reading_order": window_reading_order,
         "dedupe_consecutive_lag": dedupe_consecutive_lag,
         "group_line_stats": group_line_stats,
@@ -768,6 +833,30 @@ def oracle_sql() -> dict[str, str]:
                          / 1000.0) * 10000 + 0.5) / 10000 AS rev_k
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY l_orderkey ORDER BY rev_k DESC, l_orderkey LIMIT 10""",
+        "cube_agg": """
+            SELECT event_type,
+                   CAST(value >= 50 AS INT) AS hi, count(*) AS n,
+                   floor((sum(value) / 1000) * 10000 + 0.5) / 10000
+                     AS sum_value_k
+            FROM events
+            GROUP BY CUBE (event_type, CAST(value >= 50 AS INT))""",
+        "window_moving_avg": """
+            SELECT user_id, event_id,
+                   floor(avg(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                         * 10000 + 0.5) / 10000 AS mavg5
+            FROM events""",
+        "asof_join_events": """
+            SELECT p.user_id, p.event_id,
+                   CAST(floor(epoch(p.ts)) AS BIGINT) AS buy_s,
+                   CAST(floor(epoch(v.ts)) AS BIGINT) AS view_s
+            FROM (SELECT user_id, event_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts FROM events
+                  WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts >= v.ts""",
         "percentiles_value": """
             SELECT event_type,
                    floor(quantile_cont(value, 0.25) * 10000 + 0.5)
