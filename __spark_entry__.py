@@ -160,6 +160,15 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
           ("mean_r", "mean_g", "mean_b", "std_gray", "dark_frac")])
 
 
+def _multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup keys (rows-only: the resample kernel is
+    NumPy, not SQL-expressible)."""
+    _ship_package(spark)
+    from ocr_pytorch_spark.operators.multimodal import image_dhash
+
+    return image_dhash(_fixture_images(spark))
+
+
 # --- queries -----------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -210,6 +219,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             base.alias("output_file"),
             F.concat(stem, F.lit(".txt")).alias("txt_file"))
+
+    def session_window_agg(spark, sf):
+        """Spark's NATIVE session_window (gap-merged event-time
+        sessions) — the built-in the manual `sessionize` query
+        re-derives with lag/running-sum windows.  The oracle IS that
+        manual derivation, so the two session definitions are proven
+        equivalent.  Output: user_id, sess_start_s, n_events."""
+        ev = _t(spark, sf, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+        return (ev.groupBy("user_id",
+                           F.session_window("ts", "5 minutes"))
+                .agg(F.count("*").alias("n_events"))
+                .select("user_id",
+                        F.col("session_window.start").cast("long")
+                        .alias("sess_start_s"), "n_events"))
+
+    def dedup_keeper_policy(spark, sf):
+        """Pipeline keeper policy: within each transitive dup component
+        keep the highest-quality doc (ties -> min doc_id) — the
+        decision rule a cleaning pipeline actually applies, composed
+        from dup_components x quality_score.
+        Output: component, keeper, quality, n_members."""
+        from pyspark.sql import Window
+
+        comp = D.dup_components(_t(spark, sf, "documents"))
+        qual = T.quality_score(_t(spark, sf, "documents")) \
+            .select("doc_id", "quality")
+        j = comp.join(qual, "doc_id")
+        w = (Window.partitionBy("component")
+             .orderBy(F.col("quality").desc(), "doc_id"))
+        return (j.withColumn("rk", F.row_number().over(w))
+                .withColumn("n_members",
+                            F.count("*").over(
+                                Window.partitionBy("component")))
+                .where((F.col("rk") == 1) & (F.col("n_members") > 1))
+                .select("component", F.col("doc_id").alias("keeper"),
+                        "quality", "n_members"))
 
     def cube_agg(spark, sf):
         """CUBE over (event_type, value-band): all 4 grouping-set
@@ -550,6 +596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": asof_join_events,
         "cube_agg": cube_agg,
         "window_moving_avg": window_moving_avg,
+        "session_window_agg": session_window_agg,
+        "dedup_keeper_policy": dedup_keeper_policy,
         "window_reading_order": window_reading_order,
         "dedupe_consecutive_lag": dedupe_consecutive_lag,
         "group_line_stats": group_line_stats,
@@ -599,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # non-SQL-expressible (NumPy model forwards) -> rows-only checks
         "ocr_extract": _ocr_extract,
         "multimodal_features": _multimodal_features,
+        "multimodal_dhash": _multimodal_dhash,
         "png_ocr_extract": _png_ocr_extract,
     }
 
@@ -833,6 +882,79 @@ def oracle_sql() -> dict[str, str]:
                          / 1000.0) * 10000 + 0.5) / 10000 AS rev_k
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY l_orderkey ORDER BY rev_k DESC, l_orderkey LIMIT 10""",
+        "session_window_agg": """
+            WITH lagged AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+              FROM events
+            ), marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN prev IS NULL
+                            OR epoch(ts) - epoch(prev) > 300
+                          THEN 1 ELSE 0 END AS new_s
+              FROM lagged
+            ), sess AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS sid
+              FROM marked
+            )
+            SELECT user_id,
+                   CAST(floor(epoch(min(ts))) AS BIGINT)
+                     AS sess_start_s,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, sid""",
+        "dedup_keeper_policy": _GRAMS_CTE.replace(
+            "WITH w AS", "WITH RECURSIVE w AS", 1) + f""", sig AS (
+              SELECT doc_id, {_MH} FROM grams GROUP BY doc_id
+            ), banded AS (
+              SELECT doc_id, {_BANDS} FROM sig
+            ), stacked AS (
+              SELECT doc_id, 0 AS band_idx, band0 AS key FROM banded
+              UNION ALL SELECT doc_id, 1, band1 FROM banded
+              UNION ALL SELECT doc_id, 2, band2 FROM banded
+              UNION ALL SELECT doc_id, 3, band3 FROM banded
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM stacked a JOIN stacked b
+                ON a.band_idx = b.band_idx AND a.key = b.key
+               AND a.doc_id < b.doc_id
+            ), sym AS (
+              SELECT doc_a AS a, doc_b AS b FROM cand
+              UNION SELECT doc_b, doc_a FROM cand
+            ), reach(doc, lab) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.doc
+            ), comp AS (
+              SELECT doc AS doc_id, min(lab) AS component
+              FROM reach GROUP BY doc
+            ), qual AS (
+              SELECT doc_id,
+                     floor((least(len(string_split(text, ' ')) / 64.0,
+                                  1.0) * 0.5
+                           + least((length(text)
+                                    - (len(string_split(text, ' '))
+                                       - 1))
+                                   / len(string_split(text, ' '))
+                                   / 8.0, 1.0) * 0.3
+                           + (({_STOP_HITS_SQL})
+                              / len(string_split(text, ' '))) * 0.2)
+                           * 10000 + 0.5) / 10000 AS quality
+              FROM documents
+            ), r AS (
+              SELECT c.component, c.doc_id, q.quality,
+                     row_number() OVER (PARTITION BY c.component
+                       ORDER BY q.quality DESC, c.doc_id) AS rk,
+                     count(*) OVER (PARTITION BY c.component)
+                       AS n_members
+              FROM comp c JOIN qual q ON c.doc_id = q.doc_id
+            )
+            SELECT component, doc_id AS keeper, quality, n_members
+            FROM r WHERE rk = 1 AND n_members > 1""",
         "cube_agg": """
             SELECT event_type,
                    CAST(value >= 50 AS INT) AS hi, count(*) AS n,

@@ -48,6 +48,52 @@ def decode_codec(data: bytes, codec: str):
         f"codec decode ({codec}) requires PIL/ffmpeg, not available here")
 
 
+DHASH_SCHEMA = "media_ref string, dhash long"
+
+
+def dhash_array(img) -> int:
+    """64-bit difference hash of an (H,W,3) uint8 image: grayscale,
+    area-resample to 9x8, threshold horizontal gradients.  Shared by
+    the Spark UDF and tests (same single-source-kernel pattern as the
+    OCR path)."""
+    import numpy as np
+
+    from ocr_pytorch_spark.kernels.image import resize_area
+
+    gray = img.astype(np.float32).mean(axis=2).astype(np.uint8)
+    small = resize_area(gray[:, :, None].repeat(3, 2), 8, 9) \
+        .astype(np.float32).mean(axis=2)
+    bits = (small[:, 1:] > small[:, :-1]).ravel()
+    return int(sum(1 << i for i, b in enumerate(bits) if b))
+
+
+def image_dhash(images: DataFrame) -> DataFrame:
+    """Perceptual dedup key for images: per-row dHash via Arrow-batched
+    mapInPandas (map-side; near-identical images agree on most bits, so
+    downstream near-dup joins can bucket on hash bands exactly like the
+    text SimHash path).  Output: media_ref, dhash (long; top bit kept
+    inside int64 via the 63-bit mask convention is NOT applied — the
+    full unsigned value is stored two's-complement)."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            refs, hs = [], []
+            for ref, h, w, c, data in zip(
+                    pdf["media_ref"], pdf["height"], pdf["width"],
+                    pdf["channels"], pdf["data"]):
+                img = np.frombuffer(data, np.uint8).reshape(
+                    int(h), int(w), int(c))
+                v = dhash_array(img)
+                refs.append(ref)
+                hs.append(v - (1 << 64) if v >= (1 << 63) else v)
+            yield pd.DataFrame({"media_ref": refs,
+                                "dhash": pd.array(hs, dtype="int64")})
+
+    return images.mapInPandas(hashes, schema=DHASH_SCHEMA)
+
+
 def image_features(images: DataFrame) -> DataFrame:
     """Per-image feature extraction (channel means, grayscale std, dark
     fraction) as an iterator mapInPandas — the standard multimodal

@@ -45,3 +45,54 @@ def test_frame_sample_stride(spark, images_df):
 def test_codec_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         MM.decode_codec(b"\xff\xd8\xff", "jpeg")
+
+
+def test_dhash_properties(spark):
+    """dHash: deterministic, identical images collide, small noise
+    stays within a small Hamming distance, different images differ."""
+    import numpy as np
+
+    from ocr_pytorch_spark import datagen
+    from ocr_pytorch_spark.operators.multimodal import (dhash_array,
+                                                        image_dhash)
+
+    # fixture doc-images are a flat background and SHOULD collide
+    # (perceptually identical); use structured images for distinctness
+    fa, _ = datagen.gen_image_array("img-dh-0000")
+    fb, _ = datagen.gen_image_array("img-dh-0001")
+    assert dhash_array(fa) == dhash_array(fb)  # flat == flat
+
+    rng0 = np.random.default_rng(1)
+    a = rng0.integers(0, 256, (120, 160, 3), dtype=np.uint8)
+    b = rng0.integers(0, 256, (120, 160, 3), dtype=np.uint8)
+    assert dhash_array(a) == dhash_array(a.copy())
+    assert dhash_array(a) != dhash_array(b)
+
+    # a real photo hashes non-degenerately
+    from ocr_pytorch_spark.kernels.png import decode_png
+    import os as _os
+
+    with open(_os.path.join(_os.path.dirname(__file__), "assets",
+                            "ref_t1.png"), "rb") as f:
+        photo = decode_png(f.read())
+    hv = dhash_array(photo)
+    assert 4 <= bin(hv).count("1") <= 60
+
+    noisy = a.astype(np.int16).copy()
+    rng = np.random.default_rng(0)
+    noisy += rng.integers(-2, 3, noisy.shape)
+    noisy = np.clip(noisy, 0, 255).astype(np.uint8)
+    ham = bin(dhash_array(a) ^ dhash_array(noisy)).count("1")
+    assert ham <= 8, f"noise flipped {ham}/64 bits"
+    diff = bin(dhash_array(a) ^ dhash_array(b)).count("1")
+    assert diff >= 16, f"distinct images too close: {diff}"
+
+    # Spark path agrees with the kernel
+    rows = [("img-dh-0000", a.shape[0], a.shape[1], 3,
+             bytearray(a.tobytes()))]
+    df = spark.createDataFrame(
+        rows, "media_ref string, height int, width int, channels int, "
+              "data binary")
+    got = image_dhash(df).collect()[0]["dhash"]
+    v = dhash_array(a)
+    assert got == (v - (1 << 64) if v >= (1 << 63) else v)
