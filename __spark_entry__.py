@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 import sys
 from collections.abc import Callable
+from functools import reduce
 
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if REPO_ROOT not in sys.path:
@@ -219,6 +220,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             base.alias("output_file"),
             F.concat(stem, F.lit(".txt")).alias("txt_file"))
+
+    def text_normalize(spark, sf):
+        """Dedup preprocessing normalization: lowercase, collapse
+        non-alphanumerics to single spaces, trim — the canonical form
+        fed to shingling so near-dups differing only in case or
+        punctuation collide.  Pure codegen expressions."""
+        norm = F.trim(F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "),
+            " +", " "))
+        return (_t(spark, sf, "documents")
+                .select("doc_id", norm.alias("norm_text"),
+                        F.md5(norm).alias("norm_hash")))
+
+    def sample_documents(spark, sf):
+        """Deterministic 10% corpus sample via content-free hashing:
+        keep doc iff the first 8 md5 hex digits of its id fall under
+        0.1 * 16^8 — reproducible across engines/runs (no RNG state),
+        the standard way to sample 10^12 rows consistently."""
+        cut = int(0.1 * 16 ** 8)
+        bucket = reduce(
+            lambda acc, i: acc + (
+                F.expr(f"instr('0123456789abcdef', substring("
+                       f"md5(cast(doc_id as string)), {i + 1}, 1))")
+                - 1).cast("long") * F.lit(16 ** (7 - i)).cast("long"),
+            range(8), F.lit(0).cast("long"))
+        return (_t(spark, sf, "documents")
+                .select("doc_id", bucket.cast("long").alias("h"))
+                .where(F.col("h") < cut)
+                .select("doc_id"))
+
+    def salted_join(spark, sf):
+        """Explicit skew-salting pattern, result-equality-proven: the
+        (potentially skewed) lineitem side gets a random-free
+        deterministic salt from its row key; the orders side is
+        replicated across all salts; the join key becomes
+        (o_orderkey, salt) so one hot order key spreads over SALTS
+        partitions.  The oracle is the PLAIN join — salting must not
+        change results, only the shuffle layout."""
+        SALTS = 8
+        li = _t(spark, sf, "lineitem").select(
+            "l_orderkey", "l_extendedprice",
+            F.pmod(F.xxhash64("l_orderkey", "l_linenumber"),
+                   F.lit(SALTS)).cast("int").alias("salt"))
+        orders = (_t(spark, sf, "orders")
+                  .select("o_orderkey", "o_totalprice")
+                  .crossJoin(spark.range(SALTS).select(
+                      F.col("id").cast("int").alias("salt"))))
+        j = li.join(orders,
+                    (li["l_orderkey"] == orders["o_orderkey"])
+                    & (li["salt"] == orders["salt"]))
+        # per-row integer cents -> order-insensitive exact aggregation
+        # (salted partial sums reassociate float adds; ints don't care)
+        cents = F.floor((F.col("l_extendedprice")
+                         + F.col("o_totalprice")) * 100).cast("long")
+        return (j.groupBy("l_orderkey")
+                .agg(F.count("*").alias("n"),
+                     F.sum(cents).alias("combined_cents")))
 
     def session_window_agg(spark, sf):
         """Spark's NATIVE session_window (gap-merged event-time
@@ -598,6 +656,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_moving_avg": window_moving_avg,
         "session_window_agg": session_window_agg,
         "dedup_keeper_policy": dedup_keeper_policy,
+        "text_normalize": text_normalize,
+        "sample_documents": sample_documents,
+        "salted_join": salted_join,
         "window_reading_order": window_reading_order,
         "dedupe_consecutive_lag": dedupe_consecutive_lag,
         "group_line_stats": group_line_stats,
@@ -882,6 +943,31 @@ def oracle_sql() -> dict[str, str]:
                          / 1000.0) * 10000 + 0.5) / 10000 AS rev_k
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY l_orderkey ORDER BY rev_k DESC, l_orderkey LIMIT 10""",
+        "text_normalize": """
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))
+                     AS norm_text,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')))
+                     AS norm_hash
+            FROM documents""",
+        "sample_documents": f"""
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     {" + ".join(
+                         f"(instr('0123456789abcdef', substr(md5("
+                         f"CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+                         f" * {16 ** (7 - i)}" for i in range(8))}
+                       AS h
+              FROM documents)
+            WHERE h < {int(0.1 * 16 ** 8)}""",
+        "salted_join": """
+            SELECT l_orderkey, count(*) AS n,
+                   sum(CAST(floor((l_extendedprice + o_totalprice)
+                                  * 100) AS BIGINT)) AS combined_cents
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_orderkey""",
         "session_window_agg": """
             WITH lagged AS (
               SELECT user_id, ts,
