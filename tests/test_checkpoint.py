@@ -204,3 +204,35 @@ def test_real_weights_drop_in(fake_torch, tmp_path, bundled_weights,
     want = oracle.ocr_image(img, ctpn_w, crnn_w, fixture_cfg)
     got = oracle.ocr_image(img, loaded, crnn_w, fixture_cfg)
     assert got == want
+
+
+def test_bad_magic_rejected(tmp_path):
+    p = str(tmp_path / "bad.pth")
+    with open(p, "wb") as f:
+        pickle.dump(12345, f, protocol=2)  # wrong magic
+        f.write(b"garbage")
+    with pytest.raises(ValueError):
+        C.load_state_dict(p)
+
+
+def test_truncated_zip_rejected(fake_torch, tmp_path):
+    sd = _sample_sd()
+    p = str(tmp_path / "trunc.pth")
+    write_fake_pth_zip(sd, p)
+    data = open(p, "rb").read()
+    with open(p, "wb") as f:
+        f.write(data[:len(data) // 2])
+    with pytest.raises(Exception):
+        C.load_state_dict(p)
+
+
+def test_non_dict_checkpoint_rejected(fake_torch, tmp_path):
+    import zipfile as zf_mod
+
+    p = str(tmp_path / "notdict.pth")
+    with zf_mod.ZipFile(p, "w") as zf:
+        zf.writestr("archive/data.pkl", pickle.dumps([1, 2, 3],
+                                                     protocol=2))
+        zf.writestr("archive/version", "3\n")
+    with pytest.raises(ValueError):
+        C.load_state_dict(p)

@@ -117,3 +117,85 @@ def test_viral_duplicate_bucket_cap(spark):
         "doc_id long, text string"))
     got = D.minhash_lsh_pairs(mixed, bucket_cap=64).collect()
     assert [(r["doc_a"], r["doc_b"]) for r in got] == [(n + 1, n + 2)]
+
+
+def test_ctc_loss_matches_enumeration_property():
+    """Property: for random small (T, nclass) tables and targets, the
+    DP forward loss equals brute-force path enumeration."""
+    import itertools
+
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from ocr_pytorch_spark.models.losses import ctc_loss
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(2, 4), st.integers(2, 3),
+           st.lists(st.integers(1, 2), min_size=1, max_size=2),
+           st.integers(0, 10_000))
+    def check(T, extra, target, seed):
+        nclass = 3
+        rng = np.random.default_rng(seed)
+        logits = rng.normal(size=(T, nclass))
+        e = np.exp(logits - logits.max(axis=1, keepdims=True))
+        logp = np.log(e / e.sum(axis=1, keepdims=True))
+        total = 0.0
+        for path in itertools.product(range(nclass), repeat=T):
+            collapsed, prev = [], 0
+            for s in path:
+                if s != 0 and s != prev:
+                    collapsed.append(s)
+                prev = s
+            if collapsed == target:
+                total += np.exp(sum(logp[t, s]
+                                    for t, s in enumerate(path)))
+        want = -np.log(total) if total > 0 else 0.0
+        got = ctc_loss(logp, np.array(target))
+        assert np.isclose(got, want, atol=1e-9), (T, target, got, want)
+
+    check()
+
+
+def test_winnow_fingerprint_shift_overlap(spark):
+    """Property of winnowing: prepending text shifts k-gram positions
+    but most selected fingerprints survive (content-defined sampling),
+    whereas a naive positional sample would share none."""
+    from pyspark.sql import functions as F
+
+    from ocr_pytorch_spark.operators.text import winnow_fingerprint
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the long meadow towards the river bank")
+    docs = spark.createDataFrame(
+        [(0, base), (1, "PREFIX ADDED " + base)],
+        "doc_id long, text string")
+    # compare the minima SETS, not just min/max: recompute via the same
+    # lineage but grouped as collected sets
+    from ocr_pytorch_spark.functions import fan_out
+    from pyspark.sql import Window
+
+    k, w = 8, 4
+    n = F.length("text")
+    pos_arr = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = (docs.select("doc_id", F.explode(pos_arr).alias("pos"),
+                         "text")
+             .select("doc_id", "pos",
+                     F.substring(F.md5(F.expr(
+                         f"substring(text, pos, {k})")), 1, 8)
+                     .alias("h"), F.length("text").alias("n")))
+    win = (Window.partitionBy("doc_id").orderBy("pos")
+           .rowsBetween(0, w - 1))
+    minima = (grams.withColumn("m", F.min("h").over(win))
+              .where(F.col("pos") <= F.col("n") - k + 1 - (w - 1))
+              .select("doc_id", "m").distinct().collect())
+    sets = {0: set(), 1: set()}
+    for r in minima:
+        sets[r["doc_id"]].add(r["m"])
+    inter = len(sets[0] & sets[1])
+    union = len(sets[0] | sets[1])
+    assert inter / union >= 0.6, f"winnow overlap {inter}/{union}"
+    # and the summary operator agrees with the recomputed sets
+    fp = {r["doc_id"]: r for r in winnow_fingerprint(docs).collect()}
+    assert fp[0]["n_fps"] == len(sets[0])
+    assert fp[0]["fp_min"] == min(sets[0])
