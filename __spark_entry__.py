@@ -221,6 +221,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             base.alias("output_file"),
             F.concat(stem, F.lit(".txt")).alias("txt_file"))
 
+    def time_bucket_rollup(spark, sf):
+        """Hypertable-style continuous-aggregate rollup: fixed hourly
+        time buckets x event_type with count/sum/min/max — the
+        pre-aggregation a timeseries store maintains incrementally; in
+        Spark it is one partial-aggregated groupBy whose bucket key is
+        a pure function of ts (so it also runs under streaming with a
+        watermark, see streaming/windows.py)."""
+        ev = _t(spark, sf, "events")
+        bucket = F.date_trunc("HOUR", F.col("ts"))
+        return (ev.groupBy(
+                    F.date_format(bucket, "yyyy-MM-dd HH:00")
+                    .alias("hour_bucket"), "event_type")
+                .agg(F.count("*").alias("n"),
+                     quant4(F.sum("value")).alias("sum_value"),
+                     quant4(F.min("value")).alias("min_value"),
+                     quant4(F.max("value")).alias("max_value")))
+
     def text_normalize(spark, sf):
         """Dedup preprocessing normalization: lowercase, collapse
         non-alphanumerics to single spaces, trim — the canonical form
@@ -659,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": text_normalize,
         "sample_documents": sample_documents,
         "salted_join": salted_join,
+        "time_bucket_rollup": time_bucket_rollup,
         "window_reading_order": window_reading_order,
         "dedupe_consecutive_lag": dedupe_consecutive_lag,
         "group_line_stats": group_line_stats,
@@ -943,6 +961,18 @@ def oracle_sql() -> dict[str, str]:
                          / 1000.0) * 10000 + 0.5) / 10000 AS rev_k
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY l_orderkey ORDER BY rev_k DESC, l_orderkey LIMIT 10""",
+        "time_bucket_rollup": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00')
+                     AS hour_bucket,
+                   event_type, count(*) AS n,
+                   floor(sum(value) * 10000 + 0.5) / 10000
+                     AS sum_value,
+                   floor(min(value) * 10000 + 0.5) / 10000
+                     AS min_value,
+                   floor(max(value) * 10000 + 0.5) / 10000
+                     AS max_value
+            FROM events
+            GROUP BY date_trunc('hour', ts), event_type""",
         "text_normalize": """
             SELECT doc_id,
                    trim(regexp_replace(regexp_replace(lower(text),
