@@ -161,6 +161,40 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
           ("mean_r", "mean_g", "mean_b", "std_gray", "dark_frac")])
 
 
+def _multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs via dHash banding (rows-only).  Fixture
+    doc-images are perceptually flat, so they all pair — semantically
+    correct for this corpus; tests/test_multimodal.py checks the
+    discriminative behavior on structured images."""
+    _ship_package(spark)
+    from ocr_pytorch_spark.operators.multimodal import image_neardup_pairs
+
+    return image_neardup_pairs(_fixture_images(spark))
+
+
+def _ocr_errors_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 error sink as a query surface: a corpus with one poisoned
+    image (truncated bytes) yields per-image error rows instead of a
+    failed job (rows-only; ERROR_BOX_ORDER contract)."""
+    _ship_package(spark)
+    from ocr_pytorch_spark.config import PipelineConfig
+    from ocr_pytorch_spark.models import weights as W
+    from ocr_pytorch_spark.operators.extract import (file_weights_spec,
+                                                     ocr_errors,
+                                                     ocr_transcripts)
+
+    imgs = _fixture_images(spark).limit(4).unionByName(
+        spark.createDataFrame(
+            [("img-poison", 10, 10, 3, bytearray(b"\x01\x02"))],
+            "media_ref string, height int, width int, channels int, "
+            "data binary"))
+    W.load_bundled()
+    spans = ocr_transcripts(imgs, imgs.select("media_ref"),
+                            file_weights_spec(),
+                            PipelineConfig.fixture())
+    return ocr_errors(spans)
+
+
 def _multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup keys (rows-only: the resample kernel is
     NumPy, not SQL-expressible)."""
@@ -727,6 +761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_extract": _ocr_extract,
         "multimodal_features": _multimodal_features,
         "multimodal_dhash": _multimodal_dhash,
+        "multimodal_neardup": _multimodal_neardup,
+        "ocr_errors_scan": _ocr_errors_scan,
         "png_ocr_extract": _png_ocr_extract,
     }
 

@@ -94,6 +94,42 @@ def image_dhash(images: DataFrame) -> DataFrame:
     return images.mapInPandas(hashes, schema=DHASH_SCHEMA)
 
 
+def image_neardup_pairs(images: DataFrame,
+                        max_hamming: int = 6,
+                        bands: int = 4) -> DataFrame:
+    """Image near-dup detection: dHash -> band the 64-bit hash into
+    ``bands`` 16-bit keys -> bucket-join candidates (two near-dup
+    hashes agree on at least one full band when their Hamming distance
+    is small) -> exact Hamming verify via bit_count(xor), pure codegen.
+    The same banding scheme as the text SimHash/MinHash paths, so image
+    dedup scales identically: skinny band rows, no all-pairs product.
+    Output: ref_a, ref_b, hamming (<= max_hamming)."""
+    from pyspark.sql import functions as F
+
+    hashes = image_dhash(images)
+    r = 64 // bands
+    band_structs = [
+        F.struct(F.lit(b).alias("band_idx"),
+                 F.shiftrightunsigned(F.col("dhash"), b * r)
+                 .bitwiseAND(F.lit((1 << r) - 1)).alias("key"))
+        for b in range(bands)]
+    stacked = (hashes.select(
+        "media_ref", "dhash",
+        F.explode(F.array(*band_structs)).alias("bk"))
+        .select("media_ref", "dhash", "bk.band_idx", "bk.key"))
+    a = stacked.select(F.col("media_ref").alias("ref_a"),
+                       F.col("dhash").alias("ha"), "band_idx", "key")
+    b = stacked.select(F.col("media_ref").alias("ref_b"),
+                       F.col("dhash").alias("hb"), "band_idx", "key")
+    return (a.join(b, ["band_idx", "key"])
+            .where(F.col("ref_a") < F.col("ref_b"))
+            .select("ref_a", "ref_b",
+                    F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                    .alias("hamming"))
+            .distinct()
+            .where(F.col("hamming") <= max_hamming))
+
+
 def image_features(images: DataFrame) -> DataFrame:
     """Per-image feature extraction (channel means, grayscale std, dark
     fraction) as an iterator mapInPandas — the standard multimodal

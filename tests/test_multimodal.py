@@ -96,3 +96,33 @@ def test_dhash_properties(spark):
     got = image_dhash(df).collect()[0]["dhash"]
     v = dhash_array(a)
     assert got == (v - (1 << 64) if v >= (1 << 63) else v)
+
+
+def test_image_neardup_pairs(spark):
+    """dHash banding finds noisy copies, rejects distinct images."""
+    import numpy as np
+
+    from ocr_pytorch_spark.operators.multimodal import image_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, (100, 140, 3), dtype=np.uint8)
+    # low-frequency structure so dhash is stable under noise
+    yy, xx = np.mgrid[0:100, 0:140]
+    base = ((np.sin(xx / 15) + np.cos(yy / 11) + 2) / 4 * 255) \
+        .astype(np.uint8)[:, :, None].repeat(3, 2)
+    noisy = np.clip(base.astype(np.int16)
+                    + rng.integers(-3, 4, base.shape), 0, 255) \
+        .astype(np.uint8)
+    other = rng.integers(0, 256, base.shape, dtype=np.uint8)
+    rows = [("img-a", *base.shape, bytearray(base.tobytes())),
+            ("img-b", *noisy.shape, bytearray(noisy.tobytes())),
+            ("img-c", *other.shape, bytearray(other.tobytes()))]
+    df = spark.createDataFrame(
+        rows, "media_ref string, height int, width int, channels int, "
+              "data binary")
+    pairs = {(r["ref_a"], r["ref_b"]): r["hamming"]
+             for r in image_neardup_pairs(df).collect()}
+    assert ("img-a", "img-b") in pairs
+    assert pairs[("img-a", "img-b")] <= 6
+    assert ("img-a", "img-c") not in pairs
+    assert ("img-b", "img-c") not in pairs
