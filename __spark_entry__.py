@@ -255,6 +255,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             base.alias("output_file"),
             F.concat(stem, F.lit(".txt")).alias("txt_file"))
 
+    def data_quality_checks(spark, sf):
+        """Deequ-style constraint validation in one pass per table:
+        null keys, duplicate keys, out-of-range values, referential
+        orphans — each check a conditional aggregate, emitted as
+        (check, n_violations) rows.  At 10^12 rows this is the same
+        single scan + tiny join it is here."""
+        ev = _t(spark, sf, "events")
+        docs = _t(spark, sf, "documents")
+        li = _t(spark, sf, "lineitem")
+        orders = _t(spark, sf, "orders")
+        ev_checks = ev.agg(
+            F.count(F.when(F.col("event_id").isNull(), 1))
+            .alias("events_null_id"),
+            F.count(F.when(F.col("value") < 0, 1))
+            .alias("events_negative_value"),
+            (F.count("*") - F.count_distinct("event_id"))
+            .alias("events_dup_id"))
+        doc_checks = docs.agg(
+            F.count(F.when(F.col("text").isNull()
+                           | (F.length("text") == 0), 1))
+            .alias("documents_empty_text"),
+            (F.count("*") - F.count_distinct("doc_id"))
+            .alias("documents_dup_id"))
+        orphans = (li.join(orders,
+                           li["l_orderkey"] == orders["o_orderkey"],
+                           "left_anti")
+                   .agg(F.count("*").alias("lineitem_orphan_orders")))
+        wide = ev_checks.crossJoin(doc_checks).crossJoin(orphans)
+        checks = ["events_null_id", "events_negative_value",
+                  "events_dup_id", "documents_empty_text",
+                  "documents_dup_id", "lineitem_orphan_orders"]
+        stacked = F.explode(F.array(*[
+            F.struct(F.lit(c).alias("check"),
+                     F.col(c).cast("long").alias("n_violations"))
+            for c in checks])).alias("kv")
+        return (wide.select(stacked)
+                .select("kv.check", "kv.n_violations"))
+
     def time_bucket_rollup(spark, sf):
         """Hypertable-style continuous-aggregate rollup: fixed hourly
         time buckets x event_type with count/sum/min/max — the
@@ -711,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_documents": sample_documents,
         "salted_join": salted_join,
         "time_bucket_rollup": time_bucket_rollup,
+        "data_quality_checks": data_quality_checks,
         "window_reading_order": window_reading_order,
         "dedupe_consecutive_lag": dedupe_consecutive_lag,
         "group_line_stats": group_line_stats,
@@ -997,6 +1036,40 @@ def oracle_sql() -> dict[str, str]:
                          / 1000.0) * 10000 + 0.5) / 10000 AS rev_k
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY l_orderkey ORDER BY rev_k DESC, l_orderkey LIMIT 10""",
+        "data_quality_checks": """
+            WITH ev AS (
+              SELECT count(CASE WHEN event_id IS NULL THEN 1 END)
+                       AS events_null_id,
+                     count(CASE WHEN value < 0 THEN 1 END)
+                       AS events_negative_value,
+                     count(*) - count(DISTINCT event_id)
+                       AS events_dup_id
+              FROM events
+            ), dc AS (
+              SELECT count(CASE WHEN text IS NULL OR length(text) = 0
+                                THEN 1 END) AS documents_empty_text,
+                     count(*) - count(DISTINCT doc_id)
+                       AS documents_dup_id
+              FROM documents
+            ), orph AS (
+              SELECT count(*) AS lineitem_orphan_orders
+              FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)
+            )
+            SELECT 'events_null_id' AS check,
+                   CAST(events_null_id AS BIGINT) AS n_violations
+              FROM ev
+            UNION ALL SELECT 'events_negative_value',
+                   CAST(events_negative_value AS BIGINT) FROM ev
+            UNION ALL SELECT 'events_dup_id',
+                   CAST(events_dup_id AS BIGINT) FROM ev
+            UNION ALL SELECT 'documents_empty_text',
+                   CAST(documents_empty_text AS BIGINT) FROM dc
+            UNION ALL SELECT 'documents_dup_id',
+                   CAST(documents_dup_id AS BIGINT) FROM dc
+            UNION ALL SELECT 'lineitem_orphan_orders',
+                   CAST(lineitem_orphan_orders AS BIGINT) FROM orph""",
         "time_bucket_rollup": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00')
                      AS hour_bucket,
