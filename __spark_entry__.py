@@ -724,15 +724,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .groupBy("bucket").agg(F.count("*").alias("n")))
 
     return {
+        # --- ordering matters: the driver verifies queries in dict
+        # order under a bounded budget (~50 checks/round), so the
+        # oracle-bearing keys that most need verification lead
+        # (never-driver-checked or red last round), the bulk of
+        # oracle-bearing keys follow, and the tail holds (a) trivial
+        # relational queries green in BOTH prior rounds and (b)
+        # rows-only checks that carry no oracle anyway.
+        "corpus_filter": lambda s, sf: T.corpus_filter(
+            _t(s, sf, "documents")),
+        "text_winnow_fp": lambda s, sf: T.winnow_fingerprint(
+            _t(s, sf, "documents")),
+        "salted_join": salted_join,
+        "text_quality": lambda s, sf: T.quality_score(
+            _t(s, sf, "documents")),
+        "text_token_count": lambda s, sf: T.token_count(
+            _t(s, sf, "documents")),
+        "text_fingerprint": lambda s, sf: T.fingerprint(
+            _t(s, sf, "documents")),
         # SURVEY §7.3 reference-operator analogues
         "filter_threshold": filter_threshold,
         "sessionize": sessionize,
-        "distinct_agg": distinct_agg,
-        "approx_distinct": approx_distinct,  # rows-only (HLL differs)
-        "rollup_agg": rollup_agg,
-        "set_ops": set_ops,
-        "pivot_counts": pivot_counts,
-        "histogram_value": histogram_value,
         "filter_minsize": filter_minsize,
         "project_bbox_decode": project_bbox_decode,
         "topk_score": topk_score,
@@ -747,7 +759,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keeper_policy": dedup_keeper_policy,
         "text_normalize": text_normalize,
         "sample_documents": sample_documents,
-        "salted_join": salted_join,
         "time_bucket_rollup": time_bucket_rollup,
         "data_quality_checks": data_quality_checks,
         "window_reading_order": window_reading_order,
@@ -786,17 +797,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": lambda s, sf: S.ivf_cosine_topk(
             _t(s, sf, "embeddings")),
         "text_lang_id": lambda s, sf: T.lang_id(_t(s, sf, "documents")),
-        "text_quality": lambda s, sf: T.quality_score(
-            _t(s, sf, "documents")),
-        "text_token_count": lambda s, sf: T.token_count(
-            _t(s, sf, "documents")),
-        "corpus_filter": lambda s, sf: T.corpus_filter(
-            _t(s, sf, "documents")),
-        "text_winnow_fp": lambda s, sf: T.winnow_fingerprint(
-            _t(s, sf, "documents")),
-        "text_fingerprint": lambda s, sf: T.fingerprint(
-            _t(s, sf, "documents")),
+        # trivial relational coverage, green in r1 AND r2 — parked at
+        # the tail so the driver's check budget lands on fresher keys
+        "distinct_agg": distinct_agg,
+        "rollup_agg": rollup_agg,
+        "set_ops": set_ops,
+        "pivot_counts": pivot_counts,
+        "histogram_value": histogram_value,
         # non-SQL-expressible (NumPy model forwards) -> rows-only checks
+        "approx_distinct": approx_distinct,  # rows-only (HLL differs)
         "ocr_extract": _ocr_extract,
         "multimodal_features": _multimodal_features,
         "multimodal_dhash": _multimodal_dhash,
@@ -1103,8 +1112,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE h < {int(0.1 * 16 ** 8)}""",
         "salted_join": """
             SELECT l_orderkey, count(*) AS n,
-                   sum(CAST(floor((l_extendedprice + o_totalprice)
-                                  * 100) AS BIGINT)) AS combined_cents
+                   CAST(sum(CAST(floor((l_extendedprice + o_totalprice)
+                                       * 100) AS BIGINT))
+                        AS BIGINT) AS combined_cents
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY l_orderkey""",
         "session_window_agg": """

@@ -20,7 +20,14 @@ Both torch serialization formats are supported:
 
 Unpickling is restricted: only torch storage classes, the two tensor
 rebuild helpers, and basic containers resolve; anything else raises —
-a checkpoint cannot execute code here.
+a checkpoint cannot execute code here.  That guarantee covers EVERY
+pickle section in both formats: the legacy header sections (magic,
+protocol, sys_info) and the storage-key list go through a primitive
+unpickler with no globals and no persistent ids at all, storage sizes
+are validated against the bytes actually left in the file, and tensor
+views are bounds-checked against their storage before construction, so
+a corrupt or malicious checkpoint fails loudly instead of executing
+code or reading out of bounds.
 """
 
 from __future__ import annotations
@@ -61,11 +68,58 @@ def _rebuild_tensor(storage_bytes, ref: _StorageRef, offset, size,
     buf = storage_bytes[ref.key]
     flat = np.frombuffer(buf, dtype=ref.dtype)
     if not size:
+        if not 0 <= offset < flat.size:
+            raise ValueError(
+                f"corrupt checkpoint: scalar offset {offset} outside "
+                f"storage of {flat.size} elements")
         return flat[offset].copy()
+    size = tuple(int(s) for s in size)
+    stride = tuple(int(s) for s in stride)
+    if (offset < 0 or len(size) != len(stride)
+            or any(s < 0 for s in size) or any(s < 0 for s in stride)):
+        raise ValueError(
+            "corrupt checkpoint: negative/mismatched tensor "
+            f"offset={offset} size={size} stride={stride}")
+    if 0 in size:
+        return np.empty(size, dtype=ref.dtype)
+    # the view must stay inside the storage buffer: last reachable
+    # element is offset + sum((dim-1) * stride_dim)
+    span = offset + 1 + sum((s - 1) * st for s, st in zip(size, stride))
+    if span > flat.size:
+        raise ValueError(
+            f"corrupt checkpoint: tensor view needs {span} elements "
+            f"but storage {ref.key!r} has {flat.size}")
+    contig = []
+    acc = 1
+    for s in reversed(size):
+        contig.append(acc)
+        acc *= s
+    if stride == tuple(reversed(contig)):  # common contiguous case
+        return flat[offset:offset + acc].reshape(size).copy()
     arr = np.lib.stride_tricks.as_strided(
-        flat[offset:], shape=tuple(size),
+        flat[offset:], shape=size,
         strides=tuple(s * flat.itemsize for s in stride))
     return np.ascontiguousarray(arr)
+
+
+class _PrimitiveUnpickler(pickle.Unpickler):
+    """For the legacy header/key sections: these hold only primitives
+    (ints, dicts of str, list of str), so NO global may resolve and NO
+    persistent id may appear — stock pickle.load here would hand an
+    attacker __reduce__ execution before the main pickle's allow-list
+    is ever consulted."""
+
+    def find_class(self, module, name):
+        raise pickle.UnpicklingError(
+            f"checkpoint header references global {module}.{name}")
+
+    def persistent_load(self, pid):
+        raise pickle.UnpicklingError(
+            "unexpected persistent id in checkpoint header")
+
+
+def _load_primitive(f):
+    return _PrimitiveUnpickler(f, encoding="latin1").load()
 
 
 class _Unpickler(pickle.Unpickler):
@@ -127,12 +181,13 @@ def _load_zip(path: str):
 
 
 def _load_legacy(path: str):
+    file_size = os.path.getsize(path)
     with open(path, "rb") as f:
-        magic = pickle.load(f)
+        magic = _load_primitive(f)
         if magic != _MAGIC:
             raise ValueError("not a torch legacy checkpoint (bad magic)")
-        pickle.load(f)  # protocol version
-        pickle.load(f)  # sys_info
+        _load_primitive(f)  # protocol version
+        _load_primitive(f)  # sys_info
         # the object pickle references storages lazily; record refs now,
         # fill bytes after reading the storage section
         storage_bytes: dict = {}
@@ -149,11 +204,25 @@ def _load_legacy(path: str):
         up._rebuild_v2 = rebuild_later  # type: ignore[assignment]
         up._rebuild_v1 = rebuild_later  # type: ignore[assignment]
         obj = up.load()
-        keys = pickle.load(f)
+        keys = _load_primitive(f)
+        if not (isinstance(keys, list)
+                and all(isinstance(k, str) for k in keys)):
+            raise ValueError(
+                "corrupt checkpoint: storage key list is not list[str]")
         for key in keys:
+            if key not in up.storage_dtypes:
+                raise ValueError(
+                    f"corrupt checkpoint: storage key {key!r} never "
+                    f"referenced by the object pickle")
             numel = struct.unpack("<q", f.read(8))[0]
             itemsize = np.dtype(up.storage_dtypes[key]).itemsize
-            storage_bytes[key] = f.read(numel * itemsize)
+            nbytes = numel * itemsize
+            if numel < 0 or nbytes > file_size - f.tell():
+                raise ValueError(
+                    f"corrupt checkpoint: storage {key!r} claims "
+                    f"{numel} elements ({nbytes} bytes) but only "
+                    f"{file_size - f.tell()} bytes remain")
+            storage_bytes[key] = f.read(nbytes)
         placeholder_map = {}
         for holder, storage, offset, size, stride in deferred:
             placeholder_map[id(holder)] = _rebuild_tensor(

@@ -61,7 +61,10 @@ def rpn_cls_loss(pred: np.ndarray, target: np.ndarray,
         loss_pos = ce[pos, 1].sum() if n_pos else 0.0
         neg = target == 0
         loss_neg = np.sort(ce[neg, 0])[::-1]
-        k = min(loss_neg.size, total_num - n_pos)
+        # clamp: if n_pos >= total_num, take NO negatives — a negative
+        # k would silently slice all-but-|k| hardest negatives, where
+        # the reference's torch.topk would error loudly
+        k = min(loss_neg.size, max(0, total_num - n_pos))
         return float((loss_pos + loss_neg[:k].sum()) / total_num)
     keep = target != -1
     if not keep.any():

@@ -96,17 +96,45 @@ def image_dhash(images: DataFrame) -> DataFrame:
 
 def image_neardup_pairs(images: DataFrame,
                         max_hamming: int = 6,
-                        bands: int = 4) -> DataFrame:
+                        bands: int | None = None) -> DataFrame:
     """Image near-dup detection: dHash -> band the 64-bit hash into
-    ``bands`` 16-bit keys -> bucket-join candidates (two near-dup
-    hashes agree on at least one full band when their Hamming distance
-    is small) -> exact Hamming verify via bit_count(xor), pure codegen.
-    The same banding scheme as the text SimHash/MinHash paths, so image
-    dedup scales identically: skinny band rows, no all-pairs product.
+    ``bands`` equal-width keys -> bucket-join candidates -> exact
+    Hamming verify via bit_count(xor), pure codegen.  The same banding
+    scheme as the text SimHash/MinHash paths, so image dedup scales
+    identically: skinny band rows, no all-pairs product.
+
+    Recall guarantee (pigeonhole): ``max_hamming`` differing bits can
+    zero out at most ``max_hamming`` bands, so with
+    ``bands > max_hamming`` every qualifying pair shares at least one
+    intact band — recall is EXACT at the advertised radius, not
+    probabilistic.  ``bands`` therefore defaults to the smallest
+    power-of-two divisor of 64 exceeding ``max_hamming`` (8 bands of
+    8 bits for the default radius 6); passing an explicit ``bands <=
+    max_hamming`` raises rather than silently miss pairs whose flipped
+    bits spread across all bands.
+
     Output: ref_a, ref_b, hamming (<= max_hamming)."""
     from pyspark.sql import functions as F
 
-    hashes = image_dhash(images)
+    if bands is None:
+        bands = next(b for b in (1, 2, 4, 8, 16, 32, 64)
+                     if b > max_hamming)
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall at Hamming radius "
+            f"{max_hamming}; need bands > max_hamming")
+    if 64 % bands:
+        raise ValueError(f"bands={bands} must divide 64")
+    return hash_neardup_pairs(image_dhash(images), max_hamming, bands)
+
+
+def hash_neardup_pairs(hashes: DataFrame, max_hamming: int,
+                       bands: int) -> DataFrame:
+    """Banded Hamming join over (media_ref, dhash:long) rows — the
+    distributable core of image_neardup_pairs, factored out so recall
+    can be tested on adversarially-placed bit patterns directly."""
+    from pyspark.sql import functions as F
+
     r = 64 // bands
     band_structs = [
         F.struct(F.lit(b).alias("band_idx"),

@@ -226,6 +226,96 @@ def test_truncated_zip_rejected(fake_torch, tmp_path):
         C.load_state_dict(p)
 
 
+def test_legacy_header_pickle_cannot_execute(fake_torch, tmp_path):
+    """The legacy format's non-object pickle sections (magic, protocol,
+    sys_info, key list) are attacker-controlled too: a __reduce__
+    payload in ANY of them must be rejected, never executed."""
+    canary = str(tmp_path / "pwned")
+
+    class Evil:
+        def __reduce__(self):
+            return (os.system, (f"touch {canary}",))
+
+    sd = _sample_sd()
+    good = str(tmp_path / "good.pth")
+    write_fake_pth_legacy(sd, good)
+    blob = open(good, "rb").read()
+    magic_pkl = pickle.dumps(0x1950A86A20F9469CFC6C, protocol=2)
+
+    # payload in the magic slot
+    evil1 = str(tmp_path / "evil1.pth")
+    with open(evil1, "wb") as f:
+        f.write(pickle.dumps(Evil(), protocol=2))
+        f.write(blob[len(magic_pkl):])
+    with pytest.raises(Exception):
+        C.load_state_dict(evil1)
+    assert not os.path.exists(canary)
+
+    # payload in the sys_info slot (3rd section)
+    evil2 = str(tmp_path / "evil2.pth")
+    with open(evil2, "wb") as f:
+        pickle.dump(0x1950A86A20F9469CFC6C, f, protocol=2)
+        pickle.dump(1001, f, protocol=2)
+        f.write(pickle.dumps(Evil(), protocol=2))
+    with pytest.raises(Exception):
+        C.load_state_dict(evil2)
+    assert not os.path.exists(canary)
+
+
+def test_legacy_key_list_validated(fake_torch, tmp_path):
+    """Storage-key list must be list[str]; anything else is rejected."""
+    sd = _sample_sd()
+    data_pkl, raw, keys = _pickle_state(sd)
+    p = str(tmp_path / "badkeys.pth")
+    with open(p, "wb") as f:
+        for head in (0x1950A86A20F9469CFC6C, 1001,
+                     {"little_endian": True}):
+            pickle.dump(head, f, protocol=2)
+        f.write(data_pkl)
+        pickle.dump({"not": "a list"}, f, protocol=2)
+    with pytest.raises(ValueError, match="list"):
+        C.load_state_dict(p)
+
+
+def test_legacy_oversized_storage_rejected(fake_torch, tmp_path):
+    """A storage claiming more elements than bytes remain in the file
+    must raise instead of silently short-reading."""
+    sd = _sample_sd()
+    data_pkl, raw, keys = _pickle_state(sd)
+    p = str(tmp_path / "oversz.pth")
+    with open(p, "wb") as f:
+        for head in (0x1950A86A20F9469CFC6C, 1001,
+                     {"little_endian": True}):
+            pickle.dump(head, f, protocol=2)
+        f.write(data_pkl)
+        pickle.dump(keys, f, protocol=2)
+        f.write(struct.pack("<q", 1 << 40))  # absurd element count
+        f.write(raw[keys[0]])
+    with pytest.raises(ValueError, match="remain"):
+        C.load_state_dict(p)
+
+
+def test_out_of_bounds_tensor_view_rejected(fake_torch, tmp_path):
+    """Checkpoint-controlled size/stride may not read outside the
+    storage buffer (as_strided would otherwise return garbage or
+    segfault)."""
+    ref = C._StorageRef(np.float32, "0", 4)
+    storage = {"0": np.arange(4, dtype=np.float32).tobytes()}
+    with pytest.raises(ValueError, match="corrupt"):
+        C._rebuild_tensor(storage, ref, 0, (100, 100), (100, 1))
+    with pytest.raises(ValueError, match="corrupt"):
+        C._rebuild_tensor(storage, ref, -1, (2,), (1,))
+    with pytest.raises(ValueError, match="corrupt"):
+        C._rebuild_tensor(storage, ref, 0, (2, 2), (-2, 1))
+    # in-bounds views still work, both contiguous and strided
+    assert np.array_equal(
+        C._rebuild_tensor(storage, ref, 0, (2, 2), (2, 1)),
+        [[0, 1], [2, 3]])
+    assert np.array_equal(
+        C._rebuild_tensor(storage, ref, 0, (2,), (3,)), [0, 3])
+    assert C._rebuild_tensor(storage, ref, 2, (), ()) == 2.0
+
+
 def test_non_dict_checkpoint_rejected(fake_torch, tmp_path):
     import zipfile as zf_mod
 

@@ -48,6 +48,19 @@ def test_rpn_cls_loss_ohem_picks_hardest_negatives():
                       min(nll.mean(), 10.0))
 
 
+def test_rpn_cls_loss_ohem_more_positives_than_budget():
+    """n_pos > total_num: k clamps to 0 — no negatives contribute
+    (a negative k would silently sum all-but-|k| hardest negatives)."""
+    rng = np.random.default_rng(1)
+    n = 400
+    pred = rng.normal(size=(n, 2))
+    target = np.ones(n)
+    target[-50:] = 0  # 350 positives > total_num=300, 50 negatives
+    ce = -np.log(_softmax(pred))
+    want = ce[:-50, 1].sum() / 300  # positives only
+    assert np.isclose(L.rpn_cls_loss(pred, target), want)
+
+
 def test_ctc_loss_matches_path_enumeration():
     rng = np.random.default_rng(1)
     logits = rng.normal(size=(3, 4))

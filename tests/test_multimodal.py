@@ -126,3 +126,41 @@ def test_image_neardup_pairs(spark):
     assert pairs[("img-a", "img-b")] <= 6
     assert ("img-a", "img-c") not in pairs
     assert ("img-b", "img-c") not in pairs
+
+
+def test_neardup_recall_adversarial_bit_placement(spark):
+    """Pairs at Hamming 4-6 with flipped bits spread so that EVERY
+    16-bit band (the old 4-band layout) differs must still be found:
+    the pigeonhole default (8 bands of 8 bits for radius 6) guarantees
+    an intact band for any placement of <= 6 flips."""
+    from ocr_pytorch_spark.operators.multimodal import hash_neardup_pairs
+
+    base = 0x0123456789ABCDEF
+    # worst cases for 4x16 banding: one flip inside each 16-bit band
+    spread4 = base ^ ((1 << 3) | (1 << 19) | (1 << 35) | (1 << 51))
+    # 6 flips hitting all four 16-bit bands, two bands twice
+    spread6 = base ^ ((1 << 0) | (1 << 8) | (1 << 16) | (1 << 31)
+                      | (1 << 40) | (1 << 63))
+    far = base ^ sum(1 << p for p in range(0, 64, 8))  # hamming 8
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = [("h-base", signed(base)), ("h-s4", signed(spread4)),
+            ("h-s6", signed(spread6)), ("h-far", signed(far))]
+    df = spark.createDataFrame(rows, "media_ref string, dhash long")
+    got = {(r["ref_a"], r["ref_b"]): r["hamming"]
+           for r in hash_neardup_pairs(df, max_hamming=6,
+                                       bands=8).collect()}
+    assert got[("h-base", "h-s4")] == 4
+    assert got[("h-base", "h-s6")] == 6
+    assert ("h-base", "h-far") not in got  # beyond the radius
+
+
+def test_neardup_rejects_recall_breaking_bands():
+    import pyspark.sql  # noqa: F401  (no session needed: raises early)
+
+    from ocr_pytorch_spark.operators.multimodal import image_neardup_pairs
+
+    with pytest.raises(ValueError, match="recall"):
+        image_neardup_pairs(None, max_hamming=6, bands=4)
