@@ -125,6 +125,58 @@ def entry(spark: SparkSession) -> DataFrame:
     return _ocr_extract(spark, SF_DEFAULT)
 
 
+def _ocr_extract_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable flagship invariant (SURVEY §5.2 Layer 2, under
+    the driver instead of pytest): the distributed pipeline's span rows
+    are anti-joined BOTH ways against the single-process NumPy oracle's
+    expected rows — parity holds iff the result is EMPTY.  The DuckDB
+    oracle is the literal empty relation with this schema, so the
+    driver's row-count + schema + value-hash checks all bite: any span
+    produced out of order, dropped, duplicated, or transcribed
+    differently by the Spark path shows up as violation rows and fails
+    rows_match.
+
+    Oracle cost is bounded: each of the N_OCR_IMAGES distinct fixture
+    images is OCR'd once driver-side (they are pure functions of
+    (name, seed)), then reassembled per doc via oracle.extract_document
+    — the same code path the pytest layer trusts."""
+    _ship_package(spark)
+    from ocr_pytorch_spark import datagen, oracle
+    from ocr_pytorch_spark.config import PipelineConfig
+    from ocr_pytorch_spark.models import weights as W
+
+    ctpn_w, crnn_w = W.load_bundled()
+    cfg = PipelineConfig.fixture()
+    per_ref = {}
+    for i in range(N_OCR_IMAGES):
+        ref = f"img-td-{i:04d}"
+        img, _ = datagen.gen_image_array(ref)
+        per_ref[ref] = oracle.ocr_image(img, ctpn_w, crnn_w, cfg)
+
+    expected_rows = []
+    for d in _interleaved_docs(spark, sf_dir).collect():  # N_OCR_DOCS rows
+        doc = {"doc_id": d["doc_id"],
+               "spans": [{"kind": s["kind"], "text": s["text"],
+                          "media_ref": s["media_ref"]} for s in d["spans"]]}
+        out = oracle.extract_document(
+            doc, None, ctpn_w, crnn_w, cfg,
+            ocr_for_ref=lambda ref: per_ref[ref])
+        for s in out["spans"]:
+            expected_rows.append((out["doc_id"], s["offset"], s["kind"],
+                                  s["text"], s["media_ref"]))
+
+    if not expected_rows:  # parity must never be vacuously true
+        raise RuntimeError("oracle produced no expected spans")
+    schema = ("doc_id string, offset int, kind string, text string, "
+              "media_ref string")
+    expected = spark.createDataFrame(expected_rows, schema)
+    actual = _ocr_extract(spark, sf_dir)
+    return (actual.exceptAll(expected)
+            .withColumn("side", F.lit("pipeline_only"))
+            .unionByName(expected.exceptAll(actual)
+                         .withColumn("side", F.lit("oracle_only"))))
+
+
 def _png_ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-image-file ingestion: a PNG corpus (fixture images encoded
     across all five PNG filter types + the checked-in reference
@@ -736,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fp": lambda s, sf: T.winnow_fingerprint(
             _t(s, sf, "documents")),
         "salted_join": salted_join,
+        "ocr_extract_parity": _ocr_extract_parity,
         "text_quality": lambda s, sf: T.quality_score(
             _t(s, sf, "documents")),
         "text_token_count": lambda s, sf: T.token_count(
@@ -1110,6 +1163,18 @@ def oracle_sql() -> dict[str, str]:
                        AS h
               FROM documents)
             WHERE h < {int(0.1 * 16 ** 8)}""",
+        # flagship invariant: the Spark query returns span-parity
+        # VIOLATIONS (pipeline-vs-oracle, both directions); correct
+        # behavior is the empty relation, which this literal encodes
+        # with the exact output schema so schema/rows/hash all check
+        "ocr_extract_parity": """
+            SELECT CAST(NULL AS VARCHAR) AS doc_id,
+                   CAST(NULL AS INT) AS offset,
+                   CAST(NULL AS VARCHAR) AS kind,
+                   CAST(NULL AS VARCHAR) AS text,
+                   CAST(NULL AS VARCHAR) AS media_ref,
+                   CAST(NULL AS VARCHAR) AS side
+            WHERE FALSE""",
         "salted_join": """
             SELECT l_orderkey, count(*) AS n,
                    CAST(sum(CAST(floor((l_extendedprice + o_totalprice)

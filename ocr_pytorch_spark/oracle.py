@@ -69,20 +69,29 @@ def ocr_image(image: np.ndarray, weights_ctpn: dict, weights_crnn: dict,
 
 
 def extract_document(doc: dict, image_for_ref, weights_ctpn: dict,
-                     weights_crnn: dict, cfg: PipelineConfig) -> dict:
+                     weights_crnn: dict, cfg: PipelineConfig,
+                     ocr_for_ref=None) -> dict:
     """Per-document span extraction: text spans pass through untouched;
     each media span is replaced by its OCR'd text spans (sort_box order,
     surviving boxes only); output offsets renumbered 0..n-1 in
     (source offset, box order) order.  Media spans whose image yields no
     transcript contribute nothing.  OCR'd spans carry the source
-    media_ref for provenance."""
+    media_ref for provenance.
+
+    ``ocr_for_ref`` optionally supplies pre-computed per-ref
+    (box_order, transcript) pairs so shared media refs are OCR'd once
+    (the parity query's use); assembly semantics are identical."""
     out_spans = []
     for span in doc["spans"]:
         if span["kind"] == "text":
             out_spans.append(("text", span["text"], None))
         else:
-            img = image_for_ref(span["media_ref"])
-            for _, text in ocr_image(img, weights_ctpn, weights_crnn, cfg):
+            if ocr_for_ref is not None:
+                pairs = ocr_for_ref(span["media_ref"])
+            else:
+                img = image_for_ref(span["media_ref"])
+                pairs = ocr_image(img, weights_ctpn, weights_crnn, cfg)
+            for _, text in pairs:
                 out_spans.append(("text", text, span["media_ref"]))
     return {
         "doc_id": doc["doc_id"],

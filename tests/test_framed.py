@@ -45,6 +45,29 @@ def test_frame_image_draws_quad_outline():
     assert tuple(out[35, 55]) == (0, 0, 0)    # outside untouched
 
 
+def test_frame_image_draws_score_label():
+    """K2 parity completion: the putText score label
+    (ctpn_predict.py:103 — str(round(score*100, 2)) + '%' at
+    (x1+13, y1+13), color (255,0,0)) is rendered."""
+    from ocr_pytorch_spark.kernels.draw import _FONT_5X7, draw_text
+
+    img = np.zeros((120, 200, 3), np.uint8)
+    quads = np.array([[10.0, 40, 180, 40, 10, 90, 180, 90, 0.875]])
+    out = frame_image(img, quads, np.empty((0, 4)))
+    # label pixels exist in (255,0,0) somewhere in the label box
+    label_region = out[40 + 13 - 21:40 + 13, 10 + 13:10 + 13 + 6 * 3 * 6]
+    red = (label_region[..., 0] == 255) & (label_region[..., 1] == 0) \
+        & (label_region[..., 2] == 0)
+    assert red.any(), "no label pixels rendered"
+    # and they match the exact glyph stamp for '87.5%'
+    want = np.zeros_like(img)
+    draw_text(want, "87.5%", (10 + 13, 40 + 13))
+    assert np.array_equal((out == (255, 0, 0)).all(axis=2),
+                          (want == (255, 0, 0)).all(axis=2))
+    # every label character has a glyph
+    assert set("0123456789.%") <= set(_FONT_5X7)
+
+
 def test_spark_framed_sink(spark, bundled_weights, fixture_cfg,
                            tmp_path_factory):
     from ocr_pytorch_spark import datagen
