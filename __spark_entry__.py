@@ -179,11 +179,12 @@ def _ocr_extract_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _png_ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-image-file ingestion: a PNG corpus (fixture images encoded
-    across all five PNG filter types + the checked-in reference
-    test_images/t1.png) is decoded by the pure-NumPy codec and OCR'd —
-    the reference's own demo input path (demo.py:11 cv2.imread of
-    test_images/*.png), end to end in Spark.  Rows-only (model forward
-    is not SQL-expressible)."""
+    across all five PNG filter types + the checked-in reference files
+    test_images/t1.png AND the reference's own rendered JPEG output
+    test_result/t1.jpg) is decoded by the pure-NumPy codecs
+    (magic-byte dispatch) and OCR'd — the reference's demo input path
+    (demo.py:11 cv2.imread of test_images/*.*), end to end in Spark.
+    Rows-only (model forward is not SQL-expressible)."""
     _ship_package(spark)
     from ocr_pytorch_spark.config import PipelineConfig
     from ocr_pytorch_spark.models import weights as W
@@ -193,7 +194,7 @@ def _png_ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     refs = [f"img-td-{i:04d}" for i in range(8)]
     corpus = PNG.encode_fixture_pngs(spark, refs)
-    real = PNG.read_png_dir(
+    real = PNG.read_image_dir(
         spark, os.path.join(REPO_ROOT, "tests", "assets"))
     images = PNG.decode_png_images(corpus.unionByName(real))
     ok = images.where(F.col("height") > 0)

@@ -1,13 +1,13 @@
 """Multimodal column plumbing: opaque ``binary`` media + typed metadata,
 processed by Arrow-batched ``mapInPandas`` UDFs.
 
-The raw-RGB decode and stats/resize paths are REAL (the engine's image
-table stores raw uint8 HWC bytes — no codec needed, SURVEY.md §1.1).
-Codec decode (JPEG/PNG), audio, and video-frame extraction are STUBBED
-behind ``NotImplementedError`` / deterministic fakes because the decoding
-libraries (PIL/cv2/ffmpeg) are not installed in this environment — the
-Spark-side plumbing (schema, batching, partitioning, UDF signatures) is
-real and tested.
+The raw-RGB decode, PNG and baseline-JPEG codec, and stats/resize paths
+are REAL (pure NumPy — kernels/png.py, kernels/jpeg.py; the engine's
+image table stores raw uint8 HWC bytes, SURVEY.md §1.1).  Audio and
+video-frame extraction are STUBBED behind ``NotImplementedError`` /
+deterministic fakes because the decoding libraries (soundfile/ffmpeg)
+are not installed in this environment — the Spark-side plumbing
+(schema, batching, partitioning, UDF signatures) is real and tested.
 """
 
 from __future__ import annotations
@@ -38,14 +38,22 @@ def decode_raw_rgb(data: bytes, h: int, w: int, c: int):
 def decode_codec(data: bytes, codec: str):
     """Codec decode.  PNG is REAL (pure-NumPy/zlib codec,
     kernels/png.py — covers the reference's own demo inputs,
-    test_images/*.png).  JPEG/audio remain stubbed: those require
-    PIL/soundfile, not available in this environment."""
-    if codec.lower() == "png":
+    test_images/*.png).  JPEG is REAL (pure-NumPy baseline decoder,
+    kernels/jpeg.py — covers the reference's own rendered output,
+    test_result/t1.jpg).  Audio/video remain stubbed: those require
+    soundfile/ffmpeg, not available in this environment."""
+    codec = codec.lower()
+    if codec == "png":
         from ocr_pytorch_spark.kernels.png import decode_png
 
         return decode_png(data)
+    if codec in ("jpg", "jpeg"):
+        from ocr_pytorch_spark.kernels.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(
-        f"codec decode ({codec}) requires PIL/ffmpeg, not available here")
+        f"codec decode ({codec}) requires soundfile/ffmpeg, "
+        f"not available here")
 
 
 DHASH_SCHEMA = "media_ref string, dhash long"

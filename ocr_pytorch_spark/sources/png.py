@@ -1,12 +1,15 @@
-"""PNG ingestion source: real image FILES -> the engine's raw-RGB
-images table.
+"""Image-file ingestion source: real PNG/JPEG FILES -> the engine's
+raw-RGB images table.
 
-The reference's own demo inputs are PNG files read with cv2.imread
-(demo.py:11 over test_images/t*.png); this source gives the Spark
-engine the same capability without PIL/cv2 via the pure-NumPy codec in
-``kernels/png.py``.  ``tests/assets/ref_t1.png`` is the reference's
-t1.png checked in so the ingest path is exercised against a real
-reference input.
+The reference's own demo inputs are image files read with cv2.imread
+(demo.py:11 over test_images/*.* — PNGs in the shipped repo, JPEGs
+equally accepted) and its rendered output is a JPEG
+(test_result/t1.jpg); this source gives the Spark engine the same
+capability without PIL/cv2 via the pure-NumPy codecs in
+``kernels/png.py`` and ``kernels/jpeg.py`` (magic-byte dispatch, so
+one scan handles a mixed directory).  ``tests/assets/ref_t1.png`` and
+``tests/assets/ref_t1.jpg`` are reference files checked in so the
+ingest path is exercised against real inputs from both codecs.
 
 Flow: ``spark.read.format("binaryFile")`` (built-in, splits by file)
 -> Arrow-batched ``mapInPandas`` decode -> (media_ref, height, width,
@@ -40,6 +43,13 @@ def read_png_dir(spark: SparkSession, path: str,
     return df.select(name.alias("media_ref"), "content")
 
 
+def read_image_dir(spark: SparkSession, path: str,
+                   glob: str = "*.{png,jpg,jpeg}") -> DataFrame:
+    """Mixed-codec directory scan (PNG + JPEG); decode dispatches on
+    magic bytes per file in decode_png_images."""
+    return read_png_dir(spark, path, glob)
+
+
 def decode_png_images(png_df: DataFrame,
                       ref_col: str = "media_ref",
                       bytes_col: str = "content") -> DataFrame:
@@ -48,13 +58,13 @@ def decode_png_images(png_df: DataFrame,
     height = -1 and the error text as data."""
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ocr_pytorch_spark.kernels.png import decode_png
+        from ocr_pytorch_spark.kernels import decode_image
 
         for pdf in batches:
             refs, hs, ws, cs, datas = [], [], [], [], []
             for ref, blob in zip(pdf[ref_col], pdf[bytes_col]):
                 try:
-                    img = decode_png(bytes(blob))
+                    img = decode_image(bytes(blob))
                     h, w, c = img.shape
                     payload = img.tobytes()
                 except Exception as exc:

@@ -42,9 +42,11 @@ def test_frame_sample_stride(spark, images_df):
     assert all(r["frame_idx"] == 0 for r in out)
 
 
-def test_codec_decode_is_stubbed():
+def test_codec_decode_audio_is_stubbed():
+    # PNG and JPEG are real codecs now (kernels/png.py, kernels/jpeg.py,
+    # covered in test_png.py / test_jpeg.py); audio remains stubbed
     with pytest.raises(NotImplementedError):
-        MM.decode_codec(b"\xff\xd8\xff", "jpeg")
+        MM.decode_codec(b"RIFF....WAVE", "wav")
 
 
 def test_dhash_properties(spark):
