@@ -141,6 +141,32 @@ def gen_images(refs: list[str], seed: int = DEFAULT_SEED) -> list[dict]:
     return rows
 
 
+def gen_augmented_image_array(media_ref: str, seed: int = DEFAULT_SEED
+                              ) -> np.ndarray:
+    """Fixture tier 2: the base fixture image pushed through the
+    reference's probability-gated augmentation chain
+    (kernels/augment.py, train_code/train_crnn/trans.py semantics),
+    with the chain seed derived from the media_ref — still a pure
+    function of (media_ref, seed)."""
+    from ocr_pytorch_spark.kernels.augment import augment_chain
+
+    img, _ = gen_image_array(media_ref, seed)
+    chain_seed = int(_rng_for(f"aug:{media_ref}", seed)
+                     .integers(0, 2 ** 31))
+    return augment_chain(img, chain_seed)
+
+
+def gen_augmented_images(refs: list[str],
+                         seed: int = DEFAULT_SEED) -> list[dict]:
+    rows = []
+    for ref in refs:
+        arr = gen_augmented_image_array(ref, seed)
+        rows.append({"media_ref": ref, "height": arr.shape[0],
+                     "width": arr.shape[1], "channels": 3,
+                     "data": arr.tobytes()})
+    return rows
+
+
 # --- parquet writers (pyarrow; usable without a SparkSession) ---
 
 def write_fixture(out_dir: str, n_docs: int,
