@@ -208,33 +208,48 @@ def embedding_neardup_pairs(embeddings: DataFrame,
 
 def dup_components(documents: DataFrame, edges: DataFrame | None = None,
                    max_iter: int = 25,
-                   bucket_cap: int | None = None) -> DataFrame:
+                   bucket_cap: int | None = None,
+                   algorithm: str = "bsp",
+                   stats: dict | None = None) -> DataFrame:
     """Transitive duplicate groups: connected components over the
     near-dup pair graph, so keeper selection works across chains
     (a~b, b~c => one group even when a!~c).  Component id = min doc_id
     reachable.  Output: doc_id, component, is_keeper.
 
-    Distributed BSP min-label propagation: each round joins the
-    (symmetrized) edge list with current labels and takes the per-node
-    min — the shuffle carries only (doc_id, long) rows;
-    ``localCheckpoint`` truncates the per-round lineage.  Rounds needed
-    = graph diameter (near-dup clusters are shallow; the 25 cap is a
-    runaway guard).  At 10^12 nodes you would switch to the
-    large-star/small-star variant (fewer rounds, same per-round shape);
-    the driver-side loop itself is how Spark iterative algorithms work
-    (GraphX/GraphFrames do the same).
+    Two algorithms, same output:
+
+    * ``bsp`` (default): min-label propagation — each round joins the
+      symmetrized edge list with current labels and takes the per-node
+      min; the shuffle carries only skinny (doc_id, label) rows and
+      ``localCheckpoint`` truncates per-round lineage.  Rounds needed
+      = graph DIAMETER: right for near-dup graphs (shallow clusters),
+      wrong for long chains.
+    * ``star``: alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond") — rounds needed
+      = O(log diameter), the 10^12-node path; see
+      ``_star_components``.
+
+    The driver-side loop itself is how Spark iterative algorithms work
+    (GraphX/GraphFrames do the same).  ``stats`` (optional dict) gets
+    ``{"rounds": n}`` for round-count assertions.
 
     The DuckDB oracle is a recursive CTE over the same edges — fully
     SQL-expressible, hash-checked."""
     if edges is None:
         edges = (minhash_lsh_pairs(documents, bucket_cap=bucket_cap)
                  .select("doc_a", "doc_b"))
+    if algorithm == "star":
+        return _star_components(documents, edges, max_iter, stats)
+    if algorithm != "bsp":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b")))
     labels = documents.select(
         "doc_id", F.col("doc_id").alias("component")).localCheckpoint()
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neigh = (sym.join(labels,
                           sym["doc_a"] == labels["doc_id"])
                  .select(F.col("doc_b").alias("doc_id"), "component"))
@@ -249,6 +264,77 @@ def dup_components(documents: DataFrame, edges: DataFrame | None = None,
         labels = new
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+    return labels.select(
+        "doc_id", "component",
+        (F.col("doc_id") == F.col("component")).alias("is_keeper"))
+
+
+def _star_components(documents: DataFrame, edges: DataFrame,
+                     max_iter: int, stats: dict | None) -> DataFrame:
+    """large-star/small-star connected components (Kiveris et al. 2014,
+    the production algorithm for 10^12-edge graphs):
+
+    * large-star: every node u links each STRICTLY LARGER neighbor to
+      the minimum of its neighborhood (incl. itself) — long chains
+      collapse geometrically;
+    * small-star: orient edges child>=parent, link each parent-side
+      neighbor (and u itself) to the neighborhood minimum — keeps the
+      forest flat.
+
+    Both steps are one groupBy + one join over skinny 2-column rows —
+    the same per-round shuffle shape as BSP but O(log d) rounds instead
+    of O(d).  Converges when the edge set fixes (every component is a
+    star centered at its minimum).  Output and column contract are
+    identical to the BSP path, so the same DuckDB recursive-CTE oracle
+    hash-checks it."""
+    def _same(a: DataFrame, b: DataFrame) -> bool:
+        return a.exceptAll(b).union(b.exceptAll(a)).isEmpty()
+
+    e = (edges.select(F.col("doc_a").alias("u"),
+                      F.col("doc_b").alias("v"))
+         .where(F.col("u") != F.col("v")).distinct().localCheckpoint())
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star
+        sym = e.union(e.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least("mv", F.col("u")).alias("m")))
+        e1 = (sym.join(mins, "u")
+              .where(F.col("v") > F.col("u"))
+              .select(F.col("v").alias("u"), F.col("m").alias("v"))
+              .where(F.col("u") != F.col("v")).distinct()
+              .localCheckpoint())
+        # small-star (edges oriented child = max, parent = min)
+        ori = e1.select(F.greatest("u", "v").alias("u"),
+                        F.least("u", "v").alias("v"))
+        mins = ori.groupBy("u").agg(F.min("v").alias("m"))
+        new = (ori.join(mins, "u")
+               .select(F.col("v").alias("u"), F.col("m").alias("v"))
+               .union(mins.select("u", F.col("m").alias("v")))
+               .where(F.col("u") != F.col("v")).distinct()
+               .localCheckpoint())
+        # converged only when BOTH operations left the set invariant
+        # (small-star output can equal large-star output mid-run on a
+        # chain without being a union of stars — comparing only the
+        # two halves of one round terminates early and wrongly)
+        done = _same(e1, e) and _same(new, e1)
+        e = new
+        if done:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    # at convergence e = (child, component_min) stars; isolated docs
+    # label themselves
+    parents = (e.groupBy(F.col("u").alias("doc_id"))
+               .agg(F.min("v").alias("parent")))
+    labels = (documents.select("doc_id")
+              .join(parents, "doc_id", "left")
+              .select("doc_id",
+                      F.coalesce("parent", "doc_id").alias("component")))
     return labels.select(
         "doc_id", "component",
         (F.col("doc_id") == F.col("component")).alias("is_keeper"))
