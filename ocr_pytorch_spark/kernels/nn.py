@@ -45,11 +45,29 @@ def _ws(key: tuple, shape: tuple) -> np.ndarray:
     return buf[:n].reshape(shape)
 
 
+# col-tile budget for the blocked B=1 conv path: the im2col tile +
+# GEMM tile should live in cache instead of streaming a 9x-inflated
+# activation copy through DRAM (the measured 32-way contention source)
+_CONV_TILE_BYTES = 4 << 20
+
+
 def conv2d(x: np.ndarray, w: np.ndarray, b: np.ndarray | None,
-           stride=1, padding=0) -> np.ndarray:
+           stride=1, padding=0, relu: bool = False) -> np.ndarray:
     """2-D convolution (cross-correlation, as torch) via im2col + GEMM.
 
     x: (B,C,H,W) float32; w: (O,C,kh,kw); b: (O,) or None.
+    ``relu=True`` fuses the activation into the GEMM tile (saves a
+    full read+write pass over the output).
+
+    The B=1 path (all OCR inference) is ROW-BLOCKED: im2col tiles of
+    ~_CONV_TILE_BYTES are built, multiplied, biased, and activated
+    while cache-resident, and each output element is written to its
+    final location exactly once — instead of materializing the full
+    9x-size column matrix and then copying/transposing the result.
+    Column tiling never splits the reduction axis, so every output
+    element is the same single GEMM dot product; determinism holds
+    because tile geometry is a pure function of the shapes, shared by
+    oracle and UDF.
     """
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
@@ -58,12 +76,14 @@ def conv2d(x: np.ndarray, w: np.ndarray, b: np.ndarray | None,
     if (kh, kw, sh, sw, ph, pw) == (1, 1, 1, 1, 0, 0) and B == 1:
         # 1x1 conv fast path: the GEMM input IS the (C, H*W) tensor —
         # no im2col copy (CTPN lstm_fc + twin heads)
-        out2d = _ws(("gemm",), (O, H * W))
-        np.dot(w.reshape(O, C), x.reshape(C, H * W), out=out2d)
-        out = out2d.reshape(1, O, H, W)
+        out = np.empty((1, O, H, W), dtype=np.float32)
+        np.dot(w.reshape(O, C), x.reshape(C, H * W),
+               out=out.reshape(O, H * W))
         if b is not None:
-            return out + b.reshape(1, O, 1, 1)
-        return out.copy()
+            out += b.reshape(1, O, 1, 1)
+        if relu:
+            np.maximum(out, 0.0, out=out)
+        return out
     if ph or pw:
         xp = _ws(("pad",), (B, C, H + 2 * ph, W + 2 * pw))
         xp[:] = 0.0
@@ -72,6 +92,40 @@ def conv2d(x: np.ndarray, w: np.ndarray, b: np.ndarray | None,
         H, W = H + 2 * ph, W + 2 * pw
     oh = (H - kh) // sh + 1
     ow = (W - kw) // sw + 1
+    if B == 1:
+        K = C * kh * kw
+        rows_per = max(1, (_CONV_TILE_BYTES // 4) // max(1, K * ow))
+        while rows_per * ow < 512 and rows_per < oh:
+            rows_per += 1  # keep GEMM tiles wide enough to be efficient
+        rows_per = min(rows_per, oh)
+        out = np.empty((1, O, oh, ow), dtype=np.float32)
+        out2d = out.reshape(O, oh * ow)
+        w2d = w.reshape(O, K)
+        b2d = b.reshape(O, 1).astype(np.float32) if b is not None \
+            else None
+        x0 = x[0]
+        sxc, sxh, sxw = x0.strides
+        for y0 in range(0, oh, rows_per):
+            y1 = min(oh, y0 + rows_per)
+            nrow = y1 - y0
+            ncol = nrow * ow
+            base = x0[:, y0 * sh:, :]
+            view = as_strided(
+                base,
+                shape=(C, kh, kw, nrow, ow),
+                strides=(sxc, sxh, sxw, sxh * sh, sxw * sw),
+                writeable=False,
+            )
+            cols = _ws(("cols",), (C, kh, kw, nrow, ow))
+            np.copyto(cols, view)
+            gt = _ws(("gemm",), (O, ncol))
+            np.dot(w2d, cols.reshape(K, ncol), out=gt)
+            if b2d is not None:
+                gt += b2d
+            if relu:
+                np.maximum(gt, 0.0, out=gt)
+            out2d[:, y0 * ow:y1 * ow] = gt
+        return out
     s = x.strides
     cols_view = as_strided(
         x,
@@ -87,8 +141,12 @@ def conv2d(x: np.ndarray, w: np.ndarray, b: np.ndarray | None,
     np.dot(w.reshape(O, -1), cols2d, out=out2d)
     out = out2d.reshape(O, B, oh, ow).transpose(1, 0, 2, 3)
     if b is not None:
-        return out + b.reshape(1, O, 1, 1)  # fresh array; ws stays free
-    return np.ascontiguousarray(out)
+        out = out + b.reshape(1, O, 1, 1)  # fresh array; ws stays free
+    else:
+        out = np.ascontiguousarray(out)
+    if relu:
+        np.maximum(out, 0.0, out=out)
+    return out
 
 
 def maxpool2d(x: np.ndarray, kernel, stride=None, padding=0) -> np.ndarray:

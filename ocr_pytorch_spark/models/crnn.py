@@ -33,15 +33,16 @@ def _bn(x, w, name):
 
 def crnn_forward(x: np.ndarray, w: dict) -> np.ndarray:
     """x: (B,1,32,W) float32 in [-1,1] -> logits (T,B,nclass), T=W/4+1."""
-    def cv(x, name, k=3, s=1, p=1):
-        return conv2d(x, w[f"{name}.weight"], w[f"{name}.bias"], s, p)
+    def cv(x, name, k=3, s=1, p=1, relu=False):
+        return conv2d(x, w[f"{name}.weight"], w[f"{name}.bias"], s, p,
+                      relu=relu)
 
-    x = maxpool2d(relu_(cv(x, "conv1")), 2, 2)
-    x = maxpool2d(relu_(cv(x, "conv2")), 2, 2)
+    x = maxpool2d(cv(x, "conv1", relu=True), 2, 2)
+    x = maxpool2d(cv(x, "conv2", relu=True), 2, 2)
     x = relu_(_bn(cv(x, "conv3_1"), w, "bn3"))
-    x = maxpool2d(relu_(cv(x, "conv3_2")), (2, 2), (2, 1), (0, 1))
+    x = maxpool2d(cv(x, "conv3_2", relu=True), (2, 2), (2, 1), (0, 1))
     x = relu_(_bn(cv(x, "conv4_1"), w, "bn4"))
-    x = maxpool2d(relu_(cv(x, "conv4_2")), (2, 2), (2, 1), (0, 1))
+    x = maxpool2d(cv(x, "conv4_2", relu=True), (2, 2), (2, 1), (0, 1))
     x = relu_(_bn(conv2d(x, w["conv5.weight"], w["conv5.bias"], 1, 0),
                   w, "bn5"))
     b, c, h, wd = x.shape

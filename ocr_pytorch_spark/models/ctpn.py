@@ -48,15 +48,17 @@ def ctpn_forward(x: np.ndarray, w: dict, return_features: bool = False):
             x = maxpool2d(x, 2, 2)
         else:
             idx = layer[0]
-            x = relu_(conv2d(x, w[f"base_layers.{idx}.weight"],
-                             w[f"base_layers.{idx}.bias"], 1, 1))
-    x = relu_(conv2d(x, w["rpn.conv.weight"], w["rpn.conv.bias"], 1, 1))
+            x = conv2d(x, w[f"base_layers.{idx}.weight"],
+                       w[f"base_layers.{idx}.bias"], 1, 1, relu=True)
+    x = conv2d(x, w["rpn.conv.weight"], w["rpn.conv.bias"], 1, 1,
+               relu=True)
 
     b, c, h, wd = x.shape
     x1 = x.transpose(0, 2, 3, 1).reshape(b * h, wd, c)  # rows as batch
     x2 = bigru(x1, w, "brnn")  # (b*h, w, 256)
     x3 = x2.reshape(b, h, wd, 256).transpose(0, 3, 1, 2)
-    x3 = relu_(conv2d(x3, w["lstm_fc.conv.weight"], w["lstm_fc.conv.bias"]))
+    x3 = conv2d(x3, w["lstm_fc.conv.weight"], w["lstm_fc.conv.bias"],
+                relu=True)
 
     cls = conv2d(x3, w["rpn_class.conv.weight"], w["rpn_class.conv.bias"])
     regr = conv2d(x3, w["rpn_regress.conv.weight"],
