@@ -261,6 +261,7 @@ def _multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_pytorch_spark.operators import dedup as D
+    from ocr_pytorch_spark.operators import html as H
     from ocr_pytorch_spark.operators import similarity as S
     from ocr_pytorch_spark.operators import text as T
 
@@ -790,6 +791,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "documents")),
         "salted_join": salted_join,
         "ocr_extract_parity": _ocr_extract_parity,
+        # north_rule main-content extraction surface (r3, new)
+        "html_strip": lambda s, sf: H.html_strip(
+            _t(s, sf, "documents")),
+        "html_main_block": lambda s, sf: H.html_main_block(
+            _t(s, sf, "documents")),
+        "layout_reading_order": lambda s, sf: H.layout_reading_order(
+            _t(s, sf, "documents")),
         "text_quality": lambda s, sf: T.quality_score(
             _t(s, sf, "documents")),
         "text_token_count": lambda s, sf: T.token_count(
@@ -799,9 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SURVEY §7.3 reference-operator analogues
         "filter_threshold": filter_threshold,
         "sessionize": sessionize,
-        "filter_minsize": filter_minsize,
         "project_bbox_decode": project_bbox_decode,
-        "topk_score": topk_score,
         "ohem_topk_sum": ohem_topk_sum,
         "funnel_counts": funnel_counts,
         "retention_cohorts": retention_cohorts,
@@ -816,7 +822,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_bucket_rollup": time_bucket_rollup,
         "data_quality_checks": data_quality_checks,
         "window_reading_order": window_reading_order,
-        "dedupe_consecutive_lag": dedupe_consecutive_lag,
         "group_line_stats": group_line_stats,
         "group_linefit_regr": group_linefit_regr,
         "range_self_join": range_self_join,
@@ -853,6 +858,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": lambda s, sf: T.lang_id(_t(s, sf, "documents")),
         # trivial relational coverage, green in r1 AND r2 — parked at
         # the tail so the driver's check budget lands on fresher keys
+        "filter_minsize": filter_minsize,
+        "topk_score": topk_score,
+        "dedupe_consecutive_lag": dedupe_consecutive_lag,
         "distinct_agg": distinct_agg,
         "rollup_agg": rollup_agg,
         "set_ops": set_ops,
@@ -958,6 +966,51 @@ _PAIR_COS = quant4_sql(
     "list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm)")
 _QC_COS = quant4_sql(
     "list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm)")
+
+
+# --- main-content extraction oracle fragments (operators/html.py's
+# page builder and strip chain reproduced verbatim in DuckDB SQL) ---
+
+_HTML_PAGE_CTE = """WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         CAST(floor(len(string_split(text, ' ')) / 2.0) AS INT) AS half
+  FROM documents
+), pages AS (
+  SELECT doc_id,
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+    || ' - Corpus</title><style>body {margin:0}</style>'
+    || '<script>var t = 1;</script></head><body>'
+    || '<nav><a href=/home>Home</a> <a href=/about>About</a> '
+    || '<a href=/login>Login</a></nav>'
+    || '<div class=ad><a href=/buy>BUY NOW</a> limited offer '
+    || '<a href=/buy2>click</a> <a href=/buy3>here</a></div><p>'
+    || array_to_string(ws[1:greatest(half, 1)], ' ')
+    || '</p><main>'
+    || array_to_string(ws[half + 1:len(ws)], ' ')
+    || ' tail &amp; end</main><footer><a href=/tos>Terms</a> &amp; '
+    || '<a href=/privacy>Privacy</a> &copy; corpus</footer>'
+    || '</body></html>' AS html
+  FROM d
+)"""
+
+
+def _html_clean_sql(col: str) -> str:
+    """The html.py _strip_expr chain in DuckDB (RE2 needs the 'g'
+    flag; Spark regexp_replace is global by default)."""
+    return (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"{col}, '(?s)<script.*?</script>', ' ', 'g'), "
+        "'(?s)<style.*?</style>', ' ', 'g'), "
+        "'<[^>]*>', ' ', 'g'), "
+        "'&amp;', '&', 'g'), "
+        "'&copy;', '(c)', 'g'), "
+        "'&nbsp;', ' ', 'g'), "
+        "' +', ' ', 'g'))")
+
+
+_HTML_CLEAN = _html_clean_sql("html")
+_HTML_CLEAN_RAW = _html_clean_sql("raw")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1176,6 +1229,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR) AS media_ref,
                    CAST(NULL AS VARCHAR) AS side
             WHERE FALSE""",
+        # --- main-content extraction family: the page is synthesized
+        # by the same concat in both engines, so strip/score logic is
+        # hash-checked end to end.  Regexes live in the Java-regex/RE2
+        # common subset; DuckDB regexp_replace needs the 'g' flag
+        # (Spark is global by default).
+        "html_strip": _HTML_PAGE_CTE + """
+            SELECT doc_id,
+                   regexp_extract(html, '<title>([^<]*)</title>', 1)
+                     AS title,
+                   """ + _HTML_CLEAN + """ AS clean_text,
+                   CAST(length(""" + _HTML_CLEAN + """) AS BIGINT)
+                     AS text_len,
+                   CAST(len(string_split(html, '<a ')) - 1 AS BIGINT)
+                     AS n_links,
+                   floor(((len(string_split(html, '<a ')) - 1)
+                          / greatest(length(""" + _HTML_CLEAN + """), 1))
+                         * 10000 + 0.5) / 10000 AS link_density
+            FROM pages""",
+        "html_main_block": _HTML_PAGE_CTE + """,
+        blocks AS (
+          SELECT doc_id,
+                 generate_subscripts(string_split_regex(html,
+                   '<(?:p|main|nav|div[^>]*|footer|header)>'), 1) - 1
+                   AS block_idx,
+                 unnest(string_split_regex(html,
+                   '<(?:p|main|nav|div[^>]*|footer|header)>')) AS raw
+          FROM pages
+        ), scored AS (
+          SELECT doc_id, CAST(block_idx AS INT) AS block_idx,
+                 """ + _HTML_CLEAN_RAW + """ AS block_text,
+                 floor((CAST(length(""" + _HTML_CLEAN_RAW + """)
+                             AS DOUBLE)
+                        * (1.0 - CAST(len(string_split(raw, '<a ')) - 1
+                                      AS DOUBLE)
+                           / greatest(CAST(len(string_split(raw, '<a '))
+                                           - 1 AS DOUBLE) + 1.0, 1.0)))
+                       * 10000 + 0.5) / 10000 AS score
+          FROM blocks
+        )
+        SELECT doc_id, block_idx, block_text, score FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, block_idx) AS rn
+          FROM scored) WHERE rn = 1""",
+        "layout_reading_order": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS word,
+                     generate_subscripts(string_split(text, ' '), 1) - 1
+                       AS i
+              FROM documents
+            ), boxed AS (
+              SELECT doc_id, word,
+                     CAST(floor(i / 40.0) AS INT) AS page,
+                     CAST(floor((i % 40) / 20.0) AS INT) AS col,
+                     (i % 40) % 20 AS y,
+                     CAST(floor((i % 40) / 20.0) AS INT) * 300
+                       + (i % 7) * 10 AS x
+              FROM w
+            )
+            SELECT doc_id,
+                   string_agg(word, ' ' ORDER BY page, col, y, x)
+                     AS reading_text
+            FROM boxed GROUP BY doc_id""",
         "salted_join": """
             SELECT l_orderkey, count(*) AS n,
                    CAST(sum(CAST(floor((l_extendedprice + o_totalprice)

@@ -1,0 +1,158 @@
+"""Main-content extraction over HTML documents (north_rule surface:
+"HTML boilerplate strip, PDF/layout parse, DOM heuristics").
+
+The corpus tables carry plain text, so these operators work on a
+deterministic HTML rendering of each document (same expression both
+engines — the oracle builds the identical page in SQL), which makes
+every step hash-checkable cross-engine while exercising the real
+extraction logic:
+
+* ``html_wrap``      — deterministic boilerplate page: head/title,
+  nav with links, the body text split over paragraph blocks, an ad
+  div, scripts/styles, footer.
+* ``html_strip``     — boilerplate strip: script/style removal, tag
+  strip, entity decode, whitespace collapse + title extraction and
+  link statistics.  Pure codegen (regexp_replace chains), no UDF.
+* ``html_main_block``— DOM-ish heuristic: split the page into block
+  elements, score each by (text length x (1 - link density)) the way
+  readability/jusText-style extractors do, keep the argmax block.
+  One explode + one window — scales as a flat per-(doc, block) table.
+
+Every regex is written in the common Java-regex/RE2 subset
+(non-greedy ``.*?``, ``(?s)``, character classes) so Spark and DuckDB
+agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# boilerplate tail; doc text is folded into <p>/<main> blocks before it
+_PAGE_SUFFIX = (
+    "<footer><a href=/tos>Terms</a> &amp; <a href=/privacy>"
+    "Privacy</a> &copy; corpus</footer></body></html>")
+
+
+def html_wrap(documents: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, html): the deterministic test page.
+    The first half of the words lands in an early <p>, the rest in a
+    <main> block, so the main-block heuristic has a real decision to
+    make (nav/ad/footer blocks are link-dense and short)."""
+    words = F.split(F.col("text"), " ")
+    half = (F.size(words) / 2).cast("int")
+    first = F.concat_ws(" ", F.slice(words, 1, F.greatest(half, F.lit(1))))
+    rest = F.concat_ws(
+        " ", F.slice(words, half + 1,
+                     F.greatest(F.size(words) - half, F.lit(1))))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" - Corpus</title><style>body {margin:0}</style>"
+              "<script>var t = 1;</script></head><body>"
+              "<nav><a href=/home>Home</a> <a href=/about>About</a> "
+              "<a href=/login>Login</a></nav>"
+              "<div class=ad><a href=/buy>BUY NOW</a> limited offer "
+              "<a href=/buy2>click</a> <a href=/buy3>here</a></div>"
+              "<p>"),
+        first,
+        F.lit("</p><main>"),
+        rest,
+        F.lit(" tail &amp; end</main>"),
+        F.lit(_PAGE_SUFFIX))
+    return documents.select("doc_id", html.alias("html"))
+
+
+def _strip_expr(html):
+    """script/style blocks -> '', tags -> ' ', entities decoded,
+    whitespace collapsed.  Same regexes verbatim in the SQL oracle."""
+    no_script = F.regexp_replace(html, r"(?s)<script.*?</script>", " ")
+    no_style = F.regexp_replace(no_script, r"(?s)<style.*?</style>",
+                                " ")
+    no_tags = F.regexp_replace(no_style, r"<[^>]*>", " ")
+    ent = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(no_tags, "&amp;", "&"), "&copy;", "(c)"),
+        "&nbsp;", " ")
+    return F.trim(F.regexp_replace(ent, " +", " "))
+
+
+def html_strip(documents: DataFrame) -> DataFrame:
+    """Boilerplate strip + page statistics.
+    Output: doc_id, title, clean_text, text_len, n_links,
+    link_density (quantized)."""
+    from ocr_pytorch_spark.functions import quant4
+
+    page = html_wrap(documents)
+    html = F.col("html")
+    title = F.regexp_extract(html, r"<title>([^<]*)</title>", 1)
+    clean = _strip_expr(html)
+    n_links = (F.size(F.split(html, "<a ")) - 1).cast("long")
+    return page.select(
+        "doc_id", title.alias("title"), clean.alias("clean_text"),
+        F.length(clean).cast("long").alias("text_len"),
+        n_links.alias("n_links"),
+        quant4(n_links / F.greatest(F.length(clean), F.lit(1)))
+        .alias("link_density"))
+
+
+def html_main_block(documents: DataFrame) -> DataFrame:
+    """DOM-heuristic main-content pick: explode the page into block
+    elements (split on block-level OPENING tags), score each block by
+    stripped-text length x (1 - link_density), keep the best block
+    per document.  Ties break toward the earliest block.
+    Output: doc_id, block_idx, block_text, score (quantized)."""
+    from ocr_pytorch_spark.functions import quant4
+
+    page = html_wrap(documents)
+    blocks = F.split(
+        F.col("html"),
+        r"<(?:p|main|nav|div[^>]*|footer|header)>")
+    exploded = (page.select(
+        "doc_id", F.posexplode(blocks).alias("block_idx", "raw")))
+    text = _strip_expr(F.col("raw"))
+    n_links = (F.size(F.split(F.col("raw"), "<a ")) - 1).cast("double")
+    tlen = F.length(text).cast("double")
+    score = tlen * (1.0 - n_links / F.greatest(
+        n_links + F.lit(1.0), F.lit(1.0)))
+    scored = exploded.select(
+        "doc_id", "block_idx", text.alias("block_text"),
+        quant4(score).alias("score"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("block_idx"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("doc_id", "block_idx", "block_text", "score"))
+
+
+def layout_reading_order(documents: DataFrame) -> DataFrame:
+    """'PDF/layout parse' analogue: deterministic word boxes (page,
+    column, x, y derived from word index — the shape a real PDF
+    tokenizer emits), then two-column reading order: page asc, column
+    asc (x < page midpoint first), y asc, x asc — the multi-column
+    ordering rule layout parsers apply after box extraction.
+    Output: doc_id, reading_text (words rejoined in reading order)."""
+    words = (documents.select(
+        "doc_id", F.posexplode(F.split("text", " "))
+        .alias("i", "word")))
+    # synthetic layout: 40 words per page, serpentine two columns
+    page = (F.col("i") / 40).cast("int")
+    slot = F.col("i") % 40
+    colidx = (slot / 20).cast("int")          # 0 = left, 1 = right
+    y = slot % 20
+    x = colidx * 300 + (F.col("i") % 7) * 10  # jitter inside column
+    boxed = words.select(
+        "doc_id", "word", page.alias("page"), colidx.alias("col"),
+        y.alias("y"), x.alias("x"))
+    ordered = (boxed
+               .withColumn(
+                   "rn",
+                   F.row_number().over(
+                       Window.partitionBy("doc_id")
+                       .orderBy("page", "col", "y", "x")))
+               .groupBy("doc_id")
+               .agg(F.concat_ws(
+                   " ", F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("rn", "word"))),
+                       lambda s: s["word"])).alias("reading_text")))
+    return ordered

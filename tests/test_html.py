@@ -1,0 +1,75 @@
+"""Main-content extraction (operators/html.py): boilerplate strip,
+DOM-heuristic main-block pick, layout reading order — semantic checks
+(cross-engine hashes live in test_entry_contract)."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("d1", "alpha beta gamma delta epsilon zeta eta theta iota "
+               "kappa lamda mu nu xi omicron pi rho sigma tau upsilon"),
+        ("d2", "one two three four"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_html_strip_semantics(spark, docs):
+    from ocr_pytorch_spark.operators.html import html_strip
+
+    rows = {r["doc_id"]: r for r in html_strip(docs).collect()}
+    r = rows["d1"]
+    assert r["title"] == "Doc d1 - Corpus"
+    # script/style bodies removed, tags gone, entities decoded
+    assert "var t" not in r["clean_text"]
+    assert "margin" not in r["clean_text"]
+    assert "<" not in r["clean_text"]
+    assert "Terms & Privacy (c) corpus" in r["clean_text"]
+    # the document's words survive
+    assert "alpha" in r["clean_text"] and "upsilon" in r["clean_text"]
+    assert r["n_links"] == 8  # 3 nav + 3 ad + 2 footer
+    assert 0 < r["link_density"] < 1
+
+
+def test_html_main_block_prefers_content(spark, docs):
+    from ocr_pytorch_spark.operators.html import html_main_block
+
+    rows = {r["doc_id"]: r for r in html_main_block(docs).collect()}
+    # the long doc's winner is a content block (not nav/ad/footer):
+    # zero-link text, carrying document words
+    win = rows["d1"]["block_text"]
+    assert "BUY NOW" not in win and "Home" not in win
+    # the <main> block (second word half + tail) wins on text x
+    # (1 - link_density)
+    assert "upsilon" in win and win.endswith("tail & end")
+
+
+def test_layout_reading_order_deterministic(spark):
+    from ocr_pytorch_spark.operators.html import layout_reading_order
+
+    # 80 words = 2 pages x 2 columns x 20 rows
+    words = [f"w{i:03d}" for i in range(80)]
+    docs = spark.createDataFrame([("d", " ".join(words))],
+                                 "doc_id string, text string")
+    out = layout_reading_order(docs).collect()[0]["reading_text"]
+    got = out.split(" ")
+    # reading order = page asc, column asc, y asc: with the serpentine
+    # synthetic layout that is exactly the original index order
+    assert got == words
+    # determinism across runs
+    out2 = layout_reading_order(docs).collect()[0]["reading_text"]
+    assert out2 == out
+
+
+def test_query_ordering_keeps_oracle_bearing_first():
+    """The driver checks ~50 queries in dict order — the head must be
+    all oracle-bearing and the never-verified keys must lead."""
+    import __spark_entry__ as E
+
+    q, o = E.queries(), E.oracle_sql()
+    keys = list(q)
+    head = keys[:50]
+    assert all(k in o for k in head), \
+        [k for k in head if k not in o]
+    assert set(o) <= set(q)
