@@ -125,6 +125,18 @@ def entry(spark: SparkSession) -> DataFrame:
     return _ocr_extract(spark, SF_DEFAULT)
 
 
+def _pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text-layer round trip (sources/pdf.py): every document is
+    written as a real 1-page FlateDecode PDF in the executor and its
+    text layer parsed back.  Extraction is lossless for this subset,
+    so the DuckDB oracle is the identity projection — writer, parser,
+    unescaper, and stream inflation are all value-hash-checked."""
+    _ship_package(spark)
+    from ocr_pytorch_spark.sources.pdf import pdf_roundtrip_extract
+
+    return pdf_roundtrip_extract(_t(spark, sf_dir, "documents"))
+
+
 def _ocr_extract_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-verifiable flagship invariant (SURVEY §5.2 Layer 2, under
     the driver instead of pytest): the distributed pipeline's span rows
@@ -798,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "documents")),
         "layout_reading_order": lambda s, sf: H.layout_reading_order(
             _t(s, sf, "documents")),
+        "pdf_text_extract": _pdf_text_extract,
         "text_quality": lambda s, sf: T.quality_score(
             _t(s, sf, "documents")),
         "text_token_count": lambda s, sf: T.token_count(
@@ -1272,6 +1285,12 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, row_number() OVER (
             PARTITION BY doc_id ORDER BY score DESC, block_idx) AS rn
           FROM scored) WHERE rn = 1""",
+        # extraction is lossless for the synthesized subset, so the
+        # oracle is the identity projection of the source table
+        "pdf_text_extract": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   text AS extracted_text
+            FROM documents""",
         "layout_reading_order": """
             WITH w AS (
               SELECT doc_id,
