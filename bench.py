@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_ngram_jaccard", "dedup_embedding_cosine",
     "sim_topk_cosine", "sim_lsh_topk",
     "text_quality", "text_fingerprint", "multimodal_features",
+    "html_main_block", "pdf_text_extract",
     "png_ocr_extract",
 ]
 

@@ -147,6 +147,34 @@ def test_embedding_family_plans_are_array_native(spark):
     assert "BroadcastExchange" in lsh_plan
 
 
+def test_html_extraction_plans_stay_jvm_side(spark):
+    """r3 guardrail: the HTML strip/main-block/layout queries are pure
+    codegen — no Python UDF stage (BatchEvalPython/ArrowEvalPython/
+    mapInPandas) may appear; the strip chain must live inside
+    whole-stage codegen."""
+    from ocr_pytorch_spark.operators import html as H
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    for name, df in [("strip", H.html_strip(docs)),
+                     ("main_block", H.html_main_block(docs)),
+                     ("layout", H.layout_reading_order(docs))]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for bad in ("BatchEvalPython", "ArrowEvalPython",
+                    "FlatMapGroupsInPandas", "MapInPandas"):
+            assert bad not in plan, f"{name}: python stage: {bad}"
+        # executedPlan().toString() marks codegen stages with '*(n)';
+        # AQE-wrapped plans show the markers only after finalization,
+        # so accept either — the python-stage absence above is the
+        # load-bearing check
+        assert "*(" in plan or "AdaptiveSparkPlan" in plan, name
+    # layout is one explode + one window + one agg: a single shuffle
+    # per window/agg step, never a join
+    layout_plan = H.layout_reading_order(docs) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in layout_plan
+
+
 def test_minhash_pair_generation_single_lineage(spark):
     """r2 guardrail: MinHash candidate pairs come from ONE groupBy +
     in-bucket expansion — the signature aggregation appears once in
