@@ -811,6 +811,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_reading_order": lambda s, sf: H.layout_reading_order(
             _t(s, sf, "documents")),
         "pdf_text_extract": _pdf_text_extract,
+        "text_repetition": lambda s, sf: T.repetition_signals(
+            _t(s, sf, "documents")),
+        "decontam_overlap": lambda s, sf: T.decontam_overlap(
+            _t(s, sf, "documents")),
         "text_quality": lambda s, sf: T.quality_score(
             _t(s, sf, "documents")),
         "text_token_count": lambda s, sf: T.token_count(
@@ -822,9 +826,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": sessionize,
         "project_bbox_decode": project_bbox_decode,
         "ohem_topk_sum": ohem_topk_sum,
-        "funnel_counts": funnel_counts,
-        "retention_cohorts": retention_cohorts,
-        "percentiles_value": percentiles_value,
         "asof_join_events": asof_join_events,
         "cube_agg": cube_agg,
         "window_moving_avg": window_moving_avg,
@@ -874,6 +875,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_minsize": filter_minsize,
         "topk_score": topk_score,
         "dedupe_consecutive_lag": dedupe_consecutive_lag,
+        "funnel_counts": funnel_counts,
+        "retention_cohorts": retention_cohorts,
+        "percentiles_value": percentiles_value,
         "distinct_agg": distinct_agg,
         "rollup_agg": rollup_agg,
         "set_ops": set_ops,
@@ -1285,6 +1289,52 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, row_number() OVER (
             PARTITION BY doc_id ORDER BY score DESC, block_idx) AS rn
           FROM scored) WHERE rn = 1""",
+        "text_repetition": _W_CTE + """,
+        d AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), base AS (
+          SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+                 CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+          FROM d
+        ), bg AS (
+          SELECT a.doc_id, a.word || ' ' || b.word AS gram
+          FROM w a JOIN w b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ), cnt AS (
+          SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2
+        ), top AS (
+          SELECT doc_id, CAST(max(c) AS BIGINT) AS top_n,
+                 CAST(sum(c) AS BIGINT) AS tot
+          FROM cnt GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_words,
+               floor((1.0 - n_distinct / n_words) * 10000 + 0.5)
+                 / 10000 AS dup_word_frac,
+               floor((coalesce(top_n, 0)
+                      / greatest(coalesce(tot, 0), 1))
+                     * 10000 + 0.5) / 10000 AS top_bigram_frac
+        FROM base b LEFT JOIN top USING (doc_id)""",
+        "decontam_overlap": f"""
+            WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS ws,
+                     {" + ".join(
+                         f"(instr('0123456789abcdef', substr(md5("
+                         f"CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+                         f" * {16 ** (7 - i)}" for i in range(8))}
+                       AS h
+              FROM documents
+            ), g AS (
+              SELECT doc_id, h < {int(0.1 * 16 ** 8)} AS is_eval,
+                     array_to_string(ws[i:i + 7], ' ') AS gram
+              FROM d, UNNEST(range(1, greatest(len(ws) - 6, 1)))
+                        AS t(i)
+            ), eg AS (
+              SELECT DISTINCT gram FROM g WHERE is_eval
+            ), tg AS (
+              SELECT DISTINCT doc_id, gram FROM g WHERE NOT is_eval
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+            FROM tg JOIN eg USING (gram) GROUP BY doc_id""",
         # extraction is lossless for the synthesized subset, so the
         # oracle is the identity projection of the source table
         "pdf_text_extract": """

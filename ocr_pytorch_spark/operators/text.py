@@ -174,3 +174,67 @@ def fingerprint(documents: DataFrame, n: int = 3) -> DataFrame:
     return (grams.groupBy("doc_id")
             .agg(F.min(F.md5("gram")).alias("fp_min"),
                  F.max(F.md5("gram")).alias("fp_max")))
+
+
+def repetition_signals(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-word fraction
+    (1 - distinct/total) and the frequency share of the most common
+    word bigram — the filters that catch boilerplate/spam documents a
+    plain length/stopword score misses.  One grams explode + two
+    skinny aggregations; at 10^12 docs both shuffles carry (doc_id,
+    counter) rows only.  Output: doc_id, n_words, dup_word_frac,
+    top_bigram_frac (both quantized)."""
+    from ocr_pytorch_spark.functions import quant4, words
+
+    base = documents.select(
+        "doc_id",
+        F.size(words(F.col("text"))).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words(F.col("text")))).cast("long")
+        .alias("n_distinct"))
+    top = (word_ngrams(documents, 2)
+           .groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+           .groupBy("doc_id")
+           .agg(F.max("c").cast("long").alias("top_bigram_n"),
+                F.sum("c").cast("long").alias("bigram_total")))
+    return (base.join(top, "doc_id", "left")
+            .select(
+                "doc_id", "n_words",
+                quant4(F.lit(1.0) - F.col("n_distinct")
+                       / F.col("n_words")).alias("dup_word_frac"),
+                quant4(F.coalesce(F.col("top_bigram_n"), F.lit(0))
+                       / F.greatest(F.coalesce(F.col("bigram_total"),
+                                               F.lit(0)), F.lit(1)))
+                .alias("top_bigram_frac")))
+
+
+def decontam_overlap(documents: DataFrame, n: int = 8,
+                     eval_frac_hex: int | None = None) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-``n``-gram with the eval set (here: the deterministic
+    md5-prefix 10% sample standing in for a benchmark corpus — the
+    same engine-stable hashing as sample_documents).  The eval gram
+    set is a distinct semi-join side; at real scale it is tiny
+    (benchmarks are ~10^5 docs) and broadcasts, so the train side
+    never shuffles its gram stream.  Output: (doc_id, n_shared) for
+    contaminated TRAIN docs only."""
+    from functools import reduce
+
+    cut = eval_frac_hex if eval_frac_hex is not None \
+        else int(0.1 * 16 ** 8)
+    bucket = reduce(
+        lambda acc, i: acc + (
+            F.expr(f"instr('0123456789abcdef', substring("
+                   f"md5(cast(doc_id as string)), {i + 1}, 1))")
+            - 1).cast("long") * F.lit(16 ** (7 - i)).cast("long"),
+        range(8), F.lit(0).cast("long"))
+    tagged = documents.withColumn("is_eval", bucket < cut)
+    grams = word_ngrams(tagged.select("doc_id", "text"), n)
+    flags = tagged.select("doc_id", "is_eval")
+    g = grams.join(flags, "doc_id")
+    eval_grams = (g.where(F.col("is_eval"))
+                  .select("gram").distinct())
+    return (g.where(~F.col("is_eval"))
+            .select("doc_id", "gram").distinct()
+            .join(eval_grams, "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_shared")))
