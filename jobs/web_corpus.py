@@ -1,0 +1,107 @@
+"""spark-submit entry point for the web-extraction pipeline: raw HTML
+pages -> main content -> quality/repetition gates -> decontamination
+-> cleaned text corpus.  The front half of what jobs/clean_corpus.py
+finishes — together they are the full raw-web -> training-data path.
+
+    spark-submit --py-files ocr_pytorch_spark.zip jobs/web_corpus.py \\
+        --documents <dir-with-documents.parquet> --dst <out root> \\
+        [--max-dup-word-frac 0.6] [--max-top-bigram-frac 0.2] \\
+        [--min-words 8]
+
+Stages (all lazy until the single write):
+  1. main-content extraction: deterministic boilerplate pages
+     (html_wrap stands in for the raw crawl) -> html_main_block's
+     readability-style argmax block
+  2. repetition gate: Gopher-style duplicate-word / top-bigram-share
+     thresholds (repetition_signals)
+  3. decontamination: drop documents sharing any word-8-gram with the
+     eval stand-in set (decontam_overlap)
+  4. cleaned corpus written partitioned by xxhash64 doc bucket with a
+     _stats summary (rows surviving each stage)
+
+Every stage is a query-surface operator with an exact DuckDB oracle
+(html_main_block / text_repetition / decontam_overlap), so the job is
+a composition of hash-verified parts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def run(spark, docs, dst: str, max_dup_word_frac: float = 0.6,
+        max_top_bigram_frac: float = 0.2, min_words: int = 8,
+        buckets: int = 32) -> dict:
+    from pyspark.sql import functions as F
+
+    from ocr_pytorch_spark.operators import html as H
+    from ocr_pytorch_spark.operators import text as T
+
+    n_in = docs.count()
+
+    # 1. main-content extraction; the winner block becomes the text
+    main = (H.html_main_block(docs)
+            .select("doc_id", F.col("block_text").alias("text")))
+
+    # 2. repetition gate over the extracted text
+    rep = T.repetition_signals(main)
+    gated = (main.join(rep, "doc_id")
+             .where((F.col("n_words") >= min_words)
+                    & (F.col("dup_word_frac") <= max_dup_word_frac)
+                    & (F.col("top_bigram_frac")
+                       <= max_top_bigram_frac))
+             .select("doc_id", "text"))
+    n_gated = gated.count()
+
+    # 3. decontamination against the eval stand-in (left_anti on the
+    #    contaminated id set — the eval gram side broadcasts at scale)
+    contaminated = T.decontam_overlap(docs).select("doc_id")
+    cleaned = gated.join(contaminated, "doc_id", "left_anti")
+    n_clean = cleaned.count()
+
+    out = cleaned.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(buckets))
+        .cast("int"))
+    (out.write.mode("overwrite").partitionBy("bucket")
+        .parquet(os.path.join(dst, "web_corpus")))
+    stats = {"docs_in": n_in, "after_repetition_gate": n_gated,
+             "after_decontam": n_clean}
+    (spark.createDataFrame([tuple(stats.values())],
+                           schema=", ".join(f"{k} long" for k in stats))
+        .write.mode("overwrite")
+        .parquet(os.path.join(dst, "_stats")))
+    return stats
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--documents", required=True)
+    ap.add_argument("--dst", required=True)
+    ap.add_argument("--max-dup-word-frac", type=float, default=0.6)
+    ap.add_argument("--max-top-bigram-frac", type=float, default=0.2)
+    ap.add_argument("--min-words", type=int, default=8)
+    ap.add_argument("--buckets", type=int, default=32)
+    args = ap.parse_args()
+
+    from ocr_pytorch_spark.sources.session import get_spark
+
+    spark = get_spark(app="web-corpus")
+    docs = spark.read.parquet(
+        os.path.join(args.documents, "documents.parquet")
+        if os.path.isdir(args.documents) else args.documents)
+    stats = run(spark, docs, args.dst, args.max_dup_word_frac,
+                args.max_top_bigram_frac, args.min_words, args.buckets)
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()
