@@ -237,6 +237,43 @@ def _multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_neardup_pairs(_fixture_images(spark))
 
 
+def _multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-clip gating features over real RIFF/PCM WAVs synthesized
+    deterministically per doc (seeded tone + noise, encoded with
+    kernels/wav.encode_wav) and decoded back by the same pure-NumPy
+    codec — one poisoned clip exercises the error row.  Rows-only
+    (DuckDB has no WAV decoder)."""
+    _ship_package(spark)
+    from ocr_pytorch_spark.operators.multimodal import audio_clip_features
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ocr_pytorch_spark.kernels.wav import encode_wav
+
+        for pdf in batches:
+            refs, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                rng = np.random.default_rng(int(doc_id) + 77)
+                t = np.arange(4000) / 16000.0
+                tone = np.sin(2 * np.pi * (200 + int(doc_id) % 300) * t)
+                clip = (tone * 12000
+                        + rng.normal(0, 500, t.size)).astype(np.int16)
+                if int(doc_id) % 8 == 0:  # leading silence block
+                    clip[:1024] = 0
+                refs.append(f"wav-{int(doc_id):04d}")
+                blobs.append(encode_wav(clip))
+            refs.append("wav-poison")
+            blobs.append(b"RIFFnope")
+            yield pd.DataFrame({"media_ref": refs, "data": blobs})
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 24).select("doc_id").coalesce(1))
+    audio = docs.mapInPandas(synth, "media_ref string, data binary")
+    return audio_clip_features(audio)
+
+
 def _ocr_errors_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 error sink as a query surface: a corpus with one poisoned
     image (truncated bytes) yields per-image error rows instead of a
@@ -889,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _multimodal_features,
         "multimodal_dhash": _multimodal_dhash,
         "multimodal_neardup": _multimodal_neardup,
+        "multimodal_audio": _multimodal_audio,
         "ocr_errors_scan": _ocr_errors_scan,
         "png_ocr_extract": _png_ocr_extract,
     }

@@ -51,9 +51,12 @@ def decode_codec(data: bytes, codec: str):
         from ocr_pytorch_spark.kernels.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if codec == "wav":
+        from ocr_pytorch_spark.kernels.wav import decode_wav
+
+        return decode_wav(data)
     raise NotImplementedError(
-        f"codec decode ({codec}) requires soundfile/ffmpeg, "
-        f"not available here")
+        f"codec decode ({codec}) requires ffmpeg, not available here")
 
 
 DHASH_SCHEMA = "media_ref string, dhash long"
@@ -215,6 +218,42 @@ def thumbnails(images: DataFrame, out_h: int = 16) -> DataFrame:
                 "media_ref", "height", "width", "data"])
 
     return images.mapInPandas(thumb, schema=THUMBNAIL_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_ref string, sample_rate int, duration_sec double, "
+    "rms double, zcr double, peak double, silence_frac double")
+
+
+def audio_clip_features(audio: DataFrame,
+                        ref_col: str = "media_ref",
+                        bytes_col: str = "data") -> DataFrame:
+    """(media_ref, data: WAV bytes) -> per-clip gating features via
+    the real RIFF/PCM decoder (kernels/wav.py) — duration, RMS, ZCR,
+    peak, silence fraction; the audio analogue of image_features.
+    Map-side Arrow batches; corrupt clips follow the poison-row
+    contract (sample_rate = -1, zeros)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_pytorch_spark.kernels.wav import (audio_features,
+                                                   decode_wav)
+
+        for pdf in batches:
+            rows = []
+            for ref, blob in zip(pdf[ref_col], pdf[bytes_col]):
+                try:
+                    samples, rate = decode_wav(bytes(blob))
+                    f = audio_features(samples, rate)
+                    rows.append((ref, rate, f["duration_sec"],
+                                 f["rms"], f["zcr"], f["peak"],
+                                 f["silence_frac"]))
+                except Exception:
+                    rows.append((ref, -1, 0.0, 0.0, 0.0, 0.0, 1.0))
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "sample_rate", "duration_sec", "rms",
+                "zcr", "peak", "silence_frac"])
+
+    return audio.mapInPandas(feats, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def frame_sample(videos: DataFrame, every_n: int = 8) -> DataFrame:

@@ -1,0 +1,87 @@
+"""WAV/PCM codec (kernels/wav.py) + audio feature operator."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from ocr_pytorch_spark.kernels.wav import (WavError, audio_features,
+                                           decode_wav, encode_wav)
+
+
+def _tone(hz=440, n=8000, rate=16000, amp=12000):
+    t = np.arange(n) / rate
+    return (np.sin(2 * np.pi * hz * t) * amp).astype(np.int16)
+
+
+def test_roundtrip_mono():
+    clip = _tone()
+    out, rate = decode_wav(encode_wav(clip, 16000))
+    assert rate == 16000
+    assert out.shape == (8000, 1)
+    assert np.allclose(out[:, 0], clip / 32768.0, atol=1e-6)
+
+
+def test_roundtrip_stereo():
+    clip = np.stack([_tone(440), _tone(880)], axis=1)
+    out, rate = decode_wav(encode_wav(clip, 8000))
+    assert out.shape == (8000, 2)
+    assert not np.allclose(out[:, 0], out[:, 1])
+
+
+def test_unknown_chunks_skipped():
+    blob = bytearray(encode_wav(_tone(n=100)))
+    # splice a LIST chunk between WAVE and fmt
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    blob2 = blob[:12] + extra + blob[12:]
+    blob2[4:8] = struct.pack("<I", len(blob2) - 8)
+    out, rate = decode_wav(bytes(blob2))
+    assert out.shape == (100, 1)
+
+
+def test_8bit_unsigned_decode():
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    data = bytes([0, 128, 255])
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 3) + data)
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    out, rate = decode_wav(blob)
+    assert np.allclose(out[:, 0], [-1.0, 0.0, 127 / 128])
+
+
+def test_errors():
+    with pytest.raises(WavError):
+        decode_wav(b"RIFFnope")
+    with pytest.raises(WavError):
+        decode_wav(b"OggS....")
+    compressed = bytearray(encode_wav(_tone(n=10)))
+    i = compressed.index(b"fmt ") + 8
+    compressed[i:i + 2] = struct.pack("<H", 2)  # ADPCM format code
+    with pytest.raises(WavError, match="PCM"):
+        decode_wav(bytes(compressed))
+
+
+def test_audio_features_semantics():
+    rate = 16000
+    tone = _tone(n=rate)  # 1 second
+    f = audio_features(tone / 32768.0, rate)
+    assert abs(f["duration_sec"] - 1.0) < 1e-9
+    # sine RMS = amp/sqrt(2)
+    assert abs(f["rms"] - (12000 / 32768) / np.sqrt(2)) < 0.01
+    # 440 Hz tone crosses zero ~880 times/sec
+    assert abs(f["zcr"] * rate - 880) < 10
+    assert f["silence_frac"] == 0.0
+    silent = np.zeros(rate, dtype=np.float32)
+    assert audio_features(silent, rate)["silence_frac"] == 1.0
+
+
+def test_spark_audio_features(spark):
+    from ocr_pytorch_spark.operators.multimodal import audio_clip_features
+
+    rows = [("good", bytearray(encode_wav(_tone()))),
+            ("bad", bytearray(b"RIFFnope"))]
+    df = spark.createDataFrame(rows, "media_ref string, data binary")
+    out = {r["media_ref"]: r for r in audio_clip_features(df).collect()}
+    assert out["good"]["sample_rate"] == 16000
+    assert out["good"]["rms"] > 0.2
+    assert out["bad"]["sample_rate"] == -1  # poison-row contract
