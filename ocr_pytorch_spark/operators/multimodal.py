@@ -1,13 +1,13 @@
 """Multimodal column plumbing: opaque ``binary`` media + typed metadata,
 processed by Arrow-batched ``mapInPandas`` UDFs.
 
-The raw-RGB decode, PNG and baseline-JPEG codec, and stats/resize paths
-are REAL (pure NumPy — kernels/png.py, kernels/jpeg.py; the engine's
-image table stores raw uint8 HWC bytes, SURVEY.md §1.1).  Audio and
-video-frame extraction are STUBBED behind ``NotImplementedError`` /
-deterministic fakes because the decoding libraries (soundfile/ffmpeg)
-are not installed in this environment — the Spark-side plumbing
-(schema, batching, partitioning, UDF signatures) is real and tested.
+The raw-RGB decode, PNG / baseline-JPEG / WAV-PCM codecs, and
+stats/resize/feature paths are REAL (pure NumPy — kernels/png.py,
+kernels/jpeg.py, kernels/wav.py; the engine's image table stores raw
+uint8 HWC bytes, SURVEY.md §1.1).  Only video-frame extraction is
+STUBBED behind a deterministic fake because it genuinely needs ffmpeg,
+not installed here — its Spark-side plumbing (schema, batching,
+partitioning, UDF signature) is real and tested.
 """
 
 from __future__ import annotations
