@@ -42,11 +42,21 @@ def test_frame_sample_stride(spark, images_df):
     assert all(r["frame_idx"] == 0 for r in out)
 
 
-def test_codec_decode_audio_is_stubbed():
-    # PNG and JPEG are real codecs now (kernels/png.py, kernels/jpeg.py,
-    # covered in test_png.py / test_jpeg.py); audio remains stubbed
+def test_codec_decode_video_is_stubbed():
+    # PNG/JPEG/WAV are real codecs now (kernels/{png,jpeg,wav}.py,
+    # covered in their own test files); only video needs ffmpeg
     with pytest.raises(NotImplementedError):
-        MM.decode_codec(b"RIFF....WAVE", "wav")
+        MM.decode_codec(b"\x00\x00\x00 ftypmp42", "mp4")
+
+
+def test_codec_decode_wav_is_real():
+    import numpy as np
+
+    from ocr_pytorch_spark.kernels.wav import encode_wav
+
+    clip = (np.sin(np.arange(100)) * 1000).astype(np.int16)
+    samples, rate = MM.decode_codec(encode_wav(clip, 8000), "wav")
+    assert rate == 8000 and samples.shape == (100, 1)
 
 
 def test_dhash_properties(spark):
