@@ -274,6 +274,42 @@ def _multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_clip_features(audio)
 
 
+def _multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path: MJPEG-AVI clips synthesized per fixture image
+    (3 frames: base + 2 augment-chain variants, encoded by
+    kernels/avi.py through the in-repo JPEG encoder), then every-2nd
+    frame sampled and decoded back.  One poisoned container exercises
+    the error row.  Rows-only (no AVI/JPEG in DuckDB)."""
+    _ship_package(spark)
+    from ocr_pytorch_spark.operators.multimodal import video_frame_sample
+
+    def synth(batches):
+        import pandas as pd
+
+        from ocr_pytorch_spark import datagen
+        from ocr_pytorch_spark.kernels.augment import (
+            adjust_brightness, gaussian_blur)
+        from ocr_pytorch_spark.kernels.avi import encode_avi
+
+        for pdf in batches:
+            refs, blobs = [], []
+            for ref in pdf["media_ref"]:
+                img, _ = datagen.gen_image_array(ref)
+                frames = [img, adjust_brightness(img, 0.8),
+                          gaussian_blur(img, 1.0)]
+                refs.append(f"avi-{ref}")
+                blobs.append(encode_avi(frames, fps=4))
+            refs.append("avi-poison")
+            blobs.append(b"RIFF\x04\x00\x00\x00AVI ")
+            yield pd.DataFrame({"media_ref": refs, "data": blobs})
+
+    base = spark.createDataFrame(
+        [(f"img-td-{i:04d}",) for i in range(8)], "media_ref string")
+    videos = base.coalesce(1).mapInPandas(
+        synth, "media_ref string, data binary")
+    return video_frame_sample(videos, every_n=2)
+
+
 def _ocr_errors_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 error sink as a query surface: a corpus with one poisoned
     image (truncated bytes) yields per-image error rows instead of a
@@ -927,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_dhash": _multimodal_dhash,
         "multimodal_neardup": _multimodal_neardup,
         "multimodal_audio": _multimodal_audio,
+        "multimodal_video": _multimodal_video,
         "ocr_errors_scan": _ocr_errors_scan,
         "png_ocr_extract": _png_ocr_extract,
     }

@@ -256,11 +256,47 @@ def audio_clip_features(audio: DataFrame,
     return audio.mapInPandas(feats, schema=AUDIO_FEATURES_SCHEMA)
 
 
+VIDEO_FRAME_SCHEMA = ("media_ref string, frame_idx int, height int, "
+                      "width int, data binary")
+
+
+def video_frame_sample(videos: DataFrame,
+                       every_n: int = 2) -> DataFrame:
+    """REAL video frame sampling: the binary column holds MJPEG-AVI
+    containers (kernels/avi.py); every n-th frame blob is sliced at
+    the container level and ONLY sampled frames are JPEG-decoded —
+    the cost shape that matters at corpus scale.  Output rows are
+    raw-RGB images, directly consumable by image_features / OCR.
+    Corrupt containers follow the poison-row contract
+    (frame_idx = -1, error text as data)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_pytorch_spark.kernels.avi import decode_avi_frames
+
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["data"]):
+                try:
+                    for idx, frame in decode_avi_frames(bytes(data),
+                                                        every_n):
+                        h, w = frame.shape[:2]
+                        rows.append((ref, idx, h, w, frame.tobytes()))
+                except Exception as exc:
+                    rows.append((ref, -1, -1, -1,
+                                 f"{type(exc).__name__}: {exc}"[:200]
+                                 .encode()))
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "frame_idx", "height", "width", "data"])
+
+    return videos.mapInPandas(sample, schema=VIDEO_FRAME_SCHEMA)
+
+
 def frame_sample(videos: DataFrame, every_n: int = 8) -> DataFrame:
-    """Video frame sampling — plumbing-real, decode-FAKE: treats the
-    binary column as a concatenation of raw frames of (height,width,3)
-    and emits every n-th, which is exactly the partition/batch/schema
-    shape a real ffmpeg-backed sampler would have."""
+    """Raw-frame sampling plumbing: treats the binary column as a
+    concatenation of raw (height, width, 3) frames and emits every
+    n-th — the schema/batch shape for pre-decoded frame stores.  For
+    real container files use ``video_frame_sample`` (MJPEG-AVI,
+    kernels/avi.py)."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1,0 +1,71 @@
+"""MJPEG-AVI container (kernels/avi.py) + real video frame sampling."""
+
+import numpy as np
+import pytest
+
+from ocr_pytorch_spark.kernels.avi import (AviError, avi_frame_blobs,
+                                           decode_avi_frames,
+                                           encode_avi)
+
+
+def _frames(n=6, h=40, w=56):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return [np.clip((np.sin(xx / 7 + k) + np.cos(yy / 5) + 2) / 4
+                    * 255, 0, 255).astype(np.uint8)[:, :, None]
+            .repeat(3, 2) for k in range(n)]
+
+
+def test_roundtrip_all_frames():
+    frames = _frames()
+    blob = encode_avi(frames, fps=4)
+    assert len(avi_frame_blobs(blob)) == 6
+    dec = decode_avi_frames(blob, every_n=1)
+    assert [i for i, _ in dec] == list(range(6))
+    for (_, got), want in zip(dec, frames):
+        assert got.shape == want.shape
+        assert np.abs(got.astype(int) - want.astype(int)).mean() < 3.0
+
+
+def test_sampling_slices_before_decode():
+    blob = encode_avi(_frames(7), fps=4)
+    dec = decode_avi_frames(blob, every_n=3)
+    assert [i for i, _ in dec] == [0, 3, 6]
+
+
+def test_frame_blobs_are_valid_jpegs():
+    from ocr_pytorch_spark.kernels.jpeg import decode_jpeg
+
+    blob = encode_avi(_frames(2))
+    for b in avi_frame_blobs(blob):
+        assert b[:2] == b"\xff\xd8"
+        decode_jpeg(b)  # decodes standalone
+
+
+def test_errors():
+    with pytest.raises(AviError):
+        avi_frame_blobs(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(AviError):
+        avi_frame_blobs(b"RIFF\x04\x00\x00\x00AVI ")  # no movi
+    with pytest.raises(AviError):
+        encode_avi([])
+
+
+def test_spark_video_frame_sample(spark):
+    from ocr_pytorch_spark.operators.multimodal import video_frame_sample
+
+    frames = _frames(5)
+    rows = [("clip", bytearray(encode_avi(frames, fps=4))),
+            ("bad", bytearray(b"RIFF\x04\x00\x00\x00AVI "))]
+    df = spark.createDataFrame(rows, "media_ref string, data binary")
+    out = video_frame_sample(df, every_n=2).collect()
+    good = sorted((r["frame_idx"] for r in out
+                   if r["media_ref"] == "clip"))
+    assert good == [0, 2, 4]
+    clip0 = next(r for r in out if r["media_ref"] == "clip"
+                 and r["frame_idx"] == 0)
+    assert (clip0["height"], clip0["width"]) == (40, 56)
+    img = np.frombuffer(bytes(clip0["data"]), np.uint8).reshape(
+        40, 56, 3)
+    assert np.abs(img.astype(int) - frames[0].astype(int)).mean() < 3.0
+    bad = next(r for r in out if r["media_ref"] == "bad")
+    assert bad["frame_idx"] == -1  # poison-row contract
