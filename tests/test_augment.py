@@ -151,6 +151,19 @@ def test_chain_deterministic_and_varied():
     assert n_changed >= 4, f"only {n_changed}/12 seeds changed the image"
 
 
+def test_chain_robust_across_seeds_and_sizes():
+    """The gated chain must produce a valid uint8 image for any seed
+    and any input geometry (tiny, tall, wide, sub-32 so the gated
+    compress/blur branch is skipped)."""
+    for h, w in [(8, 8), (31, 200), (200, 31), (64, 64), (33, 500)]:
+        img = _img(h, w, seed=h * 1000 + w)
+        for seed in range(8):
+            out = A.augment_chain(img, seed)
+            assert out.dtype == np.uint8
+            assert out.ndim == 3 and out.shape[2] == 3
+            assert out.shape[0] >= 1 and out.shape[1] >= 1
+
+
 def test_augmented_fixture_tier_deterministic():
     from ocr_pytorch_spark import datagen
 

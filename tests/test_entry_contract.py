@@ -87,7 +87,8 @@ FLOAT_STRESS_KEYS = ["group_line_stats", "text_quality", "tpch_q1",
                      "broadcast_dim_join", "sim_topk_cosine",
                      "group_linefit_regr", "corpus_filter",
                      "dedup_embedding_cosine", "sim_ivf_topk",
-                     "ohem_topk_sum", "html_strip", "html_main_block"]
+                     "ohem_topk_sum", "html_strip", "html_main_block",
+                     "text_repetition"]
 
 
 @pytest.mark.parametrize("key", FLOAT_STRESS_KEYS)
