@@ -274,6 +274,50 @@ def _multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_clip_features(audio)
 
 
+def _multimodal_audio_neardup(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs: clips synthesized in noisy-copy groups
+    (same tone +- low noise) must pair within groups via the spectral
+    fingerprint + banded Hamming join.  Rows-only (FFT not in SQL)."""
+    _ship_package(spark)
+    from ocr_pytorch_spark.operators.multimodal import audio_neardup_pairs
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ocr_pytorch_spark.kernels.wav import encode_wav
+
+        for pdf in batches:
+            refs, blobs = [], []
+            for gid in pdf["gid"]:
+                g = int(gid)
+                rng = np.random.default_rng(g)
+                t = np.arange(8000) / 16000.0
+                base = (np.sin(2 * np.pi * (150 + 140 * g) * t)
+                        + 0.4 * np.sin(2 * np.pi * (450 + 90 * g) * t))
+                for v in range(2):  # original + noisy copy
+                    clip = (base * 11000 + rng.normal(0, 150, t.size)) \
+                        .astype(np.int16)
+                    refs.append(f"au-{g:02d}-{v}")
+                    blobs.append(encode_wav(clip))
+            yield pd.DataFrame({"media_ref": refs, "data": blobs})
+
+    groups = spark.createDataFrame([(g,) for g in range(6)],
+                                   "gid int").coalesce(1)
+    audio = groups.mapInPandas(synth, "media_ref string, data binary")
+    return audio_neardup_pairs(audio, max_hamming=6)
+
+
+def _text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (rows-only: DuckDB has no
+    compressor)."""
+    _ship_package(spark)
+    from ocr_pytorch_spark.operators.text import compression_ratio
+
+    return compression_ratio(_t(spark, sf_dir, "documents"))
+
+
 def _multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video path: MJPEG-AVI clips synthesized per fixture image
     (3 frames: base + 2 augment-chain variants, encoded by
@@ -964,6 +1008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_neardup": _multimodal_neardup,
         "multimodal_audio": _multimodal_audio,
         "multimodal_video": _multimodal_video,
+        "multimodal_audio_neardup": _multimodal_audio_neardup,
+        "text_compression": _text_compression,
         "ocr_errors_scan": _ocr_errors_scan,
         "png_ocr_extract": _png_ocr_extract,
     }

@@ -73,6 +73,41 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return out, rate
 
 
+def spectral_hash(samples: np.ndarray, n_bands: int = 16,
+                  n_chunks: int = 4, frame: int = 512) -> int:
+    """64-bit perceptual audio fingerprint: frame the mono signal,
+    FFT magnitude per frame, pool into ``n_bands`` log-spaced bands x
+    ``n_chunks`` time chunks, threshold each cell against the clip
+    mean -> 64 sign bits.  The audio analogue of the image dHash —
+    stable under mild noise/level changes, so the same banded Hamming
+    join (multimodal.hash_neardup_pairs) dedups audio clips."""
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    mono = mono.astype(np.float64)
+    usable = (mono.size // frame) * frame
+    if usable == 0:
+        return 0
+    frames = mono[:usable].reshape(-1, frame)
+    mags = np.abs(np.fft.rfft(frames, axis=1))[:, 1:]  # drop DC
+    # log-spaced band edges over the magnitude bins (strictly
+    # increasing; tiny frames fall back to linear spacing)
+    edges = np.unique(np.geomspace(1, mags.shape[1],
+                                   n_bands + 1).astype(int))
+    if edges.size < n_bands + 1:
+        edges = np.linspace(0, mags.shape[1], n_bands + 1).astype(int)
+        edges[1:] = np.maximum(edges[1:], np.arange(1, n_bands + 1))
+    band_e = np.stack([mags[:, a:max(b, a + 1)].mean(axis=1)
+                       for a, b in zip(edges[:-1], edges[1:])], axis=1)
+    # pool frames into n_chunks time chunks
+    n_fr = band_e.shape[0]
+    cells = np.stack(
+        [band_e[(n_fr * c) // n_chunks:
+                max((n_fr * (c + 1)) // n_chunks,
+                    (n_fr * c) // n_chunks + 1)].mean(axis=0)
+         for c in range(n_chunks)], axis=0)
+    bits = (cells > cells.mean()).ravel()
+    return int(sum(1 << i for i, b in enumerate(bits[:64]) if b))
+
+
 def audio_features(samples: np.ndarray, rate: int,
                    frame: int = 512) -> dict:
     """Per-clip features a training-data pipeline gates on: duration,

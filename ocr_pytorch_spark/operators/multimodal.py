@@ -256,6 +256,46 @@ def audio_clip_features(audio: DataFrame,
     return audio.mapInPandas(feats, schema=AUDIO_FEATURES_SCHEMA)
 
 
+AUDIO_HASH_SCHEMA = "media_ref string, dhash long"
+
+
+def audio_spectral_hash(audio: DataFrame,
+                        ref_col: str = "media_ref",
+                        bytes_col: str = "data") -> DataFrame:
+    """(media_ref, WAV bytes) -> 64-bit spectral fingerprints
+    (kernels/wav.spectral_hash) in the same (media_ref, dhash) shape
+    as image_dhash, so the banded Hamming join dedups audio clips with
+    zero new join machinery."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_pytorch_spark.kernels.wav import decode_wav, \
+            spectral_hash
+
+        for pdf in batches:
+            refs, hs = [], []
+            for ref, blob in zip(pdf[ref_col], pdf[bytes_col]):
+                samples, _ = decode_wav(bytes(blob))
+                v = spectral_hash(samples)
+                refs.append(ref)
+                hs.append(v - (1 << 64) if v >= (1 << 63) else v)
+            yield pd.DataFrame({"media_ref": refs,
+                                "dhash": pd.array(hs, dtype="int64")})
+
+    return audio.mapInPandas(hashes, schema=AUDIO_HASH_SCHEMA)
+
+
+def audio_neardup_pairs(audio: DataFrame,
+                        max_hamming: int = 6) -> DataFrame:
+    """Audio near-dup detection: spectral fingerprint -> the SAME
+    pigeonhole-banded Hamming join as images (hash_neardup_pairs), so
+    recall at the radius is exact and the scale story is identical.
+    Output: ref_a, ref_b, hamming."""
+    bands = next(b for b in (1, 2, 4, 8, 16, 32, 64)
+                 if b > max_hamming)
+    return hash_neardup_pairs(audio_spectral_hash(audio),
+                              max_hamming, bands)
+
+
 VIDEO_FRAME_SCHEMA = ("media_ref string, frame_idx int, height int, "
                       "width int, data binary")
 

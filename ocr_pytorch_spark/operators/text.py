@@ -176,6 +176,39 @@ def fingerprint(documents: DataFrame, n: int = 3) -> DataFrame:
                  F.max(F.md5("gram")).alias("fp_max")))
 
 
+COMPRESSION_SCHEMA = ("doc_id string, n_chars long, n_compressed long, "
+                      "compression_ratio double")
+
+
+def compression_ratio(documents: DataFrame) -> DataFrame:
+    """zlib compression-ratio quality signal (the CCNet/RedPajama
+    trick: highly repetitive or templated text compresses far below
+    natural language, gibberish barely compresses).  Needs zlib, so
+    this is a batched Arrow UDF — a deliberate exception to the
+    codegen-first rule, and rows-only (DuckDB has no compressor).
+    Output: doc_id, n_chars, n_compressed, compression_ratio."""
+    from typing import Iterator as _It
+
+    import pandas as pd
+
+    def comp(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = str(text).encode("utf-8")
+                z = len(zlib.compress(raw, 6))
+                rows.append((str(doc_id), len(raw), z,
+                             z / max(len(raw), 1)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_chars", "n_compressed",
+                "compression_ratio"])
+
+    return (documents.select("doc_id", "text")
+            .mapInPandas(comp, schema=COMPRESSION_SCHEMA))
+
+
 def repetition_signals(documents: DataFrame) -> DataFrame:
     """Gopher-style repetition quality signals: duplicate-word fraction
     (1 - distinct/total) and the frequency share of the most common

@@ -75,6 +75,44 @@ def test_audio_features_semantics():
     assert audio_features(silent, rate)["silence_frac"] == 1.0
 
 
+def test_spectral_hash_properties():
+    from ocr_pytorch_spark.kernels.wav import spectral_hash
+
+    rng = np.random.default_rng(3)
+    t = np.arange(16000) / 16000.0
+    base = np.sin(2 * np.pi * 330 * t) + 0.4 * np.sin(2 * np.pi * 700 * t)
+    a = base + rng.normal(0, 0.01, t.size)
+    b = base + rng.normal(0, 0.01, t.size)      # noisy copy
+    other = np.sin(2 * np.pi * 1400 * t) + rng.normal(0, 0.01, t.size)
+    ha, hb, ho = (spectral_hash(x.astype(np.float32)) for x in
+                  (a, b, other))
+    assert ha == spectral_hash(a.astype(np.float32))  # deterministic
+    assert bin(ha ^ hb).count("1") <= 6, "noisy copy too far"
+    assert bin(ha ^ ho).count("1") > 10, "distinct clips too close"
+    # degenerate inputs don't crash
+    assert spectral_hash(np.zeros(10, dtype=np.float32)) == 0
+    spectral_hash(np.zeros((600, 2), dtype=np.float32))
+
+
+def test_spark_audio_neardup_pairs(spark):
+    from ocr_pytorch_spark.kernels.wav import encode_wav
+    from ocr_pytorch_spark.operators.multimodal import audio_neardup_pairs
+
+    rng = np.random.default_rng(9)
+    t = np.arange(8000) / 16000.0
+    base = np.sin(2 * np.pi * 260 * t) + 0.3 * np.sin(2 * np.pi * 520 * t)
+    mk = lambda sig: bytearray(encode_wav(  # noqa: E731
+        (sig * 11000).astype(np.int16)))
+    rows = [("a0", mk(base + rng.normal(0, 0.01, t.size))),
+            ("a1", mk(base + rng.normal(0, 0.01, t.size))),
+            ("b0", mk(np.sin(2 * np.pi * 1800 * t)))]
+    df = spark.createDataFrame(rows, "media_ref string, data binary")
+    pairs = {(r["ref_a"], r["ref_b"])
+             for r in audio_neardup_pairs(df).collect()}
+    assert ("a0", "a1") in pairs
+    assert not any("b0" in p for p in pairs)
+
+
 def test_spark_audio_features(spark):
     from ocr_pytorch_spark.operators.multimodal import audio_clip_features
 
