@@ -41,6 +41,23 @@ def windowed_event_counts(events: DataFrame,
                     "n", "sum_value"))
 
 
+def stream_dedup(docs: DataFrame, watermark: str = "10 minutes",
+                 key: str = "content_hash") -> DataFrame:
+    """Continuous-ingestion exact dedup: watermarked
+    ``dropDuplicates`` on the content hash — the streaming face of
+    operators/dedup.exact_dedup.  The watermark bounds the dedup
+    state store (keys older than the watermark age out), which is
+    what makes this viable on an unbounded firehose: state is
+    O(keys within the watermark horizon), not O(stream).  Works
+    identically on a batch frame, which is how the tests cross-check
+    stream==batch."""
+    hashed = (docs
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withColumn(key, F.md5(F.col("text"))))
+    return (hashed.withWatermark("ts", watermark)
+            .dropDuplicates([key]))
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator: per-user running (event count, value
     sum) maintained with applyInPandasWithState — the pattern for

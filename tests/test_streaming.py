@@ -136,3 +136,46 @@ def test_running_user_totals_stateful(spark, tmp_path_factory):
     for r in rows:  # memory sink appends update rows in batch order
         got[r["user_id"]] = (r["n_events"], round(r["sum_value"], 6))
     assert got == want
+
+
+def test_stream_dedup_across_micro_batches(spark, tmp_path_factory):
+    """Watermarked dropDuplicates on the content hash: duplicates
+    arriving in LATER micro-batches (other files) are dropped by the
+    state store; the surviving set equals batch exact-dedup."""
+    import datetime as dt
+    import os
+
+    from ocr_pytorch_spark.streaming.windows import stream_dedup
+
+    src = str(tmp_path_factory.mktemp("dedup_src"))
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows_a = [(f"d{i}", f"text body {i % 4}",
+               t0 + dt.timedelta(seconds=i)) for i in range(8)]
+    rows_b = [(f"e{i}", f"text body {i % 4}",
+               t0 + dt.timedelta(seconds=60 + i)) for i in range(8)]
+    schema = "doc_id string, text string, ts timestamp"
+    spark.createDataFrame(rows_a, schema).coalesce(1) \
+        .write.parquet(os.path.join(src, "a"))
+    spark.createDataFrame(rows_b, schema).coalesce(1) \
+        .write.parquet(os.path.join(src, "b"))
+
+    batch = spark.read.parquet(os.path.join(src, "*"))
+    want_hashes = {r["content_hash"]
+                   for r in stream_dedup(batch).collect()}
+    assert len(want_hashes) == 4  # 4 distinct bodies among 16 rows
+
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(os.path.join(src, "*")))
+    ckpt = str(tmp_path_factory.mktemp("dedup_ckpt"))
+    q = (stream_dedup(stream).writeStream
+         .format("memory").queryName("dedup_out")
+         .outputMode("append")
+         .option("checkpointLocation", ckpt).start())
+    q.processAllAvailable()
+    got = spark.sql("select * from dedup_out").collect()
+    q.stop()
+    # exactly one surviving row per distinct content hash, even though
+    # duplicates spanned micro-batches
+    assert len(got) == 4
+    assert {r["content_hash"] for r in got} == want_hashes
