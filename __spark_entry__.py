@@ -28,6 +28,7 @@ for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
 from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
 
 from ocr_pytorch_spark.functions import quant4  # noqa: E402
+from ocr_pytorch_spark.operators import web as _WEB  # noqa: E402
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 N_OCR_DOCS = 48        # docs used by the flagship OCR query
@@ -393,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_pytorch_spark.operators import html as H
     from ocr_pytorch_spark.operators import similarity as S
     from ocr_pytorch_spark.operators import text as T
+    from ocr_pytorch_spark.operators import web as WB
 
     def filter_threshold(spark, sf):
         return (_t(spark, sf, "events").where(F.col("value") > 0.5)
@@ -932,6 +934,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "documents")),
         "decontam_overlap": lambda s, sf: T.decontam_overlap(
             _t(s, sf, "documents")),
+        # web-corpus hygiene + C4-style line dedup (r3, new)
+        "pii_redact": lambda s, sf: WB.pii_redact(
+            _t(s, sf, "documents")),
+        "url_host_filter": lambda s, sf: WB.url_host_filter(
+            _t(s, sf, "documents")),
+        "dedup_lines": lambda s, sf: D.line_dedup(
+            _t(s, sf, "documents")),
         "text_quality": lambda s, sf: T.quality_score(
             _t(s, sf, "documents")),
         "text_token_count": lambda s, sf: T.token_count(
@@ -1456,6 +1465,63 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
             FROM tg JOIN eg USING (gram) GROUP BY doc_id""",
+        "pii_redact": f"""
+            WITH p AS ({_WEB.PII_WRAP_SQL})
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(raw,
+                       '{_WEB.EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_WEB.PHONE_RE}', '<PHONE>', 'g'),
+                       '{_WEB.IP_RE}', '<IP>', 'g') AS redacted,
+                   len(regexp_extract_all(raw, '{_WEB.EMAIL_RE}'))
+                     AS n_email,
+                   len(regexp_extract_all(raw, '{_WEB.PHONE_RE}'))
+                     AS n_phone,
+                   len(regexp_extract_all(raw, '{_WEB.IP_RE}'))
+                     AS n_ip
+            FROM p""",
+        "url_host_filter": f"""
+            WITH u AS ({_WEB.URL_WRAP_SQL}),
+            p AS (
+              SELECT doc_id, n_chars,
+                     regexp_extract(url, '{_WEB.HOST_RE}', 1) AS host
+              FROM u
+            )
+            SELECT host,
+                   regexp_extract(host, '{_WEB.DOMAIN_RE}', 1)
+                     AS domain,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(doc_id) AS first_doc
+            FROM p
+            WHERE host NOT IN ({", ".join(
+                f"'{h}'" for h in _WEB.BLOCKLIST)})
+            GROUP BY 1, 2""",
+        "dedup_lines": """
+            WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents
+            ), lines AS (
+              SELECT doc_id, CAST(g.i AS BIGINT) AS line_no,
+                     array_to_string(w[g.i*3+1 : g.i*3+3], ' ')
+                       AS line
+              FROM words, LATERAL (
+                SELECT unnest(range(0,
+                    CAST(ceil(len(w) / 3.0) AS BIGINT))) AS i) g
+            ), ranked AS (
+              SELECT doc_id, line_no, line,
+                     row_number() OVER (PARTITION BY line
+                         ORDER BY doc_id, line_no) AS rn
+              FROM lines
+            ), kept AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY line_no)
+                       AS kept_text,
+                     count(*) AS n_kept
+              FROM ranked WHERE rn = 1 GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(k.kept_text, '') AS kept_text,
+                   CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+            FROM documents d LEFT JOIN kept k USING (doc_id)""",
         # extraction is lossless for the synthesized subset, so the
         # oracle is the identity projection of the source table
         "pdf_text_extract": """

@@ -380,3 +380,58 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
                            / (F.col("na") + F.col("nb") - F.col("i")))
                     .alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
+
+
+def line_dedup(documents: DataFrame,
+               words_per_line: int = 3) -> DataFrame:
+    """C4-style corpus-global line-level exact dedup: split each
+    document into fixed-width word lines, keep only the FIRST
+    occurrence of every distinct line across the whole corpus
+    (first = lexicographically least (doc_id, line_no)), and
+    reassemble each document from its surviving lines.
+    Output: doc_id, kept_text (newline-joined), n_kept.
+
+    Scale shape: line construction is map-side (transform over a
+    sequence — no explode shuffle until the lines exist as rows);
+    the winner pick is ONE groupBy on the line itself with map-side
+    partial aggregation (``min(struct(doc_id, line_no))`` — duplicate
+    lines collapse in the map stage, so a line duplicated 10^6 times
+    ships once per task, not 10^6 rows to one reducer, which is what
+    the row_number()-window formulation would do); reassembly is a
+    second skew-free groupBy on doc_id.  At 10^12 docs you group on a
+    128-bit hash of the line instead of the line text to shrink the
+    shuffle key — semantics identical modulo hash collisions.
+    """
+    n = words_per_line
+    lines = (documents
+             .withColumn("w", F.split("text", " "))
+             .withColumn(
+                 "n_lines",
+                 F.ceil(F.size("w") / float(n)).cast("int"))
+             .select(
+                 "doc_id",
+                 F.posexplode(F.expr(
+                     f"transform(sequence(0, n_lines - 1), "
+                     f"i -> concat_ws(' ', slice(w, i*{n}+1, {n})))"
+                 )).alias("line_no", "line"))
+             .withColumn("line_no", F.col("line_no").cast("long")))
+    winners = (lines
+               .groupBy("line")
+               .agg(F.min(F.struct("doc_id", "line_no")).alias("win"))
+               .select(F.col("win.doc_id").alias("doc_id"),
+                       F.col("win.line_no").alias("line_no"), "line"))
+    kept = (winners
+            .groupBy("doc_id")
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(
+                             F.collect_list(
+                                 F.struct("line_no", "line"))),
+                         lambda s: s["line"]), "\n").alias("kept_text"),
+                 F.count("*").alias("n_kept")))
+    return (documents.select("doc_id")
+            .join(kept, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept")))

@@ -1,0 +1,177 @@
+"""Web-corpus hygiene operators: PII redaction and URL/domain
+blocklist filtering.
+
+Both are staples of a training-data pipeline (C4/CCNet/RefinedWeb all
+apply URL filtering; PII scrubbing is a compliance requirement before
+any corpus ships).  The corpus tables carry plain text, so — like
+``operators/html.py`` — each operator works on a deterministic
+rendering of the structured input derived from the row itself (same
+expression in the DuckDB oracle), which keeps every step
+hash-checkable cross-engine while exercising the real logic:
+
+* ``pii_wrap``      — deterministic PII-bearing text per document
+  (1-2 emails, an optional phone, an optional IPv4, keyed off
+  ``doc_id`` so counts vary across rows).
+* ``pii_redact``    — regex redaction (<EMAIL>/<PHONE>/<IP>) plus
+  per-kind match counts.  Pure codegen ``regexp_replace`` /
+  ``regexp_extract_all`` chains — no UDF, no shuffle: at 10^12 rows
+  this is a map-only pass that AQE never touches.
+* ``url_wrap``      — deterministic URL per document
+  (``https://{source}-{doc_id%4}.example.{tld(lang)}/p/{doc_id}``).
+* ``url_host_filter`` — host extraction, registrable-domain parse,
+  broadcast anti-join against a host blocklist, per-host rollup.
+  The blocklist is the broadcast side (real blocklists are ~10^5
+  rows — always broadcastable); the only shuffle is the final
+  per-host aggregate, map-side combined.
+
+Every regex is in the common Java-regex/RE2 subset so Spark and
+DuckDB agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# --- shared regexes (verbatim in the SQL oracle) ---
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\b[0-9]{3}-[0-9]{4}\\b"
+IP_RE = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+HOST_RE = "^https://([^/]+)"
+DOMAIN_RE = "([^.]+\\.[^.]+)$"
+
+# default host blocklist for url_host_filter (hosts that never exist at
+# a given SF simply match nothing)
+BLOCKLIST = [
+    "src0-0.example.fr", "src1-2.example.com", "src3-0.example.de",
+    "src4-3.example.es", "src5-1.example.com", "src7-1.example.cn",
+    "src12-2.example.com",
+]
+
+_TLD_CASE = ("CASE lang WHEN 'de' THEN 'de' WHEN 'fr' THEN 'fr' "
+             "WHEN 'es' THEN 'es' WHEN 'zh' THEN 'cn' "
+             "ELSE 'com' END")
+
+
+def pii_wrap(documents: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, raw): deterministic PII-bearing
+    text.  Always one email; a second email when doc_id%2=1; a phone
+    when doc_id%3>0; an IPv4 when doc_id%5>0."""
+    did = F.col("doc_id").cast("string")
+    email1 = F.concat(F.lit(" contact user"), did,
+                      F.lit("@mail.example.com"))
+    email2 = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(F.lit(" cc user"), did,
+                 F.lit(".backup@example.org"))).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 3 > 0,
+        F.concat(F.lit(" call 555-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"),
+                        4, "0"))).otherwise(F.lit(""))
+    ip = F.when(
+        F.col("doc_id") % 5 > 0,
+        F.concat(F.lit(" node 10."),
+                 (F.col("doc_id") % 200).cast("string"), F.lit("."),
+                 ((F.col("doc_id") * 3) % 250).cast("string"),
+                 F.lit("."),
+                 ((F.col("doc_id") * 7) % 250).cast("string"))
+    ).otherwise(F.lit(""))
+    raw = F.concat(F.substring("text", 1, 40), email1, email2, phone,
+                   ip, F.lit(" end"))
+    return documents.select("doc_id", raw.alias("raw"))
+
+
+# the same synthesis as a DuckDB CTE body (f-string-safe: no braces)
+PII_WRAP_SQL = """
+  SELECT doc_id,
+         substr(text, 1, 40)
+         || ' contact user' || CAST(doc_id AS VARCHAR)
+            || '@mail.example.com'
+         || CASE WHEN doc_id % 2 = 1
+                 THEN ' cc user' || CAST(doc_id AS VARCHAR)
+                      || '.backup@example.org' ELSE '' END
+         || CASE WHEN doc_id % 3 > 0
+                 THEN ' call 555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 > 0
+                 THEN ' node 10.' || CAST(doc_id % 200 AS VARCHAR)
+                      || '.' || CAST((doc_id * 3) % 250 AS VARCHAR)
+                      || '.' || CAST((doc_id * 7) % 250 AS VARCHAR)
+                 ELSE '' END
+         || ' end' AS raw
+  FROM documents
+"""
+
+
+def pii_redact(documents: DataFrame) -> DataFrame:
+    """Redact emails/phones/IPv4s and count each kind.
+    Output: doc_id, redacted, n_email, n_phone, n_ip (all BIGINT).
+
+    Counts run on the raw text (independent per kind); redaction
+    applies email -> phone -> ip in order.  Everything is JVM-side
+    codegen — at corpus scale this fuses into the scan stage."""
+    raw = pii_wrap(documents)
+
+    def n(pat):
+        return F.size(
+            F.regexp_extract_all(F.col("raw"), F.lit(pat), 0)
+        ).cast("long")
+
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), EMAIL_RE, "<EMAIL>"),
+            PHONE_RE, "<PHONE>"),
+        IP_RE, "<IP>")
+    return raw.select(
+        "doc_id", redacted.alias("redacted"),
+        n(EMAIL_RE).alias("n_email"), n(PHONE_RE).alias("n_phone"),
+        n(IP_RE).alias("n_ip"))
+
+
+def url_wrap(documents: DataFrame) -> DataFrame:
+    """(doc_id, source, lang, n_chars) -> (doc_id, n_chars, url)."""
+    tld = F.expr(_TLD_CASE)
+    host = F.concat(F.col("source"), F.lit("-"),
+                    (F.col("doc_id") % 4).cast("string"),
+                    F.lit(".example."), tld)
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"),
+                   F.col("doc_id").cast("string"), F.lit("?ref="),
+                   F.col("lang"))
+    return documents.select("doc_id", "n_chars", url.alias("url"))
+
+
+URL_WRAP_SQL = f"""
+  SELECT doc_id, n_chars,
+         'https://' || source || '-' || CAST(doc_id % 4 AS VARCHAR)
+         || '.example.' || {_TLD_CASE} || '/p/'
+         || CAST(doc_id AS VARCHAR) || '?ref=' || lang AS url
+  FROM documents
+"""
+
+
+def url_host_filter(documents: DataFrame,
+                    blocklist: list[str] | None = None) -> DataFrame:
+    """Parse host + registrable domain from each document URL, drop
+    blocklisted hosts via a broadcast anti-join, roll up per host.
+    Output: host, domain, n_docs, total_chars, first_doc.
+
+    Scale shape: the blocklist broadcasts (anti-join never shuffles
+    the corpus); host parsing is map-side regex; the rollup is the
+    one shuffle, with map-side partial aggregation on a key space
+    bounded by the number of distinct hosts."""
+    spark = documents.sparkSession
+    hosts = spark.createDataFrame(
+        [(h,) for h in (blocklist or BLOCKLIST)], "host string")
+    urls = url_wrap(documents)
+    parsed = urls.select(
+        "doc_id", "n_chars",
+        F.regexp_extract("url", HOST_RE, 1).alias("host"))
+    kept = parsed.join(F.broadcast(hosts), "host", "left_anti")
+    return (kept
+            .withColumn("domain",
+                        F.regexp_extract("host", DOMAIN_RE, 1))
+            .groupBy("host", "domain")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.min("doc_id").alias("first_doc")))

@@ -1,0 +1,89 @@
+"""Web-corpus hygiene (operators/web.py) and C4-style line dedup
+(operators/dedup.py:line_dedup) — semantic checks; cross-engine hashes
+live in test_entry_contract."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta", "en", "src1", 22),
+        (1, "one two three four five six", "de", "src1", 27),
+        (3, "alpha beta gamma delta", "zh", "src2", 22),  # dup of 0
+        (15, "alpha beta gamma seven eight nine", "fr", "src3", 33),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+
+def test_pii_redact_removes_and_counts(spark, docs):
+    from ocr_pytorch_spark.operators.web import pii_redact
+
+    rows = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    # doc 0: even -> 1 email, %3==0 -> no phone, %5==0 -> no ip
+    assert (rows[0]["n_email"], rows[0]["n_phone"], rows[0]["n_ip"]) \
+        == (1, 0, 0)
+    # doc 1: odd -> 2 emails, %3>0 -> phone, %5>0 -> ip
+    assert (rows[1]["n_email"], rows[1]["n_phone"], rows[1]["n_ip"]) \
+        == (2, 1, 1)
+    # doc 15: odd -> 2 emails, %3==0 -> no phone, %5==0 -> no ip
+    assert (rows[15]["n_email"], rows[15]["n_phone"],
+            rows[15]["n_ip"]) == (2, 0, 0)
+    for r in rows.values():
+        red = r["redacted"]
+        assert "@" not in red and "555-" not in red
+        assert "<EMAIL>" in red
+        assert ("<PHONE>" in red) == (r["n_phone"] > 0)
+        assert ("<IP>" in red) == (r["n_ip"] > 0)
+        # original words survive redaction
+        assert red.startswith(("alpha", "one"))
+
+
+def test_url_host_filter_blocklist_and_rollup(spark, docs):
+    from ocr_pytorch_spark.operators.web import url_host_filter
+
+    # hosts: 0 -> src1-0.example.com, 1 -> src1-1.example.de,
+    #        3 -> src2-3.example.cn, 15 -> src3-3.example.fr
+    out = {r["host"]: r for r in
+           url_host_filter(docs, ["src1-1.example.de"]).collect()}
+    assert "src1-1.example.de" not in out  # blocked
+    assert set(out) == {"src1-0.example.com", "src2-3.example.cn",
+                        "src3-3.example.fr"}
+    r = out["src2-3.example.cn"]
+    assert r["domain"] == "example.cn"
+    assert r["n_docs"] == 1 and r["total_chars"] == 22
+    assert r["first_doc"] == 3
+
+
+def test_line_dedup_first_occurrence_wins(spark, docs):
+    from ocr_pytorch_spark.operators.dedup import line_dedup
+
+    rows = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert set(rows) == {0, 1, 3, 15}
+    # doc 0 (first occurrence) keeps both its lines
+    assert rows[0]["kept_text"] == "alpha beta gamma\ndelta"
+    assert rows[0]["n_kept"] == 2
+    # doc 3 duplicates doc 0 exactly -> loses every line
+    assert rows[3]["kept_text"] == "" and rows[3]["n_kept"] == 0
+    # doc 15 shares only its first 3-word line with doc 0
+    assert rows[15]["kept_text"] == "seven eight nine"
+    assert rows[15]["n_kept"] == 1
+    # untouched doc keeps everything, in order
+    assert rows[1]["kept_text"] == "one two three\nfour five six"
+
+
+def test_line_dedup_idempotent(spark, docs):
+    """Running dedup over an already-deduped corpus is a no-op for
+    surviving lines (the fixed first-occurrence policy is stable)."""
+    from pyspark.sql import functions as F
+
+    from ocr_pytorch_spark.operators.dedup import line_dedup
+
+    once = line_dedup(docs).where(F.col("n_kept") > 0)
+    again_in = once.select(
+        "doc_id", F.regexp_replace("kept_text", "\n", " ").alias("text"))
+    again = {r["doc_id"]: r for r in line_dedup(again_in).collect()}
+    for r in once.collect():
+        assert again[r["doc_id"]]["n_kept"] == r["n_kept"]
