@@ -387,6 +387,37 @@ def _multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dhash(_fixture_images(spark))
 
 
+def _snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot table layer (sources/snaptable.py) end-to-end under
+    the driver: two appends + a compaction into a fresh table, then
+    per-version aggregates via time travel plus an incremental read —
+    all deterministic functions of the documents table, so the DuckDB
+    oracle recomputes them relationally."""
+    import tempfile
+
+    from ocr_pytorch_spark.sources import snaptable
+
+    t = snaptable.create(
+        spark, tempfile.mkdtemp(prefix="snaptable_query_"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    t.append(docs.where(F.col("doc_id") % 3 == 0))
+    t.append(docs.where(F.col("doc_id") % 3 == 1))
+    t.compact(target_file_rows=1 << 20)
+
+    def agg(tag, df):
+        return df.agg(
+            F.lit(tag).alias("tag"),
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"))
+
+    return (agg("v1", t.read(1))
+            .unionByName(agg("v2", t.read(2)))
+            .unionByName(agg("v3_compacted", t.read(3)))
+            .unionByName(agg("incr_1_2", t.incremental(1, 2))))
+
+
 # --- queries -----------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -941,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "documents")),
         "dedup_lines": lambda s, sf: D.line_dedup(
             _t(s, sf, "documents")),
+        "snapshot_time_travel": _snapshot_time_travel,
         "text_quality": lambda s, sf: T.quality_score(
             _t(s, sf, "documents")),
         "text_token_count": lambda s, sf: T.token_count(
@@ -1522,6 +1554,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(k.kept_text, '') AS kept_text,
                    CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
             FROM documents d LEFT JOIN kept k USING (doc_id)""",
+        # the snapshot layer's appends/compaction are deterministic
+        # functions of documents, so each time-travel view recomputes
+        # relationally (v3 is the compaction of v2 -> same rows)
+        "snapshot_time_travel": """
+            SELECT 'v1' AS tag, count(*) AS n_rows,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT 'v2', count(*), CAST(sum(n_chars) AS BIGINT),
+                   min(doc_id), max(doc_id)
+            FROM documents WHERE doc_id % 3 IN (0, 1)
+            UNION ALL
+            SELECT 'v3_compacted', count(*),
+                   CAST(sum(n_chars) AS BIGINT),
+                   min(doc_id), max(doc_id)
+            FROM documents WHERE doc_id % 3 IN (0, 1)
+            UNION ALL
+            SELECT 'incr_1_2', count(*), CAST(sum(n_chars) AS BIGINT),
+                   min(doc_id), max(doc_id)
+            FROM documents WHERE doc_id % 3 = 1""",
         # extraction is lossless for the synthesized subset, so the
         # oracle is the identity projection of the source table
         "pdf_text_extract": """

@@ -4,7 +4,9 @@ The engine targets Iceberg tables (BASELINE.json north_rule); the sandbox
 has no Iceberg runtime jar, so the writer degrades to partitioned Parquet
 with the same per-partition-atomic overwrite semantics
 (``partitionOverwriteMode=dynamic``), which is what the lineage/resume
-layer relies on (SURVEY.md §4.3, §7.2).
+layer relies on (SURVEY.md §4.3, §7.2).  The table-format semantics the
+north rule names — snapshots, time travel, incremental reads, manifest
+file skipping, compaction — live in ``sources/snaptable.py``.
 """
 
 from __future__ import annotations
