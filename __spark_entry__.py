@@ -28,6 +28,7 @@ for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
 from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
 
 from ocr_pytorch_spark.functions import quant4  # noqa: E402
+from ocr_pytorch_spark.operators import indexing as _IX  # noqa: E402
 from ocr_pytorch_spark.operators import web as _WEB  # noqa: E402
 
 SF_DEFAULT = "/root/testdata/sf0.001"
@@ -973,6 +974,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": lambda s, sf: D.line_dedup(
             _t(s, sf, "documents")),
         "snapshot_time_travel": _snapshot_time_travel,
+        # corpus indexing family (r3, new)
+        "tfidf_topk": lambda s, sf: _IX.tfidf_topk(
+            _t(s, sf, "documents")),
+        "inverted_index": lambda s, sf: _IX.inverted_index(
+            _t(s, sf, "documents")),
+        "top_ngrams_corpus": lambda s, sf: _IX.top_ngrams_corpus(
+            _t(s, sf, "documents")),
+        "zorder_key": lambda s, sf: _t(s, sf, "documents").select(
+            "doc_id", _IX.zorder_key("doc_id", "n_chars").alias("z")),
         "text_quality": lambda s, sf: T.quality_score(
             _t(s, sf, "documents")),
         "text_token_count": lambda s, sf: T.token_count(
@@ -1575,6 +1585,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'incr_1_2', count(*), CAST(sum(n_chars) AS BIGINT),
                    min(doc_id), max(doc_id)
             FROM documents WHERE doc_id % 3 = 1""",
+        "tfidf_topk": _IX.tfidf_topk_oracle_sql(),
+        "inverted_index": _IX.inverted_index_oracle_sql(),
+        "top_ngrams_corpus": _IX.top_ngrams_corpus_oracle_sql(),
+        "zorder_key": f"""
+            SELECT doc_id,
+                   {_IX.zorder_key_sql('doc_id', 'n_chars')} AS z
+            FROM documents""",
         # extraction is lossless for the synthesized subset, so the
         # oracle is the identity projection of the source table
         "pdf_text_extract": """

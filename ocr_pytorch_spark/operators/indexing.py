@@ -1,0 +1,218 @@
+"""Corpus indexing operators: TF-IDF term ranking, inverted index,
+corpus-wide heavy hitters, and Z-order clustering keys.
+
+Scale notes (100 TB story):
+* ``tfidf_topk``: (doc, word) counts are one shuffle with map-side
+  combine; document frequencies aggregate from those counts (no
+  second scan); the per-doc top-k is a bounded window over ~|vocab|
+  rows per doc.  Ranking uses the 4dp-quantized score so the order is
+  engine-stable (raw double ties could rank differently across
+  engines at the ulp level).
+* ``inverted_index``: the classic posting-list build has a stopword
+  skew problem — ``collect_set`` over "the" accumulates every doc_id
+  in the corpus on one reducer.  The build is therefore two-phase:
+  document frequencies first (cheap count shuffle), then the high-df
+  term set (tiny) broadcasts back as an exclusion list so posting
+  lists are only materialized for selective terms.  Excluded terms
+  still appear with their df and a NULL posting list.
+* ``top_ngrams_corpus``: partial aggregation collapses repeated
+  bigrams map-side; the global top-k is a single ordered limit (Spark
+  executes TakeOrderedAndProject — no full sort).
+* ``zorder_key``: bit-interleaving two dimensions gives multi-column
+  locality for the snapshot layer's manifest pruning
+  (``snaptable.scan_range``): sorting by z-order before writing makes
+  file [min, max] bounds tight in BOTH dimensions, so range scans on
+  either column skip files (Delta/Iceberg OPTIMIZE ZORDER does the
+  same thing).  Pure integer arithmetic — bit-exact cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ocr_pytorch_spark.functions import quant4
+
+
+def _word_rows(documents: DataFrame) -> DataFrame:
+    return documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word"))
+
+
+def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1).
+    Output: doc_id, word, tf, score (4dp), rank."""
+    n_docs = documents.count()
+    tf = (_word_rows(documents).groupBy("doc_id", "word")
+          .agg(F.count("*").alias("tf")))
+    df_ = (tf.groupBy("word")
+           .agg(F.count("*").alias("df")))
+    scored = (tf.join(df_, "word")
+              .withColumn(
+                  "score",
+                  quant4(F.col("tf")
+                         * (F.log((n_docs + 1.0)
+                                  / (F.col("df") + 1.0)) + 1.0))))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("word"))
+    return (scored.withColumn("rank", F.row_number().over(w)
+                              .cast("long"))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "word", "tf", "score", "rank"))
+
+
+def tfidf_topk_oracle_sql(k: int = 3) -> str:
+    """DuckDB oracle for tfidf_topk (N computed in-query)."""
+    return f"""
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, word, count(*) AS tf
+          FROM w GROUP BY doc_id, word
+        ), df AS (
+          SELECT word, count(*) AS df FROM tf GROUP BY word
+        ), n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.word, tf.tf,
+                 floor((tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0))
+                        + 1.0)) * 10000 + 0.5) / 10000 AS score
+          FROM tf JOIN df USING (word) CROSS JOIN n
+        ), ranked AS (
+          SELECT doc_id, word, tf, score,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, word) AS BIGINT) AS rank
+          FROM scored
+        )
+        SELECT doc_id, word, tf, score, rank
+        FROM ranked WHERE rank <= {k}"""
+
+
+def inverted_index(documents: DataFrame,
+                   max_df: int = 6,
+                   postings_cap: int = 20) -> DataFrame:
+    """Two-phase posting-list build over 3-word shingle terms (phrase
+    index; single words are all stopword-grade in this corpus).
+    Terms with df > max_df (the stopword/skew band) keep their df but
+    a NULL posting list; the rest get the first ``postings_cap``
+    doc_ids (lexicographic ascending).
+    Output: term, df, postings (comma-joined string or NULL)."""
+    pairs = (documents
+             .select("doc_id", F.split("text", " ").alias("ws"))
+             .select("doc_id", F.explode(F.expr(
+                 "transform(sequence(0, size(ws) - 3), "
+                 "i -> concat_ws(' ', slice(ws, i + 1, 3)))"))
+                 .alias("term"))
+             .distinct())
+    df_ = pairs.groupBy("term").agg(F.count("*").alias("df"))
+    hot = df_.where(F.col("df") > max_df).select("term")
+    cold_postings = (
+        pairs.join(F.broadcast(hot), "term", "left_anti")
+        .groupBy("term")
+        .agg(F.concat_ws(
+            ",", F.slice(F.array_sort(F.collect_list(
+                F.col("doc_id").cast("string"))), 1, postings_cap))
+            .alias("postings")))
+    return (df_.join(cold_postings, "term", "left")
+            .select("term", "df", "postings"))
+
+
+def inverted_index_oracle_sql(max_df: int = 6,
+                              postings_cap: int = 20) -> str:
+    return f"""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), pairs AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(ws[g.i + 1 : g.i + 3], ' ') AS term
+          FROM w, LATERAL (SELECT unnest(range(0,
+               CAST(len(ws) - 2 AS BIGINT))) AS i) g
+        ), df AS (
+          SELECT term, count(*) AS df FROM pairs GROUP BY term
+        ), cold AS (
+          SELECT term,
+                 array_to_string(
+                   (list(CAST(doc_id AS VARCHAR)
+                         ORDER BY CAST(doc_id AS VARCHAR)))
+                   [1:{postings_cap}], ',') AS postings
+          FROM pairs
+          WHERE term IN (SELECT term FROM df WHERE df <= {max_df})
+          GROUP BY term
+        )
+        SELECT df.term, df.df, cold.postings
+        FROM df LEFT JOIN cold USING (term)"""
+
+
+def top_ngrams_corpus(documents: DataFrame, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k word bigrams (heavy hitters).
+    Output: bigram, n, rank — ties broken by bigram asc."""
+    words = documents.select(
+        "doc_id", F.split("text", " ").alias("ws"))
+    bigrams = words.select(F.explode(F.expr(
+        "transform(sequence(1, size(ws) - 1), "
+        "i -> concat(ws[i - 1], ' ', ws[i]))")).alias("bigram"))
+    counts = bigrams.groupBy("bigram").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
+    return (counts.withColumn("rank", F.row_number().over(w)
+                              .cast("long"))
+            .where(F.col("rank") <= k))
+
+
+def top_ngrams_corpus_oracle_sql(k: int = 20) -> str:
+    return f"""
+        WITH w AS (
+          SELECT string_split(text, ' ') AS ws FROM documents
+        ), b AS (
+          SELECT ws[g.i] || ' ' || ws[g.i + 1] AS bigram
+          FROM w, LATERAL (SELECT unnest(range(1,
+               CAST(len(ws) AS BIGINT))) AS i) g
+        ), c AS (
+          SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+        )
+        SELECT bigram, n,
+               CAST(row_number() OVER (ORDER BY n DESC, bigram)
+                    AS BIGINT) AS rank
+        FROM c QUALIFY rank <= {k}"""
+
+
+# --- Z-order clustering -------------------------------------------------
+
+ZORDER_BITS = 16
+
+
+def zorder_key(a, b, bits: int = ZORDER_BITS):
+    """Interleave the low ``bits`` bits of two non-negative integer
+    columns (a in even positions, b in odd) — the Morton/Z-order key.
+    Built from shifts and adds only, so the identical arithmetic runs
+    in DuckDB."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (z
+             + F.shiftleft(F.shiftright(a, i) % 2, 2 * i)
+             + F.shiftleft(F.shiftright(b, i) % 2, 2 * i + 1))
+    return z.cast("long")
+
+
+def zorder_key_sql(a: str, b: str, bits: int = ZORDER_BITS) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} // {1 << i}) % 2) * {1 << (2 * i)})")
+        terms.append(f"((({b} // {1 << i}) % 2) * {1 << (2 * i + 1)})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def zorder_cluster(documents: DataFrame,
+                   cols: tuple[str, str] = ("doc_id", "n_chars")
+                   ) -> DataFrame:
+    """Documents keyed and range-sorted by Z-order over two columns —
+    the write-side clustering that makes ``snaptable.scan_range``
+    prune on either column.  Output: doc_id, <b>, z."""
+    a, b = cols
+    return (documents
+            .select(a, b, zorder_key(a, b).alias("z"))
+            .repartitionByRange(
+                documents.sparkSession.sparkContext.defaultParallelism,
+                "z")
+            .sortWithinPartitions("z"))
