@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
 
 from ocr_pytorch_spark.functions import quant4  # noqa: E402
 from ocr_pytorch_spark.operators import indexing as _IX  # noqa: E402
+from ocr_pytorch_spark.operators import text as _TXT  # noqa: E402
+from ocr_pytorch_spark.operators import tokenizer as _TOK  # noqa: E402
 from ocr_pytorch_spark.operators import web as _WEB  # noqa: E402
 
 SF_DEFAULT = "/root/testdata/sf0.001"
@@ -983,6 +985,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "documents")),
         "zorder_key": lambda s, sf: _t(s, sf, "documents").select(
             "doc_id", _IX.zorder_key("doc_id", "n_chars").alias("z")),
+        "bpe_top_pairs": lambda s, sf: _TOK.bpe_pair_counts(
+            _t(s, sf, "documents")),
+        "quality_classifier": lambda s, sf: T.quality_classifier(
+            _t(s, sf, "documents")),
         "text_quality": lambda s, sf: T.quality_score(
             _t(s, sf, "documents")),
         "text_token_count": lambda s, sf: T.token_count(
@@ -1585,6 +1591,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'incr_1_2', count(*), CAST(sum(n_chars) AS BIGINT),
                    min(doc_id), max(doc_id)
             FROM documents WHERE doc_id % 3 = 1""",
+        "bpe_top_pairs": _TOK.bpe_pair_counts_oracle_sql(),
+        "quality_classifier": _TXT.quality_classifier_oracle_sql(),
         "tfidf_topk": _IX.tfidf_topk_oracle_sql(),
         "inverted_index": _IX.inverted_index_oracle_sql(),
         "top_ngrams_corpus": _IX.top_ngrams_corpus_oracle_sql(),

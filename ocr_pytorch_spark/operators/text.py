@@ -271,3 +271,81 @@ def decontam_overlap(documents: DataFrame, n: int = 8,
             .join(eval_grams, "gram")
             .groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_shared")))
+
+
+# fixed published-style weights for the logistic quality gate:
+# (token-count saturation, word-length saturation, stopword ratio,
+#  vocabulary diversity), bias
+QC_WEIGHTS = (1.2, 0.8, 2.0, 1.5)
+QC_BIAS = -2.5
+
+
+def quality_classifier(documents: DataFrame) -> DataFrame:
+    """Fixed-weight logistic quality classifier (the fastText-style
+    model-based gate, with hand-set weights so it is deterministic
+    and engine-portable): features are token-count saturation,
+    avg-word-length saturation, stopword ratio, and type/token
+    diversity; score = sigmoid(w.x + b), keep = score >= 0.5.
+    Pure codegen arithmetic — exp() is bitwise identical across
+    engines, so the score carries no float divergence risk beyond
+    the shared 4dp quantizer.
+    Output: doc_id, f_len, f_wlen, f_stop, f_uniq, score, keep."""
+    w1, w2, w3, w4 = QC_WEIGHTS
+    ws = words(F.col("text"))
+    n_tokens = F.size(ws)
+    n_chars = F.length("text")
+    f_len = F.least(n_tokens / F.lit(64.0), F.lit(1.0))
+    f_wlen = F.least(
+        ((n_chars - (n_tokens - 1)) / n_tokens) / F.lit(8.0),
+        F.lit(1.0))
+    f_stop = _stop_hits("text") / n_tokens
+    f_uniq = F.size(F.array_distinct(ws)) / n_tokens
+    z = (f_len * w1 + f_wlen * w2 + f_stop * w3 + f_uniq * w4
+         + F.lit(float(QC_BIAS)))
+    score = 1.0 / (1.0 + F.exp(-z))
+    return documents.select(
+        "doc_id", quant4(f_len).alias("f_len"),
+        quant4(f_wlen).alias("f_wlen"),
+        quant4(f_stop).alias("f_stop"),
+        quant4(f_uniq).alias("f_uniq"),
+        quant4(score).alias("score"),
+        (score >= 0.5).alias("keep"))
+
+
+def quality_classifier_oracle_sql() -> str:
+    from ocr_pytorch_spark.operators.text import STOPWORDS  # noqa
+
+    w1, w2, w3, w4 = QC_WEIGHTS
+    stop_terms = " + ".join(
+        f"CAST((length(pt) - length(replace(pt, ' {sw} ', '')))"
+        f" / {len(sw) + 2} AS INT)" for sw in STOPWORDS)
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text, ' ' || text || ' ' AS pt,
+                 string_split(text, ' ') AS ws
+          FROM documents
+        ), feats AS (
+          SELECT doc_id,
+                 least(len(ws) / 64.0, 1.0) AS f_len,
+                 least(((length(text) - (len(ws) - 1))
+                        / CAST(len(ws) AS DOUBLE)) / 8.0, 1.0)
+                   AS f_wlen,
+                 ({stop_terms}) / CAST(len(ws) AS DOUBLE) AS f_stop,
+                 len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE)
+                   AS f_uniq
+          FROM base
+        ), z AS (
+          SELECT doc_id, f_len, f_wlen, f_stop, f_uniq,
+                 f_len * {w1} + f_wlen * {w2} + f_stop * {w3}
+                 + f_uniq * {w4} + ({QC_BIAS}) AS zv
+          FROM feats
+        )
+        SELECT doc_id,
+               floor(f_len * 10000 + 0.5) / 10000 AS f_len,
+               floor(f_wlen * 10000 + 0.5) / 10000 AS f_wlen,
+               floor(f_stop * 10000 + 0.5) / 10000 AS f_stop,
+               floor(f_uniq * 10000 + 0.5) / 10000 AS f_uniq,
+               floor((1.0 / (1.0 + exp(-zv))) * 10000 + 0.5) / 10000
+                 AS score,
+               (1.0 / (1.0 + exp(-zv))) >= 0.5 AS keep
+        FROM z"""
