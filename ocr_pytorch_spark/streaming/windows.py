@@ -83,3 +83,32 @@ def running_user_totals(events: DataFrame) -> DataFrame:
                 stateStructType=RUNNING_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_interval_join(impressions: DataFrame, clicks: DataFrame,
+                         max_delay: str = "1 minute",
+                         watermark: str = "2 minutes") -> DataFrame:
+    """Watermarked stream-stream interval join (the ad-attribution
+    shape): a click matches the impression with the same (user, item)
+    whose timestamp precedes it by at most ``max_delay``.  Watermarks
+    on BOTH sides plus the two-sided time bound are what let Spark
+    expire join state — without them a stream-stream join buffers
+    forever; with them state is O(events inside the watermark
+    horizon) per key.  Inner-join matches emit as soon as both sides
+    arrive (no watermark wait), so the same function on batch frames
+    returns the identical result — the tests' cross-check."""
+    imp = (impressions
+           .select("user_id", F.col("item_id").alias("imp_item"),
+                   F.col("ts").cast("timestamp").alias("imp_ts"))
+           .withWatermark("imp_ts", watermark))
+    clk = (clicks
+           .select(F.col("user_id").alias("clk_user"),
+                   F.col("item_id").alias("clk_item"),
+                   F.col("ts").cast("timestamp").alias("clk_ts"))
+           .withWatermark("clk_ts", watermark))
+    return (imp.join(
+        clk,
+        F.expr(f"user_id = clk_user AND imp_item = clk_item "
+               f"AND clk_ts >= imp_ts "
+               f"AND clk_ts <= imp_ts + interval {max_delay}"))
+        .select("user_id", "imp_item", "imp_ts", "clk_ts"))

@@ -179,3 +179,54 @@ def test_stream_dedup_across_micro_batches(spark, tmp_path_factory):
     # duplicates spanned micro-batches
     assert len(got) == 4
     assert {r["content_hash"] for r in got} == want_hashes
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path_factory):
+    """Watermarked stream-stream interval join: clicks attribute to
+    the same-(user, item) impression within the delay bound; stream
+    result equals the batch join of the same inputs."""
+    import datetime as dt
+    import os
+
+    from ocr_pytorch_spark.streaming.windows import stream_interval_join
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "user_id long, item_id string, ts timestamp"
+    imps = [(u, f"item{u % 3}", t0 + dt.timedelta(seconds=10 * u))
+            for u in range(6)]
+    clicks = (
+        # in-window clicks (30s after the impression)
+        [(u, f"item{u % 3}", t0 + dt.timedelta(seconds=10 * u + 30))
+         for u in range(4)]
+        # out-of-window click (5 minutes later: must NOT join)
+        + [(4, "item1", t0 + dt.timedelta(seconds=340))]
+        # click with no impression at all
+        + [(9, "item0", t0 + dt.timedelta(seconds=50))])
+
+    imp_src = str(tmp_path_factory.mktemp("ij_imp"))
+    clk_src = str(tmp_path_factory.mktemp("ij_clk"))
+    spark.createDataFrame(imps, schema).coalesce(1) \
+        .write.parquet(os.path.join(imp_src, "p"))
+    spark.createDataFrame(clicks, schema).coalesce(1) \
+        .write.parquet(os.path.join(clk_src, "p"))
+
+    imp_b = spark.read.parquet(os.path.join(imp_src, "*"))
+    clk_b = spark.read.parquet(os.path.join(clk_src, "*"))
+    want = sorted((r["user_id"], r["imp_item"], r["clk_ts"])
+                  for r in stream_interval_join(imp_b, clk_b).collect())
+    assert [w[0] for w in want] == [0, 1, 2, 3]  # exactly the in-window 4
+
+    imp_s = (spark.readStream.schema(imp_b.schema)
+             .parquet(os.path.join(imp_src, "*")))
+    clk_s = (spark.readStream.schema(clk_b.schema)
+             .parquet(os.path.join(clk_src, "*")))
+    ckpt = str(tmp_path_factory.mktemp("ij_ckpt"))
+    q = (stream_interval_join(imp_s, clk_s).writeStream
+         .format("memory").queryName("ij_out")
+         .outputMode("append")
+         .option("checkpointLocation", ckpt).start())
+    q.processAllAvailable()
+    got = sorted((r["user_id"], r["imp_item"], r["clk_ts"])
+                 for r in spark.sql("select * from ij_out").collect())
+    q.stop()
+    assert got == want
