@@ -152,10 +152,13 @@ def top_ngrams_corpus(documents: DataFrame, k: int = 20) -> DataFrame:
         "transform(sequence(1, size(ws) - 1), "
         "i -> concat(ws[i - 1], ' ', ws[i]))")).alias("bigram"))
     counts = bigrams.groupBy("bigram").agg(F.count("*").alias("n"))
+    # distributed top-k FIRST (TakeOrderedAndProject — every partition
+    # prunes to k, no global sort), then rank the k survivors; a bare
+    # row_number() window would funnel every count to one task
+    topk = counts.orderBy(F.col("n").desc(), "bigram").limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
-    return (counts.withColumn("rank", F.row_number().over(w)
-                              .cast("long"))
-            .where(F.col("rank") <= k))
+    return topk.withColumn("rank",
+                           F.row_number().over(w).cast("long"))
 
 
 def top_ngrams_corpus_oracle_sql(k: int = 20) -> str:

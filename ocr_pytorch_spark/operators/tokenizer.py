@@ -42,10 +42,12 @@ def bpe_pair_counts(documents: DataFrame, k: int = 20) -> DataFrame:
             "substring(word, i + 1, 1)))")).alias("pair"),
         "n")
     counts = pairs.groupBy("pair").agg(F.sum("n").alias("n"))
+    # distributed top-k first (TakeOrderedAndProject), then rank the
+    # k survivors — see top_ngrams_corpus
+    topk = counts.orderBy(F.col("n").desc(), "pair").limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("pair"))
-    return (counts
-            .withColumn("rank", F.row_number().over(w).cast("long"))
-            .where(F.col("rank") <= k))
+    return topk.withColumn("rank",
+                           F.row_number().over(w).cast("long"))
 
 
 def bpe_pair_counts_oracle_sql(k: int = 20) -> str:

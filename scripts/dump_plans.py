@@ -70,6 +70,34 @@ COMMENT = {
                         "eval gram set is the small distinct join side "
                         "(broadcastable at real scale); the train side "
                         "shuffles only (doc_id, gram) rows",
+    "pii_redact": "the whole redaction (synthesis, three regex "
+                  "replaces, three match counts) is ONE "
+                  "WholeStageCodegen projection over the scan — zero "
+                  "exchanges, so at corpus scale it fuses into "
+                  "whatever stage reads the data",
+    "url_host_filter": "the blocklist broadcasts (LeftAnti "
+                       "BroadcastHashJoin — the corpus never shuffles "
+                       "for the filter); the per-host rollup is the "
+                       "only exchange, with map-side partial "
+                       "aggregation",
+    "dedup_lines": "the first-occurrence winner is min(struct(doc_id, "
+                   "line_no)) with partial_min map-side — duplicate "
+                   "lines collapse BEFORE the shuffle, so a line "
+                   "duplicated 10^6 times ships once per task (the "
+                   "row_number window formulation would funnel all "
+                   "copies to one reducer)",
+    "inverted_index": "two-phase skew defence: df counts first, the "
+                      "high-df band joins back as a BROADCAST "
+                      "LeftAnti exclusion, so collect_list only ever "
+                      "aggregates selective terms",
+    "tfidf_topk": "tf and df are successive partial-agg shuffles over "
+                  "(doc, word) rows; the per-doc top-k is a bounded "
+                  "sort-based window, and ranking keys are quantized "
+                  "so order is engine-stable",
+    "bpe_top_pairs": "pair counting runs over the (word, count) "
+                     "vocabulary, not corpus tokens — the explode is "
+                     "per distinct word, weighted by count, with "
+                     "map-side combine on the pair key",
 }
 
 
@@ -90,7 +118,9 @@ def main() -> None:
                  "sessionize", "salted_join", "asof_join_events",
                  "dedup_minhash_lsh", "dedup_embedding_cosine",
                  "sim_topk_cosine", "html_main_block",
-                 "decontam_overlap", "ocr_extract"):
+                 "decontam_overlap", "pii_redact", "url_host_filter",
+                 "dedup_lines", "inverted_index", "tfidf_topk",
+                 "bpe_top_pairs", "ocr_extract"):
         df = qs[name](spark, SF)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
