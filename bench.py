@@ -37,6 +37,7 @@ HEADLINE = [
     "sim_topk_cosine", "sim_lsh_topk",
     "text_quality", "text_fingerprint", "multimodal_features",
     "html_main_block", "pdf_text_extract",
+    "dedup_lines", "pii_redact", "tfidf_topk",
     "png_ocr_extract",
 ]
 

@@ -12,16 +12,24 @@ Stages (all lazy until the single write):
   1. main-content extraction: deterministic boilerplate pages
      (html_wrap stands in for the raw crawl) -> html_main_block's
      readability-style argmax block
-  2. repetition gate: Gopher-style duplicate-word / top-bigram-share
+  2. PII scrub: email/phone/IPv4 regex redaction of the extracted
+     text (web.redact — map-side, fuses into the extraction stage)
+  3. repetition gate: Gopher-style duplicate-word / top-bigram-share
      thresholds (repetition_signals)
-  3. decontamination: drop documents sharing any word-8-gram with the
+  4. quality gate: fixed-weight logistic classifier score threshold
+     (quality_classifier)
+  5. line-level dedup: corpus-global first-occurrence line dedup
+     (dedup.line_dedup); docs whose every line is a duplicate drop
+  6. decontamination: drop documents sharing any word-8-gram with the
      eval stand-in set (decontam_overlap)
-  4. cleaned corpus written partitioned by xxhash64 doc bucket with a
+  7. cleaned corpus written partitioned by xxhash64 doc bucket with a
      _stats summary (rows surviving each stage)
 
-Every stage is a query-surface operator with an exact DuckDB oracle
-(html_main_block / text_repetition / decontam_overlap), so the job is
-a composition of hash-verified parts.
+Gates run BEFORE dedup (the RefinedWeb order — dedup would compress
+spam into innocuous-looking short docs).  Every stage is a
+query-surface operator with an exact DuckDB oracle (html_main_block /
+pii_redact / text_repetition / quality_classifier / dedup_lines /
+decontam_overlap), so the job is a composition of hash-verified parts.
 """
 
 from __future__ import annotations
@@ -40,19 +48,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 def run(spark, docs, dst: str, max_dup_word_frac: float = 0.6,
         max_top_bigram_frac: float = 0.2, min_words: int = 8,
-        buckets: int = 32) -> dict:
+        min_quality_score: float = 0.3, buckets: int = 32) -> dict:
     from pyspark.sql import functions as F
 
+    from ocr_pytorch_spark.operators import dedup as D
     from ocr_pytorch_spark.operators import html as H
     from ocr_pytorch_spark.operators import text as T
+    from ocr_pytorch_spark.operators import web as WB
 
     n_in = docs.count()
 
     # 1. main-content extraction; the winner block becomes the text
-    main = (H.html_main_block(docs)
-            .select("doc_id", F.col("block_text").alias("text")))
+    # 2. PII scrub of the extracted text (same projection stage)
+    main = WB.redact(
+        H.html_main_block(docs)
+        .select("doc_id", F.col("block_text").alias("text")))
 
-    # 2. repetition gate over the extracted text
+    # 3. repetition gate over the extracted text
     rep = T.repetition_signals(main)
     gated = (main.join(rep, "doc_id")
              .where((F.col("n_words") >= min_words)
@@ -62,10 +74,25 @@ def run(spark, docs, dst: str, max_dup_word_frac: float = 0.6,
              .select("doc_id", "text"))
     n_gated = gated.count()
 
-    # 3. decontamination against the eval stand-in (left_anti on the
+    # 4. model-based quality gate (fixed-weight logistic score)
+    quality = (T.quality_classifier(gated)
+               .where(F.col("score") >= min_quality_score)
+               .select("doc_id"))
+    gated_q = gated.join(quality, "doc_id")
+    n_quality = gated_q.count()
+
+    # 5. corpus-global line dedup; fully-duplicated docs drop out
+    deduped = (D.line_dedup(gated_q)
+               .where(F.col("n_kept") > 0)
+               .select("doc_id",
+                       F.regexp_replace("kept_text", "\n", " ")
+                       .alias("text")))
+    n_dedup = deduped.count()
+
+    # 6. decontamination against the eval stand-in (left_anti on the
     #    contaminated id set — the eval gram side broadcasts at scale)
     contaminated = T.decontam_overlap(docs).select("doc_id")
-    cleaned = gated.join(contaminated, "doc_id", "left_anti")
+    cleaned = deduped.join(contaminated, "doc_id", "left_anti")
     n_clean = cleaned.count()
 
     out = cleaned.withColumn(
@@ -74,6 +101,8 @@ def run(spark, docs, dst: str, max_dup_word_frac: float = 0.6,
     (out.write.mode("overwrite").partitionBy("bucket")
         .parquet(os.path.join(dst, "web_corpus")))
     stats = {"docs_in": n_in, "after_repetition_gate": n_gated,
+             "after_quality_gate": n_quality,
+             "after_line_dedup": n_dedup,
              "after_decontam": n_clean}
     (spark.createDataFrame([tuple(stats.values())],
                            schema=", ".join(f"{k} long" for k in stats))

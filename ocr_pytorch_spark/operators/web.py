@@ -104,6 +104,22 @@ PII_WRAP_SQL = """
 """
 
 
+def redact_expr(col):
+    """The scrub itself (email -> phone -> ip, in order), applicable
+    to any text column — shared by the oracle-checked query and the
+    job-side stage."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, EMAIL_RE, "<EMAIL>"),
+            PHONE_RE, "<PHONE>"),
+        IP_RE, "<IP>")
+
+
+def redact(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Job-side PII scrub of a real text column (no synthesis)."""
+    return documents.withColumn(text_col, redact_expr(F.col(text_col)))
+
+
 def pii_redact(documents: DataFrame) -> DataFrame:
     """Redact emails/phones/IPv4s and count each kind.
     Output: doc_id, redacted, n_email, n_phone, n_ip (all BIGINT).
@@ -118,13 +134,8 @@ def pii_redact(documents: DataFrame) -> DataFrame:
             F.regexp_extract_all(F.col("raw"), F.lit(pat), 0)
         ).cast("long")
 
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("raw"), EMAIL_RE, "<EMAIL>"),
-            PHONE_RE, "<PHONE>"),
-        IP_RE, "<IP>")
     return raw.select(
-        "doc_id", redacted.alias("redacted"),
+        "doc_id", redact_expr(F.col("raw")).alias("redacted"),
         n(EMAIL_RE).alias("n_email"), n(PHONE_RE).alias("n_phone"),
         n(IP_RE).alias("n_ip"))
 

@@ -23,7 +23,12 @@ def test_web_corpus_job_end_to_end(spark, tmp_path_factory):
     assert stats["docs_in"] == 41
     # the spam doc dies at the repetition gate
     assert stats["after_repetition_gate"] < 41
-    assert stats["after_decontam"] <= stats["after_repetition_gate"]
+    # each later stage only narrows, and survivors remain
+    assert (stats["after_repetition_gate"]
+            >= stats["after_quality_gate"]
+            >= stats["after_line_dedup"]
+            >= stats["after_decontam"])
+    assert stats["after_decontam"] > 0
     out = spark.read.parquet(os.path.join(dst, "web_corpus"))
     ids = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert "spam-doc" not in ids
