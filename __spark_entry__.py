@@ -989,6 +989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "documents")),
         "quality_classifier": lambda s, sf: T.quality_classifier(
             _t(s, sf, "documents")),
+        "corpus_mix": lambda s, sf: T.corpus_mix(
+            _t(s, sf, "documents")),
         "text_quality": lambda s, sf: T.quality_score(
             _t(s, sf, "documents")),
         "text_token_count": lambda s, sf: T.token_count(
@@ -1593,6 +1595,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id % 3 = 1""",
         "bpe_top_pairs": _TOK.bpe_pair_counts_oracle_sql(),
         "quality_classifier": _TXT.quality_classifier_oracle_sql(),
+        "corpus_mix": _TXT.corpus_mix_oracle_sql(),
         "tfidf_topk": _IX.tfidf_topk_oracle_sql(),
         "inverted_index": _IX.inverted_index_oracle_sql(),
         "top_ngrams_corpus": _IX.top_ngrams_corpus_oracle_sql(),

@@ -349,3 +349,68 @@ def quality_classifier_oracle_sql() -> str:
                  AS score,
                (1.0 / (1.0 + exp(-zv))) >= 0.5 AS keep
         FROM z"""
+
+
+# default mixing rates per language stratum (corpus-composition dial)
+MIX_RATES = (("de", 1.0), ("en", 0.5), ("es", 0.25), ("fr", 0.8),
+             ("zh", 0.1))
+
+_H_SPAN = 16 ** 8
+
+
+def _md5_bucket(col):
+    """First 8 md5 hex digits of a column as a long in [0, 16^8) —
+    the engine-portable deterministic sampling hash (no RNG state;
+    the same doc keeps/drops across runs, engines, and cluster
+    sizes)."""
+    from functools import reduce
+
+    return reduce(
+        lambda acc, i: acc + (
+            F.expr(f"instr('0123456789abcdef', substring("
+                   f"md5(cast(doc_id as string)), {i + 1}, 1))")
+            - 1).cast("long") * (16 ** (7 - i)),
+        range(8), F.lit(0).cast("long"))
+
+
+def corpus_mix(documents: DataFrame,
+               rates: tuple = MIX_RATES) -> DataFrame:
+    """Deterministic stratified corpus mixing: each language stratum
+    is down-sampled to its target rate via the md5-prefix hash, and
+    the realized composition is reported per stratum.  This is the
+    data-mixing step of corpus assembly (e.g. up-weighting rare
+    languages) — map-side hash + one rollup shuffle; at 10^12 rows
+    the decision is per-row with no RNG state to coordinate.
+    Output: lang, rate, n_total, n_kept."""
+    rate = F.lit(None).cast("double")
+    for lang, r in rates:
+        rate = F.when(F.col("lang") == lang, F.lit(float(r))) \
+            .otherwise(rate)
+    rate = F.coalesce(rate, F.lit(0.0))
+    h = _md5_bucket(F.col("doc_id"))
+    keep = (h < (rate * _H_SPAN)).cast("long")
+    return (documents
+            .select("lang", rate.alias("rate"), keep.alias("keep"))
+            .groupBy("lang", "rate")
+            .agg(F.count("*").alias("n_total"),
+                 F.sum("keep").alias("n_kept")))
+
+
+def corpus_mix_oracle_sql(rates: tuple = MIX_RATES) -> str:
+    bucket = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5("
+        f"CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}" for i in range(8))
+    rate_case = ("CASE " + " ".join(
+        f"WHEN lang = '{lang}' THEN {float(r)}"
+        for lang, r in rates) + " ELSE 0.0 END")
+    return f"""
+        WITH h AS (
+          SELECT lang, {rate_case} AS rate,
+                 CASE WHEN ({bucket}) < ({rate_case}) * {_H_SPAN}
+                      THEN 1 ELSE 0 END AS keep
+          FROM documents
+        )
+        SELECT lang, rate, count(*) AS n_total,
+               CAST(sum(keep) AS BIGINT) AS n_kept
+        FROM h GROUP BY lang, rate"""

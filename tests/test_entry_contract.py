@@ -88,7 +88,8 @@ FLOAT_STRESS_KEYS = ["group_line_stats", "text_quality", "tpch_q1",
                      "group_linefit_regr", "corpus_filter",
                      "dedup_embedding_cosine", "sim_ivf_topk",
                      "ohem_topk_sum", "html_strip", "html_main_block",
-                     "text_repetition", "tfidf_topk"]
+                     "text_repetition", "tfidf_topk",
+                     "quality_classifier"]
 
 
 @pytest.mark.parametrize("key", FLOAT_STRESS_KEYS)
