@@ -28,6 +28,7 @@ for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
 from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
 
 from ocr_pytorch_spark.functions import quant4  # noqa: E402
+from ocr_pytorch_spark.operators import dedup as _DDP  # noqa: E402
 from ocr_pytorch_spark.operators import indexing as _IX  # noqa: E402
 from ocr_pytorch_spark.operators import text as _TXT  # noqa: E402
 from ocr_pytorch_spark.operators import tokenizer as _TOK  # noqa: E402
@@ -991,6 +992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "documents")),
         "corpus_mix": lambda s, sf: T.corpus_mix(
             _t(s, sf, "documents")),
+        "dedup_substring_spans": lambda s, sf:
+            D.repeated_substring_spans(_t(s, sf, "documents")),
         "text_quality": lambda s, sf: T.quality_score(
             _t(s, sf, "documents")),
         "text_token_count": lambda s, sf: T.token_count(
@@ -1596,6 +1599,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_top_pairs": _TOK.bpe_pair_counts_oracle_sql(),
         "quality_classifier": _TXT.quality_classifier_oracle_sql(),
         "corpus_mix": _TXT.corpus_mix_oracle_sql(),
+        "dedup_substring_spans":
+            _DDP.repeated_substring_spans_oracle_sql(),
         "tfidf_topk": _IX.tfidf_topk_oracle_sql(),
         "inverted_index": _IX.inverted_index_oracle_sql(),
         "top_ngrams_corpus": _IX.top_ngrams_corpus_oracle_sql(),

@@ -435,3 +435,116 @@ def line_dedup(documents: DataFrame,
                     F.coalesce("kept_text", F.lit("")).alias("kept_text"),
                     F.coalesce("n_kept", F.lit(0)).cast("long")
                     .alias("n_kept")))
+
+
+def repeated_substring_spans(documents: DataFrame,
+                             k: int = 30) -> DataFrame:
+    """ExactSubstr-style duplicate-span detection (the
+    "deduplicating training data" method): every character k-gram
+    occurring more than once in the corpus marks its occurrences —
+    except the first (lexicographically least (doc_id, pos)) — as
+    duplicated text; overlapping marks merge into maximal spans per
+    document.  Runs of shared text longer than k chars merge
+    automatically (their k-grams overlap).
+    Output: doc_id, n_dup_spans, chars_removed, frac_removed.
+
+    Scale shape: gram explode is map-side (~n_chars rows per doc —
+    the honest cost of exact-substring dedup; the published approach
+    pays the same via suffix arrays); the winner pick is a groupBy
+    on the gram with map-side partial aggregation (viral grams
+    collapse before the shuffle — same argument as ``line_dedup``),
+    kept as an equi-join against only the >1-count grams; span
+    merging is one sort-based window per doc partition."""
+    docs_len = documents.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars_calc"))
+    grams = (documents
+             .where(F.length("text") >= k)
+             .select("doc_id", "text", F.explode(F.expr(
+                 f"sequence(1, length(text) - {k} + 1)")).alias("pos"))
+             .select("doc_id", F.col("pos").cast("long").alias("pos"),
+                     F.expr(f"substring(text, pos, {k})").alias("gram")))
+    winners = (grams.groupBy("gram")
+               .agg(F.min(F.struct("doc_id", "pos")).alias("win"),
+                    F.count("*").alias("c"))
+               .where(F.col("c") > 1))
+    dups = (grams.join(winners, "gram")
+            .where(~((F.col("doc_id") == F.col("win.doc_id"))
+                     & (F.col("pos") == F.col("win.pos"))))
+            .select("doc_id", "pos",
+                    (F.col("pos") + (k - 1)).alias("end_")))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max = F.max("end_").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = dups.withColumn(
+        "new_span",
+        F.when(prev_max.isNull() | (F.col("pos") > prev_max), 1)
+        .otherwise(0))
+    spans = (marked
+             .withColumn("span_id", F.sum("new_span").over(
+                 w.rowsBetween(Window.unboundedPreceding, 0)))
+             .groupBy("doc_id", "span_id")
+             .agg(F.min("pos").alias("s"), F.max("end_").alias("e")))
+    per_doc = (spans.groupBy("doc_id")
+               .agg(F.count("*").alias("n_dup_spans"),
+                    F.sum(F.col("e") - F.col("s") + 1)
+                    .alias("chars_removed")))
+    return (docs_len.join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_dup_spans", F.lit(0)).cast("long")
+                    .alias("n_dup_spans"),
+                    F.coalesce("chars_removed", F.lit(0)).cast("long")
+                    .alias("chars_removed"),
+                    quant4(F.coalesce("chars_removed", F.lit(0))
+                           / F.col("n_chars_calc"))
+                    .alias("frac_removed")))
+
+
+def repeated_substring_spans_oracle_sql(k: int = 30) -> str:
+    return f"""
+        WITH g AS (
+          SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+                 substr(text, CAST(t.i AS INT), {k}) AS gram
+          FROM documents, LATERAL (SELECT unnest(range(1,
+               CAST(length(text) - {k} + 2 AS BIGINT))) AS i) t
+          WHERE length(text) >= {k}
+        ), h AS (
+          SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY gram
+                     ORDER BY doc_id, pos) AS rn,
+                 count(*) OVER (PARTITION BY gram) AS c
+          FROM g
+        ), d AS (
+          SELECT doc_id, pos, pos + {k - 1} AS end_
+          FROM h WHERE c > 1 AND rn > 1
+        ), m AS (
+          SELECT doc_id, pos, end_,
+                 CASE WHEN max(end_) OVER (PARTITION BY doc_id
+                          ORDER BY pos ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND 1 PRECEDING) IS NULL
+                        OR pos > max(end_) OVER (PARTITION BY doc_id
+                          ORDER BY pos ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND 1 PRECEDING)
+                      THEN 1 ELSE 0 END AS new_span
+          FROM d
+        ), sp AS (
+          SELECT doc_id,
+                 sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                     ROW) AS span_id,
+                 pos, end_
+          FROM m
+        ), agg AS (
+          SELECT doc_id, span_id, min(pos) AS s, max(end_) AS e
+          FROM sp GROUP BY doc_id, span_id
+        ), per_doc AS (
+          SELECT doc_id, count(*) AS n_dup_spans,
+                 CAST(sum(e - s + 1) AS BIGINT) AS chars_removed
+          FROM agg GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+               coalesce(p.chars_removed, 0) AS chars_removed,
+               floor((coalesce(p.chars_removed, 0)
+                      / CAST(length(d.text) AS DOUBLE))
+                     * 10000 + 0.5) / 10000 AS frac_removed
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)"""

@@ -87,3 +87,33 @@ def test_line_dedup_idempotent(spark, docs):
     again = {r["doc_id"]: r for r in line_dedup(again_in).collect()}
     for r in once.collect():
         assert again[r["doc_id"]]["n_kept"] == r["n_kept"]
+
+
+def test_repeated_substring_spans_semantics(spark):
+    """ExactSubstr behavior: a shared long run yields ONE merged span
+    in the later doc (overlapping k-grams coalesce), the first
+    occurrence is kept, and unrelated docs are untouched."""
+    from ocr_pytorch_spark.operators.dedup import \
+        repeated_substring_spans
+
+    # non-periodic 50-char run (a periodic one would create
+    # SELF-duplicates inside doc 1 via its own shifted k-grams)
+    shared = "qwertyuiopasdfghjklzxcvbnm0123456789QWERTYUIOPASDF"
+    rows = [
+        (1, "xxx " + shared + " yyy unrelated tail one"),
+        (2, "zzz prefix two " + shared + " www"),   # copies doc 1's run
+        (3, "completely different text with no repeats at all here"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           repeated_substring_spans(d, k=30).collect()}
+    # doc 1 is the first occurrence -> nothing removed
+    assert out[1]["n_dup_spans"] == 0 and out[1]["chars_removed"] == 0
+    # doc 2 loses exactly one merged span covering the shared run —
+    # including the space on each side (both docs surround the run
+    # with ' ', so the true shared substring is len+2)
+    assert out[2]["n_dup_spans"] == 1
+    assert out[2]["chars_removed"] == len(shared) + 2
+    assert 0 < out[2]["frac_removed"] < 1
+    # doc 3 untouched
+    assert out[3]["chars_removed"] == 0
