@@ -98,6 +98,12 @@ COMMENT = {
                      "vocabulary, not corpus tokens — the explode is "
                      "per distinct word, weighted by count, with "
                      "map-side combine on the pair key",
+    "dedup_substring_spans": "the k-gram winner pick is partial-agg "
+                             "min(struct) — viral grams collapse "
+                             "map-side — joined back against only "
+                             "the >1-count grams; span merging is "
+                             "one sort-based window per doc "
+                             "partition",
 }
 
 
@@ -120,7 +126,8 @@ def main() -> None:
                  "sim_topk_cosine", "html_main_block",
                  "decontam_overlap", "pii_redact", "url_host_filter",
                  "dedup_lines", "inverted_index", "tfidf_topk",
-                 "bpe_top_pairs", "ocr_extract"):
+                 "bpe_top_pairs", "dedup_substring_spans",
+                 "ocr_extract"):
         df = qs[name](spark, SF)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
