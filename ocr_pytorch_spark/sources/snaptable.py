@@ -42,6 +42,14 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def _schema_sig(schema_json: str) -> list[tuple]:
+    """(name, type) pairs — schema compatibility ignores nullability
+    and metadata (a parquet round trip flips nullable, and Iceberg
+    permits nullable widening)."""
+    return [(f["name"], json.dumps(f["type"], sort_keys=True))
+            for f in json.loads(schema_json)["fields"]]
+
+
 def _stats_cols(df: DataFrame) -> list[str]:
     return [f.name for f in df.schema.fields
             if f.dataType.typeName() in
@@ -100,7 +108,10 @@ class SnapTable:
         entries with row counts and per-column [min, max] bounds."""
         d = os.path.join(self.root, "data", uuid.uuid4().hex)
         df.write.mode("error").parquet(d)
-        back = self.spark.read.parquet(d)
+        try:
+            back = self.spark.read.parquet(d)
+        except Exception:
+            return []  # every partition empty: no part files written
         cols = _stats_cols(back)
         aggs = [F.count("*").alias("#n")]
         for c in cols:
@@ -122,13 +133,46 @@ class SnapTable:
         """Commit a new snapshot = parent manifest + df's files."""
         cur = self.snapshot()
         if cur["schema"] is not None and \
-                json.loads(cur["schema"]) != json.loads(df.schema.json()):
+                _schema_sig(cur["schema"]) != _schema_sig(df.schema.json()):
             raise ValueError("schema mismatch on append")
         entries = self._write_files(df)
         return self._commit({
             "version": cur["version"] + 1, "parent": cur["version"],
             "operation": "append", "schema": df.schema.json(),
             "manifest": cur["manifest"] + entries})
+
+    def merge(self, df: DataFrame, key: str) -> int:
+        """Copy-on-write MERGE (upsert on ``key``): data files whose
+        [min, max] bounds on ``key`` overlap the incoming key range
+        are rewritten without the replaced rows; every other file is
+        carried into the new snapshot BY REFERENCE (no IO).  This is
+        the Iceberg copy-on-write write path: at 10^12 rows an upsert
+        touching one shard rewrites a handful of files, not the
+        table.  Incoming rows are appended as new files."""
+        cur = self.snapshot()
+        if cur["schema"] is not None and \
+                _schema_sig(cur["schema"]) != _schema_sig(df.schema.json()):
+            raise ValueError("schema mismatch on merge")
+        keys = df.select(key)
+        bounds = keys.agg(F.min(key), F.max(key)).collect()[0]
+        lo, hi = bounds[0], bounds[1]
+        touched = [e for e in cur["manifest"]
+                   if key not in e["bounds"]
+                   or e["bounds"][key][0] is None
+                   or not (e["bounds"][key][1] < lo
+                           or e["bounds"][key][0] > hi)]
+        kept = [e for e in cur["manifest"] if e not in touched]
+        entries = list(kept)
+        if touched:
+            survivors = (self._load(touched, cur["schema"])
+                         .join(F.broadcast(keys), key, "left_anti"))
+            entries += self._write_files(survivors)
+        entries += self._write_files(df)
+        return self._commit({
+            "version": cur["version"] + 1, "parent": cur["version"],
+            "operation": "merge", "schema": df.schema.json()
+            if cur["schema"] is None else cur["schema"],
+            "manifest": entries})
 
     def compact(self, target_file_rows: int = 1 << 20) -> int:
         """Rewrite the current manifest into ~evenly sized files
@@ -189,10 +233,11 @@ class SnapTable:
         v = to["version"]
         while v > from_version:
             s = self.snapshot(v)
-            if s.get("operation") == "compact":
+            if s.get("operation") in ("compact", "merge"):
                 raise ValueError(
-                    f"snapshot {v} is a compaction; incremental window "
-                    f"({from_version}, {to['version']}] is not append-only")
+                    f"snapshot {v} is a {s['operation']}; incremental "
+                    f"window ({from_version}, {to['version']}] is not "
+                    f"append-only")
             v = s["parent"]
         new = [e for e in to["manifest"] if e["path"] not in base]
         return self._load(new, to["schema"])

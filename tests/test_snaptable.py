@@ -114,3 +114,57 @@ def test_expire_snapshots(spark, docs, tmp_path):
     assert t.read().count() == 300              # current still reads
     with pytest.raises(FileNotFoundError):
         t.snapshot(1)
+
+
+def test_merge_copy_on_write(spark, docs, tmp_path):
+    """MERGE rewrites only the files whose key bounds overlap the
+    incoming keys; untouched files carry into the new snapshot BY
+    REFERENCE (same path), and time travel still sees pre-merge
+    values."""
+    t = snaptable.create(spark, str(tmp_path / "t"))
+    for lo in range(0, 300, 100):
+        t.append(docs.where(f"doc_id >= {lo} AND doc_id < {lo + 100}")
+                 .coalesce(1))
+    before = {e["path"] for e in t.snapshot()["manifest"]}
+    # upsert: update docs 120-129 (new n_chars) + insert 1000-1004
+    upd = (spark.range(120, 130).select(
+               F.col("id").alias("doc_id"),
+               F.lit(7777).cast("long").alias("n_chars"))
+           .union(spark.range(1000, 1005).select(
+               F.col("id").alias("doc_id"),
+               F.lit(8888).cast("long").alias("n_chars"))))
+    v = t.merge(upd, key="doc_id")
+    after = {e["path"] for e in t.snapshot(v)["manifest"]}
+    # files [0,99] and [200,299] carried by reference; [100,199] went
+    assert len(before & after) >= 1
+    kept_old = before & after
+    for e in t.snapshot(1)["manifest"]:
+        assert e["path"] in kept_old  # the untouched first file
+    # merged values visible, old values replaced, inserts present
+    cur = t.read(v)
+    assert cur.count() == 305
+    got = {r["doc_id"]: r["n_chars"]
+           for r in cur.where("doc_id IN (120, 1000, 50)").collect()}
+    assert got[120] == 7777 and got[1000] == 8888
+    assert got[50] == 50 * 7 % 100
+    # time travel: pre-merge snapshot unchanged
+    old = t.read(3).where("doc_id = 120").collect()[0]["n_chars"]
+    assert old == 120 * 7 % 100
+    # incremental across a merge refuses
+    with pytest.raises(ValueError):
+        t.incremental(2, v)
+
+
+def test_merge_all_rows_replaced_in_touched_file(spark, docs, tmp_path):
+    """Upserting every key of a file leaves no survivors to rewrite —
+    the empty-survivor write must not corrupt the manifest."""
+    t = snaptable.create(spark, str(tmp_path / "t"))
+    t.append(docs.where("doc_id < 10").coalesce(1))
+    t.append(docs.where("doc_id >= 200").coalesce(1))
+    upd = (spark.range(0, 10).select(
+        F.col("id").alias("doc_id"), F.lit(1).cast("long").alias("n_chars")))
+    v = t.merge(upd, key="doc_id")
+    cur = t.read(v)
+    assert cur.count() == 110
+    assert cur.where("doc_id < 10").agg(
+        F.sum("n_chars")).collect()[0][0] == 10
