@@ -242,6 +242,21 @@ class SnapTable:
         new = [e for e in to["manifest"] if e["path"] not in base]
         return self._load(new, to["schema"])
 
+    def cdc(self, from_version: int,
+            to_version: int | None = None) -> DataFrame:
+        """Row-level change capture between ANY two versions — works
+        across merges and compactions, where ``incremental`` refuses:
+        inserts are rows only in the newer version, deletes only in
+        the older (an update surfaces as delete+insert).  Full
+        exceptAll diff, so it reads both versions; for append-only
+        windows ``incremental`` is the cheap path."""
+        a = self.read(from_version)
+        b = self.read(to_version)
+        return (b.exceptAll(a)
+                .withColumn("_change", F.lit("insert"))
+                .unionByName(a.exceptAll(b)
+                             .withColumn("_change", F.lit("delete"))))
+
     def scan_range(self, col: str, lo, hi,
                    version: int | None = None) -> tuple[DataFrame, dict]:
         """Manifest-pruned range scan: only files whose [min, max]

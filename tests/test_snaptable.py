@@ -168,3 +168,25 @@ def test_merge_all_rows_replaced_in_touched_file(spark, docs, tmp_path):
     assert cur.count() == 110
     assert cur.where("doc_id < 10").agg(
         F.sum("n_chars")).collect()[0][0] == 10
+
+
+def test_cdc_across_merge(spark, docs, tmp_path):
+    """cdc() captures an upsert as delete+insert and pure inserts as
+    insert — across the merge boundary incremental() refuses."""
+    t = snaptable.create(spark, str(tmp_path / "t"))
+    t.append(docs.where("doc_id < 100").coalesce(1))
+    upd = (spark.range(5, 8).select(
+               F.col("id").alias("doc_id"),
+               F.lit(9999).cast("long").alias("n_chars"))
+           .union(spark.range(500, 502).select(
+               F.col("id").alias("doc_id"),
+               F.lit(1111).cast("long").alias("n_chars"))))
+    v = t.merge(upd, key="doc_id")
+    changes = t.cdc(1, v).collect()
+    ins = {(r["doc_id"], r["n_chars"]) for r in changes
+           if r["_change"] == "insert"}
+    dels = {(r["doc_id"], r["n_chars"]) for r in changes
+            if r["_change"] == "delete"}
+    assert ins == {(5, 9999), (6, 9999), (7, 9999),
+                   (500, 1111), (501, 1111)}
+    assert dels == {(d, d * 7 % 100) for d in (5, 6, 7)}

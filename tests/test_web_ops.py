@@ -117,3 +117,57 @@ def test_repeated_substring_spans_semantics(spark):
     assert 0 < out[2]["frac_removed"] < 1
     # doc 3 untouched
     assert out[3]["chars_removed"] == 0
+
+
+def test_repeated_substring_spans_randomized_reference(spark):
+    """Fixed-seed randomized corpus vs an independent Python
+    implementation of the same semantics (global k-gram winners,
+    per-doc interval union)."""
+    import random
+
+    from ocr_pytorch_spark.operators.dedup import \
+        repeated_substring_spans
+
+    rng = random.Random(7)
+    k = 12
+    alphabet = "abcd "
+    texts = []
+    for _ in range(30):
+        t = "".join(rng.choice(alphabet) for _ in range(rng.randint(5, 80)))
+        texts.append(t)
+    # plant some cross-doc copies
+    for i in range(0, 20, 3):
+        src = texts[i]
+        if len(src) >= 25:
+            texts[i + 1] += src[2:27]
+    rows = [(i, t) for i, t in enumerate(texts)]
+
+    # reference: global winner per k-gram, then interval union per doc
+    occ = {}
+    for doc_id, t in rows:
+        for p in range(1, len(t) - k + 2):
+            occ.setdefault(t[p - 1:p - 1 + k], []).append((doc_id, p))
+    marks = {}
+    for g, lst in occ.items():
+        if len(lst) > 1:
+            for doc_id, p in sorted(lst)[1:]:
+                marks.setdefault(doc_id, []).append((p, p + k - 1))
+    want = {}
+    for doc_id, t in rows:
+        ivs = sorted(marks.get(doc_id, []))
+        spans, removed, cur = 0, 0, None
+        for s, e in ivs:
+            if cur is None or s > cur[1]:
+                if cur:
+                    removed += cur[1] - cur[0] + 1
+                spans, cur = spans + 1, [s, e]
+            else:
+                cur[1] = max(cur[1], e)
+        if cur:
+            removed += cur[1] - cur[0] + 1
+        want[doc_id] = (spans, removed)
+
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_dup_spans"], r["chars_removed"])
+           for r in repeated_substring_spans(d, k=k).collect()}
+    assert got == want
