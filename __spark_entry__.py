@@ -994,6 +994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "documents")),
         "dedup_substring_spans": lambda s, sf:
             D.repeated_substring_spans(_t(s, sf, "documents")),
+        "phrase_lookup": lambda s, sf: _IX.phrase_lookup(
+            _t(s, sf, "documents")),
         "text_quality": lambda s, sf: T.quality_score(
             _t(s, sf, "documents")),
         "text_token_count": lambda s, sf: T.token_count(
@@ -1601,6 +1603,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mix": _TXT.corpus_mix_oracle_sql(),
         "dedup_substring_spans":
             _DDP.repeated_substring_spans_oracle_sql(),
+        "phrase_lookup": _IX.phrase_lookup_oracle_sql(),
         "tfidf_topk": _IX.tfidf_topk_oracle_sql(),
         "inverted_index": _IX.inverted_index_oracle_sql(),
         "top_ngrams_corpus": _IX.top_ngrams_corpus_oracle_sql(),

@@ -219,3 +219,41 @@ def zorder_cluster(documents: DataFrame,
                 documents.sparkSession.sparkContext.defaultParallelism,
                 "z")
             .sortWithinPartitions("z"))
+
+
+def phrase_lookup(documents: DataFrame) -> DataFrame:
+    """Inverted-index READ path: find the corpus's most frequent
+    3-word phrase (argmax df, ties -> term asc, so the probe is
+    deterministic and self-contained) and return every document
+    containing it.  The probe term is a 1-row broadcast against the
+    (term, doc_id) pairs — the lookup never shuffles the corpus,
+    which is the point of having the index.
+    Output: doc_id, term."""
+    pairs = (documents
+             .select("doc_id", F.split("text", " ").alias("ws"))
+             .select("doc_id", F.explode(F.expr(
+                 "transform(sequence(0, size(ws) - 3), "
+                 "i -> concat_ws(' ', slice(ws, i + 1, 3)))"))
+                 .alias("term"))
+             .distinct())
+    df_ = pairs.groupBy("term").agg(F.count("*").alias("df"))
+    top = (df_.orderBy(F.col("df").desc(), "term").limit(1)
+           .select("term"))
+    return pairs.join(F.broadcast(top), "term").select("doc_id", "term")
+
+
+def phrase_lookup_oracle_sql() -> str:
+    return """
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), pairs AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(ws[g.i + 1 : g.i + 3], ' ') AS term
+          FROM w, LATERAL (SELECT unnest(range(0,
+               CAST(len(ws) - 2 AS BIGINT))) AS i) g
+        ), df AS (
+          SELECT term, count(*) AS df FROM pairs GROUP BY term
+        ), top AS (
+          SELECT term FROM df ORDER BY df DESC, term LIMIT 1
+        )
+        SELECT doc_id, term FROM pairs JOIN top USING (term)"""
