@@ -880,6 +880,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     .alias("rev_k")))
         return rev.orderBy(F.col("rev_k").desc(), "l_orderkey").limit(10)
 
+    def tpch_q5(spark, sf):
+        """Local-supplier volume (TPC-H Q5 on the testdata subset):
+        revenue per nation for ASIA, 1996, where the supplier and the
+        customer share the nation.  Five-way join: the region/nation
+        dims broadcast, customer/supplier hash-join, lineitem never
+        shuffles twice."""
+        li = _t(spark, sf, "lineitem")
+        o = _t(spark, sf, "orders").where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01"))
+        c = _t(spark, sf, "customer")
+        s = _t(spark, sf, "supplier")
+        n = _t(spark, sf, "nation")
+        r = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .join(c, o.o_custkey == c.c_custkey)
+             .join(s, li.l_suppkey == s.s_suppkey)
+             .where(c.c_nationkey == s.s_nationkey)
+             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+        return (j.groupBy("n_name")
+                .agg(quant4(F.sum(F.col("l_extendedprice")
+                                  * (1 - F.col("l_discount"))) / 1000.0)
+                     .alias("revenue_k"),
+                     F.count("*").alias("n")))
+
+    def tpch_q10(spark, sf):
+        """Returned-item customer ranking (Q10 shape): top 20
+        customers by revenue on returned lineitems in one quarter."""
+        li = _t(spark, sf, "lineitem").where(
+            F.col("l_returnflag") == "R")
+        o = _t(spark, sf, "orders").where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-04-01"))
+        c = _t(spark, sf, "customer")
+        n = _t(spark, sf, "nation")
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .join(c, o.o_custkey == c.c_custkey)
+             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+        rev = (j.groupBy("c_custkey", "c_name", "n_name")
+               .agg(quant4(F.sum(F.col("l_extendedprice")
+                                 * (1 - F.col("l_discount"))) / 1000.0)
+                    .alias("revenue_k")))
+        return rev.orderBy(F.col("revenue_k").desc(),
+                           "c_custkey").limit(20)
+
+    def bloom_custkey(spark, sf):
+        """Bloom-filter sketch build+probe: orders' customer keys
+        folded into a 512-bit mergeable filter, probed by every
+        customer; reports the measured false-positive count."""
+        return _IX.bloom_probe_stats(
+            _t(spark, sf, "orders"), "o_custkey",
+            _t(spark, sf, "customer"), "c_custkey")
+
     def sessionize(spark, sf):
         # gap > 300s starts a new session; classic running-sum window
         from pyspark.sql import Window
@@ -996,6 +1050,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             D.repeated_substring_spans(_t(s, sf, "documents")),
         "phrase_lookup": lambda s, sf: _IX.phrase_lookup(
             _t(s, sf, "documents")),
+        "tpch_q5": tpch_q5,
+        "tpch_q10": tpch_q10,
+        "bloom_custkey": bloom_custkey,
         "text_quality": lambda s, sf: T.quality_score(
             _t(s, sf, "documents")),
         "text_token_count": lambda s, sf: T.token_count(
@@ -1604,6 +1661,39 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring_spans":
             _DDP.repeated_substring_spans_oracle_sql(),
         "phrase_lookup": _IX.phrase_lookup_oracle_sql(),
+        "tpch_q5": """
+            SELECT n_name,
+                   floor((sum(l_extendedprice * (1 - l_discount))
+                          / 1000.0) * 10000 + 0.5) / 10000
+                     AS revenue_k,
+                   count(*) AS n
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name""",
+        "tpch_q10": """
+            SELECT c_custkey, c_name, n_name,
+                   floor((sum(l_extendedprice * (1 - l_discount))
+                          / 1000.0) * 10000 + 0.5) / 10000
+                     AS revenue_k
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue_k DESC, c_custkey LIMIT 20""",
+        "bloom_custkey": _IX.bloom_probe_stats_oracle_sql(
+            "orders", "o_custkey", "customer", "c_custkey"),
         "tfidf_topk": _IX.tfidf_topk_oracle_sql(),
         "inverted_index": _IX.inverted_index_oracle_sql(),
         "top_ngrams_corpus": _IX.top_ngrams_corpus_oracle_sql(),

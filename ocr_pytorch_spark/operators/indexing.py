@@ -257,3 +257,122 @@ def phrase_lookup_oracle_sql() -> str:
           SELECT term FROM df ORDER BY df DESC, term LIMIT 1
         )
         SELECT doc_id, term FROM pairs JOIN top USING (term)"""
+
+
+# --- Bloom filter sketch ------------------------------------------------
+
+BLOOM_WORDS = 16         # 16 x 32 = 512 bits; 32-bit words keep every
+BLOOM_BITS = 32          # shift clear of the BIGINT sign bit in BOTH
+BLOOM_HASHES = 3         # engines (DuckDB << and Spark shiftleft)
+
+
+def _bloom_positions_expr(key_sql: str) -> list[str]:
+    """k md5-slice hash positions in [0, 512) for a key expression —
+    identical arithmetic in Spark SQL and DuckDB (instr/substring/md5
+    are in the shared dialect subset)."""
+    out = []
+    for i in range(BLOOM_HASHES):
+        digits = " + ".join(
+            f"(instr('0123456789abcdef', substring(md5(concat("
+            f"'{i}:', {key_sql})), {d + 1}, 1)) - 1)"
+            f" * cast({16 ** (7 - d)} as bigint)"
+            for d in range(8))
+        out.append(f"(({digits}) % {BLOOM_WORDS * BLOOM_BITS})")
+    return out
+
+
+def bloom_build(df: DataFrame, key_col: str) -> DataFrame:
+    """512-bit Bloom filter over the distinct keys of ``key_col`` as
+    16 (word_idx, bits) rows — a mergeable sketch: bit_or partial
+    aggregation means each executor folds its partition's keys into
+    16 longs map-side and the shuffle moves 16 rows per partition.
+    At 10^12 rows this (or Spark's native bloom join) is how a big
+    probe side prunes against a big build side without shuffling
+    either."""
+    pos = _bloom_positions_expr("cast(k as string)")
+    keys = df.select(F.col(key_col).alias("k")).distinct()
+    hashed = keys.select(F.explode(F.array(
+        *[F.expr(p).cast("long") for p in pos])).alias("h"))
+    return (hashed
+            .select((F.col("h") / BLOOM_BITS).cast("long")
+                    .alias("word_idx"),
+                    (F.col("h") % BLOOM_BITS).cast("int").alias("bit"))
+            .groupBy("word_idx")
+            .agg(F.bit_or(F.expr("shiftleft(cast(1 as bigint), bit)"))
+                 .alias("bits")))
+
+
+def bloom_probe_stats(build_df: DataFrame, build_key: str,
+                      probe_df: DataFrame,
+                      probe_key: str) -> DataFrame:
+    """Probe every distinct ``probe_key`` against the Bloom filter of
+    ``build_key`` and report (n_probed, n_candidates, n_members,
+    n_false_positives).  The 16-row filter broadcasts; a candidate
+    must hit all k positions; membership ground truth comes from a
+    semi-join, so the sketch's false-positive rate is measured, not
+    assumed.  No false negatives by construction (the test and the
+    oracle both assert candidates >= members)."""
+    bloom = bloom_build(build_df, build_key)
+    pos = _bloom_positions_expr("cast(k as string)")
+    probes = (probe_df.select(F.col(probe_key).alias("k")).distinct()
+              .select("k", F.explode(F.array(
+                  *[F.expr(p).cast("long") for p in pos])).alias("h"))
+              .select("k",
+                      (F.col("h") / BLOOM_BITS).cast("long")
+                      .alias("word_idx"),
+                      (F.col("h") % BLOOM_BITS).cast("int")
+                      .alias("bit")))
+    hits = (probes.join(F.broadcast(bloom), "word_idx")
+            .where(F.expr("(shiftright(bits, bit) & 1) = 1"))
+            .groupBy("k").agg(F.count("*").alias("n_hit"))
+            .where(F.col("n_hit") == BLOOM_HASHES)
+            .select("k"))
+    members = (probe_df.select(F.col(probe_key).alias("k")).distinct()
+               .join(build_df.select(F.col(build_key).alias("k"))
+                     .distinct(), "k", "left_semi"))
+    n_probed = probe_df.select(probe_key).distinct().count()
+    n_cand = hits.count()
+    n_mem = members.count()
+    spark = probe_df.sparkSession
+    return spark.createDataFrame(
+        [(n_probed, n_cand, n_mem, n_cand - n_mem)],
+        "n_probed long, n_candidates long, n_members long, "
+        "n_false_positives long")
+
+
+def bloom_probe_stats_oracle_sql(build_table: str, build_key: str,
+                                 probe_table: str,
+                                 probe_key: str) -> str:
+    pos = _bloom_positions_expr("cast(k as varchar)")
+    arr = ", ".join(pos)
+    return f"""
+        WITH bkeys AS (
+          SELECT DISTINCT {build_key} AS k FROM {build_table}
+        ), bpos AS (
+          SELECT CAST(u.h AS BIGINT) AS h
+          FROM bkeys, LATERAL (SELECT unnest([{arr}]) AS h) u
+        ), bloom AS (
+          SELECT h // {BLOOM_BITS} AS word_idx,
+                 bit_or(CAST(1 AS BIGINT) << CAST(h % {BLOOM_BITS}
+                        AS INT)) AS bits
+          FROM bpos GROUP BY 1
+        ), pkeys AS (
+          SELECT DISTINCT {probe_key} AS k FROM {probe_table}
+        ), ppos AS (
+          SELECT k, CAST(u.h AS BIGINT) // {BLOOM_BITS} AS word_idx,
+                 CAST(CAST(u.h AS BIGINT) % {BLOOM_BITS} AS INT)
+                   AS bit
+          FROM pkeys, LATERAL (SELECT unnest([{arr}]) AS h) u
+        ), hits AS (
+          SELECT p.k FROM ppos p JOIN bloom b USING (word_idx)
+          WHERE (b.bits >> p.bit) & 1 = 1
+          GROUP BY p.k HAVING count(*) = {BLOOM_HASHES}
+        ), members AS (
+          SELECT k FROM pkeys WHERE k IN (SELECT k FROM bkeys)
+        )
+        SELECT (SELECT count(*) FROM pkeys) AS n_probed,
+               (SELECT count(*) FROM hits) AS n_candidates,
+               (SELECT count(*) FROM members) AS n_members,
+               (SELECT count(*) FROM hits)
+                 - (SELECT count(*) FROM members)
+                 AS n_false_positives"""

@@ -91,3 +91,19 @@ def test_zorder_clustering_improves_file_skipping(spark, tmp_path):
     assert pa["files_read"] == pa["files_total"]  # a-sort: no pruning
     assert pz["files_read"] < pz["files_total"] // 2  # z-sort prunes
     assert dfz.count() == 8 * 64  # and still returns every row
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every true member must be a candidate (Bloom guarantees no
+    false negatives); false positives are >= 0 and bounded well below
+    the non-member count for 512 bits vs ~60 keys."""
+    build = spark.range(0, 60).select(F.col("id").alias("bk"))
+    probe = spark.range(0, 200).select(F.col("id").alias("pk"))
+    row = IX.bloom_probe_stats(build, "bk", probe, "pk").collect()[0]
+    assert row["n_probed"] == 200
+    assert row["n_members"] == 60
+    assert row["n_candidates"] >= row["n_members"]
+    assert row["n_false_positives"] == \
+        row["n_candidates"] - row["n_members"]
+    # 3 hashes, 60 keys, 512 bits -> fp rate ~ (1-e^-180/512)^3 ~ 2.6%
+    assert row["n_false_positives"] < 30
