@@ -1053,6 +1053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": tpch_q5,
         "tpch_q10": tpch_q10,
         "bloom_custkey": bloom_custkey,
+        "approx_distinct_hll": lambda s, sf: _IX.hll_distinct(
+            _t(s, sf, "events"), "user_id"),
         "text_quality": lambda s, sf: T.quality_score(
             _t(s, sf, "documents")),
         "text_token_count": lambda s, sf: T.token_count(
@@ -1694,6 +1696,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue_k DESC, c_custkey LIMIT 20""",
         "bloom_custkey": _IX.bloom_probe_stats_oracle_sql(
             "orders", "o_custkey", "customer", "c_custkey"),
+        "approx_distinct_hll": _IX.hll_distinct_oracle_sql(
+            "events", "user_id"),
         "tfidf_topk": _IX.tfidf_topk_oracle_sql(),
         "inverted_index": _IX.inverted_index_oracle_sql(),
         "top_ngrams_corpus": _IX.top_ngrams_corpus_oracle_sql(),

@@ -376,3 +376,104 @@ def bloom_probe_stats_oracle_sql(build_table: str, build_key: str,
                (SELECT count(*) FROM hits)
                  - (SELECT count(*) FROM members)
                  AS n_false_positives"""
+
+
+# --- HyperLogLog sketch -------------------------------------------------
+
+HLL_BUCKETS = 64
+HLL_ALPHA = 0.709      # alpha_64 from the published HLL constants
+
+
+def _hll_rank_sql(tail_sql: str) -> str:
+    """True bit-level HLL rank of a 32-bit hex tail, in the shared
+    SQL dialect: 4 x (leading zero hex digits) + extra zero bits of
+    the first non-zero digit + 1 (33 when the tail is all zeros)."""
+    lz = f"length(regexp_extract({tail_sql}, '^(0*)', 1))"
+    digit = (f"(instr('0123456789abcdef', "
+             f"substring({tail_sql}, {lz} + 1, 1)) - 1)")
+    extra = (f"CASE WHEN {digit} >= 8 THEN 0 "
+             f"WHEN {digit} >= 4 THEN 1 "
+             f"WHEN {digit} >= 2 THEN 2 ELSE 3 END")
+    return (f"CASE WHEN {lz} >= 8 THEN 33 "
+            f"ELSE {lz} * 4 + {extra} + 1 END")
+
+
+def hll_distinct(df: DataFrame, col: str) -> DataFrame:
+    """Cross-engine-exact HyperLogLog distinct estimate: bucket =
+    first-8-hex of md5 mod 64; rank = leading-zero BITS of the next
+    32 hash bits + 1 (bit-exact via hex arithmetic).  Every term
+    2^-rank and the empty-bucket 1.0s are exact dyadic doubles whose
+    sum is order-INDEPENDENT, so Spark and DuckDB agree bitwise and
+    the estimate is oracle-checkable (Spark's native
+    approx_count_distinct stays the rows-only production path).
+    The sketch itself is one groupBy(bucket).max(rank) — mergeable,
+    64 rows total whatever the input size; the published small-range
+    (linear counting) correction applies below 2.5m.
+    Output: m, n_present, n_exact, hll_est (4dp)."""
+    h8 = F.expr(f"substring(md5(cast({col} as string)), 1, 8)")
+    bucket_expr = " + ".join(
+        f"(instr('0123456789abcdef', substring(md5(cast({col} as "
+        f"string)), {d + 1}, 1)) - 1) * cast({16 ** (7 - d)} as bigint)"
+        for d in range(8))
+    tail_sql = f"substring(md5(cast({col} as string)), 9, 8)"
+    rank_sql = _hll_rank_sql(tail_sql)
+    rows = df.select(
+        (F.expr(f"({bucket_expr})") % HLL_BUCKETS).alias("bucket"),
+        F.expr(rank_sql).cast("int").alias("rank"))
+    buckets = rows.groupBy("bucket").agg(F.max("rank").alias("r"))
+    agg = buckets.agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"))
+    n_exact = df.select(col).distinct().count()
+    spark = df.sparkSession
+    row = agg.collect()[0]
+    import math
+
+    m = HLL_BUCKETS
+    n_present = int(row["n_present"])
+    s = float(row["s"]) + (m - n_present) * 1.0
+    est = HLL_ALPHA * m * m / s
+    # published small-range correction: linear counting while the
+    # raw estimate is under 2.5m and empty buckets remain
+    if est <= 2.5 * m and n_present < m:
+        est = m * math.log(m / float(m - n_present))
+    est_q = math.floor(est * 10000 + 0.5) / 10000
+    return spark.createDataFrame(
+        [(m, n_present, n_exact, est_q)],
+        "m long, n_present long, n_exact long, hll_est double")
+
+
+def hll_distinct_oracle_sql(table: str, col: str) -> str:
+    bucket = " + ".join(
+        f"(instr('0123456789abcdef', substring(md5(cast({col} as "
+        f"varchar)), {d + 1}, 1)) - 1) * cast({16 ** (7 - d)} as bigint)"
+        for d in range(8))
+    return f"""
+        WITH r AS (
+          SELECT ({bucket}) % {HLL_BUCKETS} AS bucket,
+                 {_hll_rank_sql(
+                     f"substring(md5(cast({col} as varchar)), 9, 8)")}
+                   AS rank
+          FROM {table}
+        ), b AS (
+          SELECT bucket, max(rank) AS r FROM r GROUP BY bucket
+        ), agg AS (
+          SELECT count(*) AS n_present,
+                 sum(power(2.0, -r)) AS s
+          FROM b
+        )
+        , est AS (
+          SELECT n_present,
+                 {HLL_ALPHA} * {HLL_BUCKETS} * {HLL_BUCKETS}
+                   / (s + ({HLL_BUCKETS} - n_present) * 1.0) AS raw
+          FROM agg
+        )
+        SELECT CAST({HLL_BUCKETS} AS BIGINT) AS m,
+               CAST(n_present AS BIGINT) AS n_present,
+               (SELECT count(DISTINCT {col}) FROM {table}) AS n_exact,
+               floor((CASE WHEN raw <= 2.5 * {HLL_BUCKETS}
+                            AND n_present < {HLL_BUCKETS}
+                      THEN {HLL_BUCKETS} * ln({HLL_BUCKETS}
+                           / CAST({HLL_BUCKETS} - n_present AS DOUBLE))
+                      ELSE raw END) * 10000 + 0.5) / 10000 AS hll_est
+        FROM est"""

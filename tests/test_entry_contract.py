@@ -89,7 +89,8 @@ FLOAT_STRESS_KEYS = ["group_line_stats", "text_quality", "tpch_q1",
                      "dedup_embedding_cosine", "sim_ivf_topk",
                      "ohem_topk_sum", "html_strip", "html_main_block",
                      "text_repetition", "tfidf_topk",
-                     "quality_classifier"]
+                     "quality_classifier", "approx_distinct_hll",
+                     "tpch_q5", "tpch_q10"]
 
 
 @pytest.mark.parametrize("key", FLOAT_STRESS_KEYS)

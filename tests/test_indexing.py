@@ -107,3 +107,14 @@ def test_bloom_no_false_negatives(spark):
         row["n_candidates"] - row["n_members"]
     # 3 hashes, 60 keys, 512 bits -> fp rate ~ (1-e^-180/512)^3 ~ 2.6%
     assert row["n_false_positives"] < 30
+
+
+def test_hll_estimate_within_tolerance(spark):
+    """HLL with m=64: relative error ~1.04/sqrt(64) = 13%; assert
+    within 3 sigma at two cardinalities spanning the linear-counting
+    and raw-estimate regimes."""
+    for n in (40, 2000):
+        d = spark.range(0, n).select(F.col("id").alias("v"))
+        row = IX.hll_distinct(d, "v").collect()[0]
+        assert row["n_exact"] == n
+        assert abs(row["hll_est"] - n) / n < 0.4, row
