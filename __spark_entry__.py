@@ -926,6 +926,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return rev.orderBy(F.col("revenue_k").desc(),
                            "c_custkey").limit(20)
 
+    def tpch_q14(spark, sf):
+        """Promotion-effect revenue share (Q14): promo-part revenue
+        over total revenue for one ship month; the part dim joins
+        broadcast-side."""
+        li = _t(spark, sf, "lineitem").where(
+            (F.col("l_shipdate") >= "1996-03-01")
+            & (F.col("l_shipdate") < "1996-04-01"))
+        p = _t(spark, sf, "part")
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        return j.agg(
+            quant4(100.0 * F.sum(F.when(F.col("p_type") == "PROMO",
+                                        rev).otherwise(0.0))
+                   / F.sum(rev)).alias("promo_revenue_pct"),
+            F.count("*").alias("n_items"))
+
     def bloom_custkey(spark, sf):
         """Bloom-filter sketch build+probe: orders' customer keys
         folded into a 512-bit mergeable filter, probed by every
@@ -1052,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "documents")),
         "tpch_q5": tpch_q5,
         "tpch_q10": tpch_q10,
+        "tpch_q14": tpch_q14,
         "bloom_custkey": bloom_custkey,
         "approx_distinct_hll": lambda s, sf: _IX.hll_distinct(
             _t(s, sf, "events"), "user_id"),
@@ -1694,6 +1711,17 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1996-04-01'
             GROUP BY c_custkey, c_name, n_name
             ORDER BY revenue_k DESC, c_custkey LIMIT 20""",
+        "tpch_q14": """
+            SELECT floor((100.0
+                     * sum(CASE WHEN p_type = 'PROMO'
+                           THEN l_extendedprice * (1 - l_discount)
+                           ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)))
+                     * 10000 + 0.5) / 10000 AS promo_revenue_pct,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'""",
         "bloom_custkey": _IX.bloom_probe_stats_oracle_sql(
             "orders", "o_custkey", "customer", "c_custkey"),
         "approx_distinct_hll": _IX.hll_distinct_oracle_sql(

@@ -90,7 +90,7 @@ FLOAT_STRESS_KEYS = ["group_line_stats", "text_quality", "tpch_q1",
                      "ohem_topk_sum", "html_strip", "html_main_block",
                      "text_repetition", "tfidf_topk",
                      "quality_classifier", "approx_distinct_hll",
-                     "tpch_q5", "tpch_q10"]
+                     "tpch_q5", "tpch_q10", "tpch_q14"]
 
 
 @pytest.mark.parametrize("key", FLOAT_STRESS_KEYS)
