@@ -942,6 +942,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    / F.sum(rev)).alias("promo_revenue_pct"),
             F.count("*").alias("n_items"))
 
+    def tpch_q18(spark, sf):
+        """Large-volume customers (Q18 shape): orders whose total
+        lineitem quantity clears 280, joined back to customer — the
+        aggregate-THEN-join plan (the HAVING subquery becomes a
+        skinny (orderkey, qty) build side)."""
+        li = _t(spark, sf, "lineitem")
+        big = (li.groupBy("l_orderkey")
+               .agg(F.sum("l_quantity").alias("total_qty"))
+               .where(F.col("total_qty") > 280))
+        o = _t(spark, sf, "orders")
+        c = _t(spark, sf, "customer")
+        j = (o.join(big, o.o_orderkey == big.l_orderkey)
+             .join(c, o.o_custkey == c.c_custkey))
+        return (j.select("c_custkey", "c_name", "o_orderkey",
+                         quant4(F.col("total_qty"))
+                         .alias("total_qty"))
+                .orderBy(F.col("total_qty").desc(), "o_orderkey")
+                .limit(20))
+
     def bloom_custkey(spark, sf):
         """Bloom-filter sketch build+probe: orders' customer keys
         folded into a 512-bit mergeable filter, probed by every
@@ -1069,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": tpch_q5,
         "tpch_q10": tpch_q10,
         "tpch_q14": tpch_q14,
+        "tpch_q18": tpch_q18,
         "bloom_custkey": bloom_custkey,
         "approx_distinct_hll": lambda s, sf: _IX.hll_distinct(
             _t(s, sf, "events"), "user_id"),
@@ -1722,6 +1742,19 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-03-01'
               AND l_shipdate < TIMESTAMP '1996-04-01'""",
+        "tpch_q18": """
+            WITH big AS (
+              SELECT l_orderkey, sum(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 280
+            )
+            SELECT c_custkey, c_name, o_orderkey,
+                   floor(total_qty * 10000 + 0.5) / 10000
+                     AS total_qty
+            FROM orders
+            JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY total_qty DESC, o_orderkey LIMIT 20""",
         "bloom_custkey": _IX.bloom_probe_stats_oracle_sql(
             "orders", "o_custkey", "customer", "c_custkey"),
         "approx_distinct_hll": _IX.hll_distinct_oracle_sql(
