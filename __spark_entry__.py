@@ -942,6 +942,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    / F.sum(rev)).alias("promo_revenue_pct"),
             F.count("*").alias("n_items"))
 
+    def event_outliers(spark, sf):
+        """Data-quality anomaly scan: per-event-type population
+        z-scores; report count and peak |z| of 3-sigma outliers —
+        one scan for the moments + one broadcast join back."""
+        ev = _t(spark, sf, "events")
+        stats = (ev.groupBy("event_type")
+                 .agg(F.avg("value").alias("mu"),
+                      (F.sqrt(F.avg(F.col("value") * F.col("value"))
+                              - F.avg("value") * F.avg("value")))
+                      .alias("sigma")))
+        z = (ev.join(F.broadcast(stats), "event_type")
+             .withColumn("z", F.abs((F.col("value") - F.col("mu"))
+                                    / F.col("sigma"))))
+        return (z.where(F.col("z") > 3.0)
+                .groupBy("event_type")
+                .agg(F.count("*").alias("n_outliers"),
+                     quant4(F.max("z")).alias("max_z")))
+
     def tpch_q18(spark, sf):
         """Large-volume customers (Q18 shape): orders whose total
         lineitem quantity clears 280, joined back to customer — the
@@ -1089,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": tpch_q10,
         "tpch_q14": tpch_q14,
         "tpch_q18": tpch_q18,
+        "event_outliers": event_outliers,
         "bloom_custkey": bloom_custkey,
         "approx_distinct_hll": lambda s, sf: _IX.hll_distinct(
             _t(s, sf, "events"), "user_id"),
@@ -1755,6 +1774,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN big ON o_orderkey = l_orderkey
             JOIN customer ON o_custkey = c_custkey
             ORDER BY total_qty DESC, o_orderkey LIMIT 20""",
+        "event_outliers": """
+            WITH s AS (
+              SELECT event_type, avg(value) AS mu,
+                     sqrt(avg(value * value)
+                          - avg(value) * avg(value)) AS sigma
+              FROM events GROUP BY event_type
+            ), z AS (
+              SELECT e.event_type,
+                     abs((e.value - s.mu) / s.sigma) AS z
+              FROM events e JOIN s USING (event_type)
+            )
+            SELECT event_type, count(*) AS n_outliers,
+                   floor(max(z) * 10000 + 0.5) / 10000 AS max_z
+            FROM z WHERE z > 3.0 GROUP BY event_type""",
         "bloom_custkey": _IX.bloom_probe_stats_oracle_sql(
             "orders", "o_custkey", "customer", "c_custkey"),
         "approx_distinct_hll": _IX.hll_distinct_oracle_sql(

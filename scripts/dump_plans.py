@@ -98,6 +98,12 @@ COMMENT = {
                      "vocabulary, not corpus tokens — the explode is "
                      "per distinct word, weighted by count, with "
                      "map-side combine on the pair key",
+    "tpch_q5": "five-way join: region/nation broadcast, the "
+               "customer = supplier nation predicate applies before "
+               "the dim joins, lineitem shuffles once",
+    "bloom_custkey": "the 16-row filter is built with bit_or partial "
+                     "aggregation and BROADCASTS to the probe side — "
+                     "neither input shuffles for the membership test",
     "dedup_substring_spans": "the k-gram winner pick is partial-agg "
                              "min(struct) — viral grams collapse "
                              "map-side — joined back against only "
@@ -127,7 +133,7 @@ def main() -> None:
                  "decontam_overlap", "pii_redact", "url_host_filter",
                  "dedup_lines", "inverted_index", "tfidf_topk",
                  "bpe_top_pairs", "dedup_substring_spans",
-                 "ocr_extract"):
+                 "tpch_q5", "bloom_custkey", "ocr_extract"):
         df = qs[name](spark, SF)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
