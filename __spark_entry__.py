@@ -25,6 +25,7 @@ if REPO_ROOT not in sys.path:
 for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
     os.environ.setdefault(_v, "1")
 
+import ocr_pytorch_spark  # noqa: E402,F401  (sets OPENBLAS_CORETYPE pre-numpy)
 from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
 
 from ocr_pytorch_spark.functions import quant4  # noqa: E402
@@ -1050,14 +1051,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .alias("bucket"))
                 .groupBy("bucket").agg(F.count("*").alias("n")))
 
-    return {
+    # --- streaming operators, driver-checked via batch equivalence
+    # (VERDICT r3 task 8).  Each runs the SAME function the streaming
+    # pipelines use (streaming/windows.py) on a batch frame; the
+    # stream==batch equivalence itself is proven in
+    # tests/test_streaming.py, so an oracle-green row here certifies
+    # the streaming operator's aggregation/join/dedup logic.
+
+    def stream_windowed_counts(spark, sf):
+        """Watermarked tumbling event-time window agg
+        (streaming/windows.windowed_event_counts): F.window() is the
+        identical function in batch and readStream plans, and the
+        watermark is a no-op in batch."""
+        from ocr_pytorch_spark.streaming.windows import (
+            windowed_event_counts)
+        out = windowed_event_counts(_t(spark, sf, "events"),
+                                    window="5 minutes",
+                                    watermark="2 minutes")
+        return out.select(
+            F.date_format("w_start", "yyyy-MM-dd HH:mm")
+            .alias("w_start"),
+            "event_type", F.col("n").cast("long").alias("n"),
+            quant4(F.col("sum_value")).alias("sum_value_q4"))
+
+    def stream_interval_join_q(spark, sf):
+        """Watermarked stream-stream interval join (ad-attribution
+        shape, streaming/windows.stream_interval_join): inner interval
+        joins emit on match in streaming, so identical frames produce
+        identical rows in batch."""
+        from ocr_pytorch_spark.streaming import windows as SW
+        ev = (_t(spark, sf, "events")
+              .withColumn("item_id", F.col("event_id") % 4))
+        imp = (ev.where(F.col("event_type") == "view")
+               .select("user_id", "item_id", "ts"))
+        clk = (ev.where(F.col("event_type") == "click")
+               .select("user_id", "item_id", "ts"))
+        out = SW.stream_interval_join(imp, clk, max_delay="6 hours",
+                                      watermark="12 hours")
+        return out.select(
+            "user_id", F.col("imp_item").alias("item_id"),
+            F.unix_micros("imp_ts").alias("imp_us"),
+            F.unix_micros("clk_ts").alias("clk_us"))
+
+    def stream_dedup_hashes(spark, sf):
+        """Streaming exact-dedup (watermarked dropDuplicates on the
+        content hash, streaming/windows.stream_dedup).  WHICH duplicate
+        row survives is arrival-order-dependent, so the oracle checks
+        the deterministic projection: the surviving key set is exactly
+        the distinct hash set."""
+        from ocr_pytorch_spark.streaming.windows import stream_dedup
+        docs = (_t(spark, sf, "documents")
+                .withColumn("ts", F.timestamp_seconds(
+                    F.lit(1704067200) + F.col("doc_id"))))
+        return stream_dedup(docs).select("content_hash")
+
+    base = {
         # --- ordering matters: the driver verifies queries in dict
-        # order under a bounded budget (~50 checks/round), so the
-        # oracle-bearing keys that most need verification lead
-        # (never-driver-checked or red last round), the bulk of
-        # oracle-bearing keys follow, and the tail holds (a) trivial
-        # relational queries green in BOTH prior rounds and (b)
-        # rows-only checks that carry no oracle anyway.
+        # order under a bounded budget (~50 checks/round).  The dict
+        # below is grouped by family for readability; the ACTUAL order
+        # returned is produced by _rotate() (see the rotation schedule
+        # right after this function).
         "corpus_filter": lambda s, sf: T.corpus_filter(
             _t(s, sf, "documents")),
         "text_winnow_fp": lambda s, sf: T.winnow_fingerprint(
@@ -1179,6 +1232,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": set_ops,
         "pivot_counts": pivot_counts,
         "histogram_value": histogram_value,
+        # streaming operators via batch equivalence (r4, new)
+        "stream_windowed_counts": stream_windowed_counts,
+        "stream_interval_join": stream_interval_join_q,
+        "stream_dedup_hashes": stream_dedup_hashes,
         # non-SQL-expressible (NumPy model forwards) -> rows-only checks
         "approx_distinct": approx_distinct,  # rows-only (HLL differs)
         "ocr_extract": _ocr_extract,
@@ -1192,6 +1249,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_errors_scan": _ocr_errors_scan,
         "png_ocr_extract": _png_ocr_extract,
     }
+    return _rotate(base)
+
+
+# --- driver-verification rotation (VERDICT r3 task 3) -------------------
+# The correctness driver checks only the first ~50 keys of queries()
+# per round.  Deterministic schedule (round = 1 + highest existing
+# CORRECTNESS_r*.json number in the repo):
+#   * _PINNED flagship keys lead EVERY round;
+#   * oracle keys in NEITHER rotation group (newly added this round)
+#     come next, so every key's debut round is driver-checked;
+#   * _ROT_EVEN leads on even rounds, _ROT_ODD on odd rounds — each
+#     group plus the pinned keys fits the ~50-key window, so every
+#     oracle key gets a driver row at least every 2 rounds;
+#   * rows-only keys (no DuckDB oracle) always trail.
+# When adding a NEW oracle key, leave it out of both groups for its
+# debut round, then fold it into the SMALLER group next round.
+# tests/test_entry_contract.py independently re-verifies every oracle
+# key against DuckDB each session, so rotation only decides which rows
+# appear in a given round's CORRECTNESS_r0N.json — nothing is ever
+# unverified.
+_PINNED = ["ocr_extract_parity", "salted_join"]
+# driver-checked in round 3 (CORRECTNESS_r03.json order) -> lead odd
+_ROT_ODD = [
+    "corpus_filter", "text_winnow_fp", "html_strip", "html_main_block",
+    "layout_reading_order", "pdf_text_extract", "text_repetition",
+    "decontam_overlap", "pii_redact", "url_host_filter", "dedup_lines",
+    "snapshot_time_travel", "tfidf_topk", "inverted_index",
+    "top_ngrams_corpus", "zorder_key", "bpe_top_pairs",
+    "quality_classifier", "corpus_mix", "dedup_substring_spans",
+    "phrase_lookup", "tpch_q5", "tpch_q10", "tpch_q14", "tpch_q18",
+    "event_outliers", "bloom_custkey", "approx_distinct_hll",
+    "text_quality", "text_token_count", "text_fingerprint",
+    "filter_threshold", "sessionize", "project_bbox_decode",
+    "ohem_topk_sum", "asof_join_events", "cube_agg",
+    "window_moving_avg", "session_window_agg", "dedup_keeper_policy",
+    "text_normalize", "sample_documents", "time_bucket_rollup",
+    "data_quality_checks", "window_reading_order", "group_line_stats",
+    "group_linefit_regr", "range_self_join",
+]
+# outside round 3's window -> lead even rounds (incl. this round 4)
+_ROT_EVEN = [
+    "semi_join_keep", "broadcast_dim_join", "explode_reassemble",
+    "tpch_q1", "tpch_q6", "tpch_q3_topk", "dedup_exact",
+    "dedup_minhash_sig", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_components", "dedup_embedding_cosine",
+    "filename_munge", "sim_topk_cosine", "sim_lsh_buckets",
+    "sim_lsh_topk", "sim_ivf_cells", "sim_ivf_topk", "text_lang_id",
+    "filter_minsize", "topk_score", "dedupe_consecutive_lag",
+    "funnel_counts", "retention_cohorts", "percentiles_value",
+    "distinct_agg", "rollup_agg", "set_ops", "pivot_counts",
+    "histogram_value",
+]
+# oracle keys debuting THIS round — in neither group, so _rotate()
+# puts them right after the pinned keys; fold into a group next round
+_ROT_DEBUT = [
+    "stream_windowed_counts", "stream_interval_join",
+    "stream_dedup_hashes",
+]
+
+
+def _round_number() -> int:
+    import glob as _glob
+    import re as _re
+    here = os.path.dirname(os.path.abspath(__file__))
+    ns = [int(m.group(1))
+          for p in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+          if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", p))]
+    return max(ns) + 1 if ns else 1
+
+
+def _rotate(base: dict) -> dict:
+    with_oracle = set(oracle_sql().keys())
+    lead, trail = ((_ROT_EVEN, _ROT_ODD) if _round_number() % 2 == 0
+                   else (_ROT_ODD, _ROT_EVEN))
+    new = [k for k in base
+           if k in with_oracle and k not in _PINNED
+           and k not in _ROT_ODD and k not in _ROT_EVEN]
+    rows_only = [k for k in base if k not in with_oracle]
+    order, seen = [], set()
+    for k in _PINNED + new + lead + trail + rows_only:
+        if k in base and k not in seen:
+            order.append(k)
+            seen.add(k)
+    order += [k for k in base if k not in seen]  # lenient; test is strict
+    return {k: base[k] for k in order}
 
 
 # --- DuckDB oracles -----------------------------------------------------
@@ -1392,6 +1534,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(value / 25.0) AS INT) AS bucket,
                    count(*) AS n
             FROM events GROUP BY 1""",
+        # streaming operators' batch equivalents: both engines align
+        # tumbling buckets to origins that are whole multiples of the
+        # 5-minute width apart (Spark: 1970-01-01, DuckDB time_bucket:
+        # 2000-01-01), so the buckets coincide
+        "stream_windowed_counts": f"""
+            SELECT strftime(time_bucket(INTERVAL 5 minutes, ts),
+                            '%Y-%m-%d %H:%M') AS w_start,
+                   event_type, count(*) AS n,
+                   {quant4_sql('sum(value)')} AS sum_value_q4
+            FROM events GROUP BY 1, 2""",
+        "stream_interval_join": """
+            WITH ev AS (SELECT user_id, event_id % 4 AS item_id, ts,
+                               event_type FROM events)
+            SELECT i.user_id, i.item_id,
+                   epoch_us(i.ts) AS imp_us, epoch_us(c.ts) AS clk_us
+            FROM ev i JOIN ev c
+              ON i.event_type = 'view' AND c.event_type = 'click'
+             AND i.user_id = c.user_id AND i.item_id = c.item_id
+             AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 6 hours""",
+        "stream_dedup_hashes": """
+            SELECT DISTINCT md5(text) AS content_hash FROM documents""",
         "project_bbox_decode": """
             SELECT l_orderkey, l_linenumber,
                    l_quantity * 0.5 + exp(l_discount) * 8.0 AS y_dec,

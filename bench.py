@@ -23,10 +23,17 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+import ocr_pytorch_spark  # noqa: E402,F401  (sets OPENBLAS_CORETYPE pre-numpy)
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-OCR_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_OCR_DOCS", "256"))
-OCR_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_OCR_IMAGES", "128"))
+OCR_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_OCR_DOCS", "512"))
+OCR_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_OCR_IMAGES", "256"))
+# fixture multiplier for documents/embeddings (VERDICT r3 task 5: grow
+# the tier until the top queries run long enough that host noise can't
+# masquerade as a plan regression).  Copies carry near-duplicate (not
+# identical) content so dedup/LSH neighbor structure grows ~linearly.
+SCALE = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "2"))
 
 HEADLINE = [
     "tpch_q1", "tpch_q6", "broadcast_dim_join", "tpch_q3_topk",

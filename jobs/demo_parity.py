@@ -91,24 +91,39 @@ def main() -> None:
              .where(F.col("box_order") >= 0)
              .orderBy("media_ref", "box_order"))
 
-    rows = spans.collect()
-    by_img: dict[str, list[str]] = {}
-    for r in rows:
-        by_img.setdefault(r["media_ref"], []).append(r["text"])
-    for ref, texts in sorted(by_img.items()):
-        print(f"== {ref}: {len(texts)} lines")
-        for t in texts:
-            print(f"   {t}")
+    # one row per image with its ordered transcript list — all span
+    # payload stays executor-side (no driver collect of spans;
+    # VERDICT r3 task 9)
+    ordered = (spans.groupBy("media_ref")
+               .agg(F.array_sort(
+                   F.collect_list(F.struct("box_order", "text")))
+                   .alias("ot"))
+               .select("media_ref",
+                       F.expr("transform(ot, s -> s.text)")
+                       .alias("texts")))
 
     if args.dst:
         os.makedirs(args.dst, exist_ok=True)
         spans.write.mode("overwrite").parquet(
             os.path.join(args.dst, "transcripts"))
-        for ref, texts in by_img.items():  # demo.py:27-29 shape
-            stem = ref.rsplit(".", 1)[0]
-            with open(os.path.join(args.dst, stem + ".txt"), "w",
-                      encoding="utf-8") as f:
-                f.write("\n".join(texts) + "\n")
+        dst = args.dst
+
+        def _write_txt_partition(rows):
+            # executor-side per-image txt sink (demo.py:27-29 shape).
+            # On a real cluster --dst must be a shared filesystem;
+            # in local mode it is trivially shared.
+            for r in rows:
+                stem = r["media_ref"].rsplit(".", 1)[0]
+                with open(os.path.join(dst, stem + ".txt"), "w",
+                          encoding="utf-8") as f:
+                    f.write("\n".join(r["texts"]) + "\n")
+
+        ordered.foreachPartition(_write_txt_partition)
+
+    # driver-side output is metrics-scale only: one count row per image
+    for r in (ordered.select("media_ref", F.size("texts").alias("n"))
+              .orderBy("media_ref").collect()):
+        print(f"== {r['media_ref']}: {r['n']} lines")
     spark.stop()
 
 

@@ -409,7 +409,11 @@ def hll_distinct(df: DataFrame, col: str) -> DataFrame:
     The sketch itself is one groupBy(bucket).max(rank) — mergeable,
     64 rows total whatever the input size; the published small-range
     (linear counting) correction applies below 2.5m.
-    Output: m, n_present, n_exact, hll_est (4dp)."""
+    Output: m, n_present, hll_est (4dp).  The exact distinct count is
+    deliberately NOT computed here — at 100 TB that full-shuffle
+    distinct scan is exactly what the sketch exists to avoid; tests
+    and the DuckDB oracle verify the estimate against ground truth at
+    fixture scale instead (VERDICT r3 task 6)."""
     h8 = F.expr(f"substring(md5(cast({col} as string)), 1, 8)")
     bucket_expr = " + ".join(
         f"(instr('0123456789abcdef', substring(md5(cast({col} as "
@@ -424,7 +428,6 @@ def hll_distinct(df: DataFrame, col: str) -> DataFrame:
     agg = buckets.agg(
         F.count("*").alias("n_present"),
         F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"))
-    n_exact = df.select(col).distinct().count()
     spark = df.sparkSession
     row = agg.collect()[0]
     import math
@@ -439,8 +442,8 @@ def hll_distinct(df: DataFrame, col: str) -> DataFrame:
         est = m * math.log(m / float(m - n_present))
     est_q = math.floor(est * 10000 + 0.5) / 10000
     return spark.createDataFrame(
-        [(m, n_present, n_exact, est_q)],
-        "m long, n_present long, n_exact long, hll_est double")
+        [(m, n_present, est_q)],
+        "m long, n_present long, hll_est double")
 
 
 def hll_distinct_oracle_sql(table: str, col: str) -> str:
@@ -470,7 +473,6 @@ def hll_distinct_oracle_sql(table: str, col: str) -> str:
         )
         SELECT CAST({HLL_BUCKETS} AS BIGINT) AS m,
                CAST(n_present AS BIGINT) AS n_present,
-               (SELECT count(DISTINCT {col}) FROM {table}) AS n_exact,
                floor((CASE WHEN raw <= 2.5 * {HLL_BUCKETS}
                             AND n_present < {HLL_BUCKETS}
                       THEN {HLL_BUCKETS} * ln({HLL_BUCKETS}

@@ -49,6 +49,12 @@ def get_spark(app: str = "ocr_pytorch_spark", cpus: str | None = None,
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
     )
+    # same GEMM kernel in every python worker as in the driver (package
+    # __init__ detected it from cpu flags) — keeps oracle==UDF bitwise
+    coretype = os.environ.get("OPENBLAS_CORETYPE")
+    if coretype:
+        builder = builder.config(
+            "spark.executorEnv.OPENBLAS_CORETYPE", coretype)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -27,6 +27,8 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+import ocr_pytorch_spark  # noqa: E402,F401  (sets OPENBLAS_CORETYPE pre-numpy)
+
 FIXTURE_DIR = os.environ.get("SPARK_GRAFT_SCALE_FIXTURE",
                              "/tmp/ocr_scaling_fixture")
 N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "400"))

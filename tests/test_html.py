@@ -73,3 +73,32 @@ def test_query_ordering_keeps_oracle_bearing_first():
     assert all(k in o for k in head), \
         [k for k in head if k not in o]
     assert set(o) <= set(q)
+
+
+def test_rotation_schedule_invariants():
+    """The deterministic driver-verification rotation
+    (__spark_entry__._rotate): pinned flagships lead every round, the
+    two rotation groups exactly partition the oracle-bearing keys,
+    and the round-leading group fits the 50-key window entirely —
+    every oracle key is in-window at least every 2 rounds."""
+    import __spark_entry__ as E
+
+    q, o = E.queries(), set(E.oracle_sql())
+    keys = list(q)
+    assert keys[:2] == E._PINNED
+    listed = set(E._PINNED) | set(E._ROT_ODD) | set(E._ROT_EVEN)
+    # strict partition: every oracle key is pinned, in exactly one
+    # group, or explicitly declared as debuting this round
+    assert listed | set(E._ROT_DEBUT) == o, \
+        (sorted(o - listed - set(E._ROT_DEBUT)), sorted(listed - o))
+    assert not (listed & set(E._ROT_DEBUT))
+    assert not (set(E._ROT_ODD) & set(E._ROT_EVEN))
+    assert not (set(E._PINNED) & (set(E._ROT_ODD) | set(E._ROT_EVEN)))
+    # the leading group (+ pinned + debut keys) fits the window
+    lead = E._ROT_EVEN if E._round_number() % 2 == 0 else E._ROT_ODD
+    new = [k for k in q if k in o and k not in listed]
+    assert len(E._PINNED) + len(new) + len(lead) <= 50
+    assert set(E._PINNED + new + lead) <= set(keys[:50])
+    # rows-only keys trail
+    n_oracle = len(o)
+    assert all(k not in o for k in keys[n_oracle:])
