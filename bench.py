@@ -33,7 +33,7 @@ OCR_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_OCR_IMAGES", "256"))
 # the tier until the top queries run long enough that host noise can't
 # masquerade as a plan regression).  Copies carry near-duplicate (not
 # identical) content so dedup/LSH neighbor structure grows ~linearly.
-SCALE = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "2"))
+SCALE = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "4"))
 
 HEADLINE = [
     "tpch_q1", "tpch_q6", "broadcast_dim_join", "tpch_q3_topk",
@@ -53,6 +53,64 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _scaled_dir(spark) -> str:
+    """Build (once, cached in /tmp) a fixture tier with documents and
+    embeddings scaled SCALE×: copy c shifts ids and appends a variant
+    token to text / adds deterministic noise to vectors, so copies are
+    NEAR-duplicates — dedup/LSH workloads grow ~linearly, not
+    quadratically.  Other tables are symlinked from SF_DIR unscaled."""
+    if SCALE <= 1:
+        return SF_DIR
+    from pyspark.sql import functions as F
+
+    tag = os.path.basename(SF_DIR.rstrip("/"))
+    out = f"/tmp/ocr_bench_{tag}_x{SCALE}"
+    marker = os.path.join(out, "_SCALE_OK")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        docs = spark.read.parquet(
+            os.path.join(SF_DIR, "documents.parquet"))
+        max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+        parts = [docs] + [
+            docs.withColumn("doc_id", F.col("doc_id") + c * max_doc)
+                .withColumn("text", F.concat(F.col("text"),
+                                             F.lit(f" v{c}")))
+            for c in range(1, SCALE)]
+        sd = parts[0]
+        for p in parts[1:]:
+            sd = sd.unionByName(p)
+        sd.write.mode("overwrite").parquet(
+            os.path.join(out, "documents.parquet"))
+        emb = spark.read.parquet(
+            os.path.join(SF_DIR, "embeddings.parquet"))
+        max_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+        eparts = [emb]
+        for c in range(1, SCALE):
+            # deterministic per-(vec,dim,copy) jitter ~U(-0.05, 0.05):
+            # keeps copies near the original (near-dup neighbors grow
+            # linearly) without any RNG state
+            jitter = (
+                "transform(embedding, (x, i) -> cast(x + "
+                f"(sin(vec_id * 12.9898 + i * 78.233 "
+                f"+ {c} * 37.719) * 43758.5453 % 1.0) * 0.05 "
+                "as float))")
+            eparts.append(
+                emb.withColumn("vec_id", F.col("vec_id") + c * max_vec)
+                   .withColumn("embedding", F.expr(jitter)))
+        se = eparts[0]
+        for p in eparts[1:]:
+            se = se.unionByName(p)
+        se.write.mode("overwrite").parquet(
+            os.path.join(out, "embeddings.parquet"))
+        for f in os.listdir(SF_DIR):
+            dst = os.path.join(out, f)
+            if f.endswith(".parquet") and not os.path.exists(dst):
+                os.symlink(os.path.join(SF_DIR, f), dst)
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return out
+
+
 def main() -> None:
     import __spark_entry__ as E
     from ocr_pytorch_spark.sources.session import get_spark
@@ -60,24 +118,33 @@ def main() -> None:
     spark = get_spark(app="ocr_pytorch_spark-bench", cpus=CPUS)
     qs = E.queries()
     timings: dict[str, float] = {}
+    spread: dict[str, dict] = {}
+    run_dir = _scaled_dir(spark)
 
     # warm the JVM, python workers, and per-worker weight caches once
     # (excluded from timings — steady-state numbers)
-    _force(qs["filter_threshold"](spark, SF_DIR))
+    _force(qs["filter_threshold"](spark, run_dir))
     _force(qs["ocr_extract"](spark, "/root/testdata/sf0.001"))
 
-    # min of 2 reps per query: this host carries intermittent external
-    # load (harness workers at 100-200% CPU) and +-25% thermal noise —
-    # a single pass can read 3x slow through no fault of the plan
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-    for name in HEADLINE:
-        best = None
-        for _ in range(reps):
+    # min of N reps per query, with the full {min,max,reps} spread
+    # reported: this host carries intermittent external load (harness
+    # workers at 100-200% CPU) and ±25% thermal noise — a single pass
+    # can read 3× slow through no fault of the plan, and the spread is
+    # what separates a real regression from one noisy rep
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+    def _timed(name, thunk, n=reps):
+        ts = []
+        for _ in range(n):
             t0 = time.time()
-            _force(qs[name](spark, SF_DIR))
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            thunk()
+            ts.append(time.time() - t0)
+        timings[name] = round(min(ts), 3)
+        spread[name] = {"min": round(min(ts), 3),
+                        "max": round(max(ts), 3), "reps": n}
+
+    for name in HEADLINE:
+        _timed(name, lambda: _force(qs[name](spark, run_dir)))
 
     # flagship OCR extraction: docs/sec over a bench-scale interleaved set
     from ocr_pytorch_spark import datagen
@@ -113,14 +180,10 @@ def main() -> None:
         "data binary")
     W.load_bundled()  # ensure weights/*.npz exist
     n_docs = inter.count()
-    ocr_sec = None
-    for _ in range(reps):
-        t0 = time.time()
-        _force(extract(inter, imgs, file_weights_spec(),
-                       PipelineConfig.fixture()))
-        dt = time.time() - t0
-        ocr_sec = dt if ocr_sec is None else min(ocr_sec, dt)
-    timings["ocr_extract"] = round(ocr_sec, 3)
+    _timed("ocr_extract",
+           lambda: _force(extract(inter, imgs, file_weights_spec(),
+                                  PipelineConfig.fixture())))
+    ocr_sec = timings["ocr_extract"]
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -128,7 +191,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "scale": SCALE,
         "cpus": CPUS,
         "ocr_docs_per_sec": round(n_docs / ocr_sec, 2),
         "ocr_docs": n_docs,
