@@ -62,10 +62,18 @@ def run_extract_job(spark: SparkSession, documents: DataFrame,
                     images: DataFrame, dst: str,
                     cfg: PipelineConfig | None = None,
                     buckets: int = 32, resume: bool = True,
-                    weights_spec: dict | None = None) -> dict:
+                    weights_spec: dict | None = None,
+                    data_table: str | None = None) -> dict:
     """Run the extraction into <dst> with bucketed lineage; returns a
     summary dict.  Safe to re-run after any failure: committed buckets
-    are skipped, uncommitted ones are atomically overwritten."""
+    are skipped, uncommitted ones are atomically overwritten.
+
+    ``data_table``: optional catalog identifier (e.g.
+    ``local.db.spans``) — with an Iceberg runtime on the classpath the
+    span data then lands in a native Iceberg table via the pluggable
+    writer (sources/tables.write_partitioned) instead of
+    ``<dst>/data`` Parquet; lineage/metrics stay at ``<dst>``
+    (tests/test_iceberg_native.py)."""
     cfg = cfg or PipelineConfig.fixture()
     t0 = time.time()
     done = committed_buckets(spark, dst) if resume else set()
@@ -84,14 +92,15 @@ def run_extract_job(spark: SparkSession, documents: DataFrame,
                   weights_spec or file_weights_spec(), cfg)
     out_b = out.withColumn(
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).cast("int"))
-    data_dir = os.path.join(dst, "data")
-    # partitionOverwriteMode is pinned on the WRITER: under a
-    # harness-owned session left at Spark's default ("static"), a resume
-    # would otherwise truncate data/ wholesale and delete committed
-    # buckets that _lineage still marks ok.
-    (out_b.write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("bucket").parquet(data_dir))
+    data_dir = data_table or os.path.join(dst, "data")
+    # the pluggable writer pins dynamic partition overwrite (Parquet)
+    # or uses overwritePartitions (Iceberg): under a harness-owned
+    # session left at Spark's default ("static"), a resume would
+    # otherwise truncate data/ wholesale and delete committed buckets
+    # that _lineage still marks ok.
+    from ocr_pytorch_spark.sources.tables import (read_partitioned,
+                                                  write_partitioned)
+    write_partitioned(out_b, data_dir, ["bucket"])
 
     # commit: lineage + metrics appended only after the data write
     wall_ms = int((time.time() - t0) * 1000)
@@ -101,7 +110,7 @@ def run_extract_job(spark: SparkSession, documents: DataFrame,
                     prev.groupBy("bucket")
                     .agg(F.max("attempt").alias("max_a")).collect()}
     stats = (
-        spark.read.parquet(data_dir)
+        read_partitioned(spark, data_dir)
         .where(~F.col("bucket").isin(*done) if done else F.lit(True))
         .groupBy("bucket")
         .agg(F.min("doc_id").alias("doc_id_min"),

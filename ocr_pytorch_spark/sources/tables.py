@@ -37,17 +37,30 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def is_table_ident(dst: str) -> bool:
+    """catalog.namespace.table identifier vs a filesystem path."""
+    return dst.count(".") >= 2 and not os.path.isabs(dst) \
+        and "/" not in dst
+
+
 def write_partitioned(df: DataFrame, dst: str, partition_cols: list[str],
                       mode: str = "overwrite") -> None:
-    """Write with per-partition-atomic overwrite: Iceberg
-    ``overwritePartitions`` when a catalog is configured, else Parquet
-    dynamic partition overwrite (both make per-bucket re-writes
-    idempotent for resume)."""
+    """Write with per-partition-atomic overwrite: when ``dst`` is a
+    catalog identifier and the Iceberg runtime is on the classpath,
+    a native Iceberg table (created partitioned on first write, then
+    ``overwritePartitions`` / ``append``); else Parquet dynamic
+    partition overwrite.  Both make per-bucket re-writes idempotent
+    for resume (SURVEY.md §7.2; tests/test_iceberg_native.py)."""
     spark = df.sparkSession
-    if dst.count(".") >= 2 and not os.path.isabs(dst) \
-            and iceberg_available(spark):
-        writer = df.writeTo(dst)
-        if mode == "overwrite":
+    if is_table_ident(dst) and iceberg_available(spark):
+        from pyspark.sql.functions import col
+        writer = df.writeTo(dst).using("iceberg")
+        if not spark.catalog.tableExists(dst):
+            if partition_cols:
+                writer = writer.partitionedBy(
+                    *[col(c) for c in partition_cols])
+            writer.create()
+        elif mode == "overwrite":
             writer.overwritePartitions()
         else:
             writer.append()
@@ -56,3 +69,10 @@ def write_partitioned(df: DataFrame, dst: str, partition_cols: list[str],
     (df.write.mode(mode)
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy(*partition_cols).parquet(dst))
+
+
+def read_partitioned(spark: SparkSession, dst: str) -> DataFrame:
+    """Read back what ``write_partitioned`` wrote (table or path)."""
+    if is_table_ident(dst) and iceberg_available(spark):
+        return spark.read.table(dst)
+    return spark.read.parquet(dst)
