@@ -264,6 +264,18 @@ def bigru_bwd(gout, cache):
     return gx_f + gx_b, grads
 
 
+# --- relu ---------------------------------------------------------------
+
+def relu_fwd(x):
+    out = np.maximum(x, 0.0)
+    return out, (out,)
+
+
+def relu_bwd(gout, cache):
+    (out,) = cache
+    return gout * (out > 0)
+
+
 # --- LSTM (torch gate rows [i, f, g, o]) --------------------------------
 
 def lstm_direction_fwd(x, w_ih, w_hh, b_ih, b_hh, reverse: bool):
@@ -317,3 +329,40 @@ def lstm_direction_bwd(gout, cache):
     gw_ih = ga_all.reshape(T * B, 4 * H).T @ x.reshape(T * B, -1)
     gb = ga_all.sum(axis=(0, 1))  # b_ih and b_hh enter identically
     return gx, gw_ih, gw_hh, gb, gb.copy()
+
+
+def bilstm_fwd(x, weights: dict, prefix: str):
+    """Tape-keeping twin of nn.bilstm (CRNN rnn, seq-first)."""
+    f_out, f_cache = lstm_direction_fwd(
+        x, weights[f"{prefix}.weight_ih_l0"],
+        weights[f"{prefix}.weight_hh_l0"],
+        weights[f"{prefix}.bias_ih_l0"],
+        weights[f"{prefix}.bias_hh_l0"], reverse=False)
+    b_out, b_cache = lstm_direction_fwd(
+        x, weights[f"{prefix}.weight_ih_l0_reverse"],
+        weights[f"{prefix}.weight_hh_l0_reverse"],
+        weights[f"{prefix}.bias_ih_l0_reverse"],
+        weights[f"{prefix}.bias_hh_l0_reverse"], reverse=True)
+    H = f_out.shape[2]
+    return (np.concatenate([f_out, b_out], axis=2),
+            (f_cache, b_cache, H, prefix))
+
+
+def bilstm_bwd(gout, cache):
+    """-> (gx, {param_name: grad})."""
+    f_cache, b_cache, H, prefix = cache
+    gx_f, gwi_f, gwh_f, gbi_f, gbh_f = lstm_direction_bwd(
+        gout[:, :, :H], f_cache)
+    gx_b, gwi_b, gwh_b, gbi_b, gbh_b = lstm_direction_bwd(
+        gout[:, :, H:], b_cache)
+    grads = {
+        f"{prefix}.weight_ih_l0": gwi_f,
+        f"{prefix}.weight_hh_l0": gwh_f,
+        f"{prefix}.bias_ih_l0": gbi_f,
+        f"{prefix}.bias_hh_l0": gbh_f,
+        f"{prefix}.weight_ih_l0_reverse": gwi_b,
+        f"{prefix}.weight_hh_l0_reverse": gwh_b,
+        f"{prefix}.bias_ih_l0_reverse": gbi_b,
+        f"{prefix}.bias_hh_l0_reverse": gbh_b,
+    }
+    return gx_f + gx_b, grads

@@ -108,6 +108,69 @@ def rpn_cls_loss_grad(pred: np.ndarray, target: np.ndarray,
     return float(loss), gp / total_num
 
 
+def ctc_loss_grad(log_probs: np.ndarray, target: np.ndarray,
+                  blank: int = 0):
+    """losses.ctc_loss + d(loss)/d(log_probs) via the forward-backward
+    (alpha-beta) recursions in log space — the gradient torch CTCLoss
+    computes (train_code/train_crnn/train_pytorch_ctc.py:71).
+
+    Returns (loss, grad) with grad.shape == log_probs.shape; impossible
+    alignments return (0.0, zeros) (zero_infinity semantics, matching
+    losses.ctc_loss)."""
+    T, K = log_probs.shape
+    ext = np.full(2 * len(target) + 1, blank, dtype=np.int64)
+    ext[1::2] = target
+    S = ext.size
+    zg = np.zeros_like(log_probs, dtype=np.float64)
+    if S > 2 * T + 1:
+        return 0.0, zg
+    neg_inf = -np.inf
+    lp = log_probs.astype(np.float64)
+    em = lp[:, ext]                       # (T, S) emissions
+    # skip-transition allowed into s (from s-2)?
+    skip = np.zeros(S, dtype=bool)
+    skip[2:] = (ext[2:] != blank) & (ext[2:] != ext[:-2])
+
+    alpha = np.full((T, S), neg_inf)
+    alpha[0, 0] = em[0, 0]
+    if S > 1:
+        alpha[0, 1] = em[0, 1]
+    for t in range(1, T):
+        prev = alpha[t - 1]
+        cand = prev.copy()
+        cand[1:] = np.logaddexp(cand[1:], prev[:-1])
+        cand[skip] = np.logaddexp(cand[skip],
+                                  prev[np.flatnonzero(skip) - 2])
+        alpha[t] = cand + em[t]
+    tail = ([alpha[T - 1, S - 1]]
+            + ([alpha[T - 1, S - 2]] if S > 1 else []))
+    m = max(tail)
+    if m == neg_inf:
+        return 0.0, zg
+    ll = m + np.log(sum(np.exp(c - m) for c in tail))
+
+    beta = np.full((T, S), neg_inf)
+    beta[T - 1, S - 1] = em[T - 1, S - 1]
+    if S > 1:
+        beta[T - 1, S - 2] = em[T - 1, S - 2]
+    skip_from = np.zeros(S, dtype=bool)   # s -> s+2 allowed?
+    skip_from[:S - 2] = skip[2:]
+    for t in range(T - 2, -1, -1):
+        nxt = beta[t + 1]
+        cand = nxt.copy()
+        cand[:-1] = np.logaddexp(cand[:-1], nxt[1:])
+        cand[skip_from] = np.logaddexp(
+            cand[skip_from], nxt[np.flatnonzero(skip_from) + 2])
+        beta[t] = cand + em[t]
+
+    # posterior over ext positions (alpha+beta double-count emission)
+    gamma = alpha + beta - em - ll        # (T, S) in log space
+    post = np.exp(gamma)                  # sums to 1 over s at each t
+    for s in range(S):
+        zg[:, ext[s]] -= post[:, s]
+    return float(-ll), zg
+
+
 def ctpn_loss_and_grads(x: np.ndarray, w: dict, gt_cls: np.ndarray,
                         gt_regr: np.ndarray,
                         total_num: int = RPN_TOTAL_NUM):
@@ -125,7 +188,7 @@ def ctpn_loss_and_grads(x: np.ndarray, w: dict, gt_cls: np.ndarray,
     grads: dict[str, np.ndarray] = {}
 
     kind, meta, (c_cls, c_regr) = tape[-1]
-    assert kind == "heads"
+    assert kind == "heads"  # noqa: S101 — internal tape invariant
     _, h, wd = meta
     g_cls4 = np.ascontiguousarray(
         g_cls.reshape(b, h, wd, 10 * 2).transpose(0, 3, 1, 2))
@@ -157,3 +220,109 @@ def ctpn_loss_and_grads(x: np.ndarray, w: dict, gt_cls: np.ndarray,
             g = np.ascontiguousarray(
                 g1.reshape(bb, h, wd, ch).transpose(0, 3, 1, 2))
     return loss_cls, loss_regr, grads
+
+
+# --- CRNN: training forward + backprop ----------------------------------
+
+def crnn_forward_tape(x: np.ndarray, w: dict):
+    """models/crnn.crnn_forward with gradient tapes and TRAINING-mode
+    BN (batch statistics, as the reference's ``model.train()`` path —
+    train_code/train_crnn/train_pytorch_ctc.py:131).  Returns
+    (logits (T,B,nclass), tape)."""
+    tape = []
+
+    def conv(x, name, stride=1, pad=1, relu=False):
+        out, c = G.conv2d_fwd(x, w[f"{name}.weight"],
+                              w[f"{name}.bias"], stride, pad, relu)
+        tape.append(("conv", name, c))
+        return out
+
+    def pool(x, k, s, p=0):
+        out, c = G.maxpool2d_fwd(x, k, s, p)
+        tape.append(("pool", None, c))
+        return out
+
+    def bn_relu(x, name):
+        out, c = G.batchnorm2d_train_fwd(
+            x, w[f"{name}.weight"], w[f"{name}.bias"])
+        tape.append(("bn", name, c))
+        out, cr = G.relu_fwd(out)
+        tape.append(("relu", None, cr))
+        return out
+
+    x = pool(conv(x, "conv1", relu=True), 2, 2)
+    x = pool(conv(x, "conv2", relu=True), 2, 2)
+    x = bn_relu(conv(x, "conv3_1"), "bn3")
+    x = pool(conv(x, "conv3_2", relu=True), (2, 2), (2, 1), (0, 1))
+    x = bn_relu(conv(x, "conv4_1"), "bn4")
+    x = pool(conv(x, "conv4_2", relu=True), (2, 2), (2, 1), (0, 1))
+    x = bn_relu(conv(x, "conv5", pad=0), "bn5")
+    b, c, h, wd = x.shape
+    assert h == 1, f"conv height must be 1, got {h}"
+    seq = np.ascontiguousarray(x[:, :, 0, :].transpose(2, 0, 1))
+    tape.append(("toseq", (b, c, wd), None))
+
+    r, cl = G.bilstm_fwd(seq, w, "rnn.0.rnn")
+    tape.append(("bilstm", "rnn.0.rnn", cl))
+    t, bb, hh = r.shape
+    r, cl = G.linear_fwd(r.reshape(t * bb, hh),
+                         w["rnn.0.embedding.weight"],
+                         w["rnn.0.embedding.bias"])
+    tape.append(("linear", ("rnn.0.embedding", t, bb), cl))
+    r = r.reshape(t, bb, -1)
+    r, cl = G.bilstm_fwd(r, w, "rnn.1.rnn")
+    tape.append(("bilstm", "rnn.1.rnn", cl))
+    t, bb, hh = r.shape
+    out, cl = G.linear_fwd(r.reshape(t * bb, hh),
+                           w["rnn.1.embedding.weight"],
+                           w["rnn.1.embedding.bias"])
+    tape.append(("linear", ("rnn.1.embedding", t, bb), cl))
+    return out.reshape(t, bb, -1), tape
+
+
+def crnn_loss_and_grads(x: np.ndarray, w: dict, target: np.ndarray):
+    """One CRNN training step's math: forward (training-mode BN),
+    CTC loss of log_softmax(logits) for the B=1 sequence, and
+    d(loss)/d(every weight).  Returns (loss, grads)."""
+    logits, tape = crnn_forward_tape(x, w)
+    T, B, K = logits.shape
+    assert B == 1
+    y = logits[:, 0, :].astype(np.float64)
+    m = y.max(axis=1, keepdims=True)
+    lse = m + np.log(np.exp(y - m).sum(axis=1, keepdims=True))
+    lsm = y - lse
+    loss, dlsm = ctc_loss_grad(lsm, target)
+    # log_softmax backward: dy = dlsm - softmax * sum_k dlsm_k
+    sm = np.exp(lsm)
+    dy = dlsm - sm * dlsm.sum(axis=1, keepdims=True)
+    g = dy[:, None, :]
+
+    grads: dict[str, np.ndarray] = {}
+    for kind, meta, cache in reversed(tape):
+        if kind == "linear":
+            name, t, bb = meta
+            g, gw, gb = G.linear_bwd(
+                g.reshape(t * bb, g.shape[-1]), cache)
+            grads[f"{name}.weight"] = gw
+            grads[f"{name}.bias"] = gb
+            g = g.reshape(t, bb, -1)
+        elif kind == "bilstm":
+            g, glstm = G.bilstm_bwd(g, cache)
+            grads.update(glstm)
+        elif kind == "toseq":
+            b, c, wd = meta
+            g = np.ascontiguousarray(
+                g.transpose(1, 2, 0))[:, :, None, :]
+        elif kind == "relu":
+            g = G.relu_bwd(g, cache)
+        elif kind == "bn":
+            g, gg, gb = G.batchnorm2d_train_bwd(g, cache)
+            grads[f"{meta}.weight"] = gg
+            grads[f"{meta}.bias"] = gb
+        elif kind == "pool":
+            g = G.maxpool2d_bwd(g, cache)
+        elif kind == "conv":
+            g, gw, gb = G.conv2d_bwd(g, cache)
+            grads[f"{meta}.weight"] = gw
+            grads[f"{meta}.bias"] = gb
+    return loss, grads

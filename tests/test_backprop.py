@@ -177,3 +177,129 @@ def test_finetune_three_sgd_steps_decreases_loss():
     totals = [t for (_c, _r, t) in out["epoch_losses"]]
     assert len(totals) == 3
     assert totals[1] < totals[0] and totals[2] < totals[1], totals
+
+
+# --- CRNN: CTC gradient + full-network backprop -------------------------
+
+def test_ctc_loss_grad_matches_fd():
+    T, K = 8, 5
+    logits = RNG.standard_normal((T, K))
+    lp = logits - np.log(np.exp(logits).sum(axis=1, keepdims=True))
+    target = np.array([1, 2, 2, 3])
+    loss, g = BP.ctc_loss_grad(lp, target)
+    assert loss == pytest.approx(L.ctc_loss(lp, target))
+    eps = 1e-6
+    flat = lp.reshape(-1)
+    for i in range(flat.size):
+        old = flat[i]
+        flat[i] = old + eps
+        fp = L.ctc_loss(lp, target)
+        flat[i] = old - eps
+        fm = L.ctc_loss(lp, target)
+        flat[i] = old
+        assert g.reshape(-1)[i] == pytest.approx(
+            (fp - fm) / (2 * eps), abs=1e-5)
+
+
+def test_ctc_loss_grad_impossible_alignment():
+    lp = RNG.standard_normal((2, 5))
+    loss, g = BP.ctc_loss_grad(lp, np.array([1, 2, 3]))  # S=7 > 2T+1
+    assert loss == 0.0 and not g.any()
+
+
+def _small_crnn_weights(dtype=np.float64, scale=0.1, nclass=12,
+                        rng=None):
+    RNG = rng if rng is not None else np.random.default_rng(11)
+    w = {}
+    convs = [("conv1", 1, 64, 3), ("conv2", 64, 128, 3),
+             ("conv3_1", 128, 256, 3), ("conv3_2", 256, 256, 3),
+             ("conv4_1", 256, 512, 3), ("conv4_2", 512, 512, 3),
+             ("conv5", 512, 512, 2)]
+    for name, cin, cout, k in convs:
+        w[f"{name}.weight"] = \
+            RNG.standard_normal((cout, cin, k, k)).astype(dtype) * scale
+        w[f"{name}.bias"] = \
+            RNG.standard_normal(cout).astype(dtype) * scale
+    for bn, ch in [("bn3", 256), ("bn4", 512), ("bn5", 512)]:
+        w[f"{bn}.weight"] = \
+            1.0 + RNG.standard_normal(ch).astype(dtype) * 0.02
+        w[f"{bn}.bias"] = RNG.standard_normal(ch).astype(dtype) * 0.02
+    for prefix, I in (("rnn.0.rnn", 512), ("rnn.1.rnn", 256)):
+        for suf in ("", "_reverse"):
+            w[f"{prefix}.weight_ih_l0{suf}"] = \
+                RNG.standard_normal((512, I)).astype(dtype) * scale
+            w[f"{prefix}.weight_hh_l0{suf}"] = \
+                RNG.standard_normal((512, 128)).astype(dtype) * scale
+            w[f"{prefix}.bias_ih_l0{suf}"] = \
+                RNG.standard_normal(512).astype(dtype) * scale
+            w[f"{prefix}.bias_hh_l0{suf}"] = \
+                RNG.standard_normal(512).astype(dtype) * scale
+    w["rnn.0.embedding.weight"] = \
+        RNG.standard_normal((256, 256)).astype(dtype) * scale
+    w["rnn.0.embedding.bias"] = \
+        RNG.standard_normal(256).astype(dtype) * scale
+    w["rnn.1.embedding.weight"] = \
+        RNG.standard_normal((nclass, 256)).astype(dtype) * scale
+    w["rnn.1.embedding.bias"] = \
+        RNG.standard_normal(nclass).astype(dtype) * scale
+    return w
+
+
+def _crnn_loss(x, w, target):
+    logits, _ = BP.crnn_forward_tape(x, w)
+    y = logits[:, 0, :].astype(np.float64)
+    lse = np.log(np.exp(y - y.max(axis=1, keepdims=True))
+                 .sum(axis=1, keepdims=True)) + y.max(axis=1,
+                                                      keepdims=True)
+    from ocr_pytorch_spark.models.losses import ctc_loss
+    return ctc_loss(y - lse, target)
+
+
+def test_crnn_backward_matches_fd_sampled():
+    # own RNG: module-global state would make the FD sampling depend
+    # on test order
+    rng = np.random.default_rng(11)
+    w = _small_crnn_weights(rng=rng)
+    x = rng.standard_normal((1, 1, 32, 24))  # T = 24/4 + 1 = 7
+    target = np.array([3, 1, 4])
+    loss, grads = BP.crnn_loss_and_grads(x, w, target)
+    assert loss == pytest.approx(_crnn_loss(x, w, target))
+    assert set(grads) == {k for k in w if "running" not in k}
+    eps = 1e-5
+    for name in ["conv1.weight", "conv5.weight", "bn3.weight",
+                 "bn5.bias", "rnn.0.rnn.weight_ih_l0",
+                 "rnn.1.rnn.weight_hh_l0_reverse",
+                 "rnn.0.embedding.weight", "rnn.1.embedding.bias"]:
+        flat = w[name].reshape(-1)
+        for i in rng.choice(flat.size, 3, replace=False):
+            old = flat[i]
+            flat[i] = old + eps
+            fp = _crnn_loss(x, w, target)
+            flat[i] = old - eps
+            fm = _crnn_loss(x, w, target)
+            flat[i] = old
+            fd = (fp - fm) / (2 * eps)
+            an = grads[name].reshape(-1)[i]
+            # abs + rel: FD truncation error grows with curvature
+            assert abs(an - fd) <= 3e-5 + 1e-3 * abs(fd), \
+                (name, i, an, fd)
+
+
+def test_crnn_finetune_adam_decreases_loss():
+    """The CRNN side of the reference training surface
+    (train_pytorch_ctc.py:113-139, Adam): 3 steps on one sequence,
+    strictly decreasing CTC loss."""
+    from ocr_pytorch_spark.models.training import Adam
+
+    rng = np.random.default_rng(13)
+    w = _small_crnn_weights(scale=0.05, rng=rng)
+    x = rng.standard_normal((1, 1, 32, 24))
+    target = np.array([5, 2, 7])
+    opt = Adam(lr=1e-3)
+    losses = []
+    for _ in range(4):
+        loss, grads = BP.crnn_loss_and_grads(x, w, target)
+        losses.append(loss)
+        opt.step(w, grads)
+    assert losses[1] < losses[0] and losses[2] < losses[1] \
+        and losses[3] < losses[2], losses
