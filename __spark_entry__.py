@@ -1093,6 +1093,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.unix_micros("imp_ts").alias("imp_us"),
             F.unix_micros("clk_ts").alias("clk_us"))
 
+    def doc_chunks(spark, sf):
+        """RAG / training-window chunking: overlapping fixed-size
+        token windows, map-side only (operators/text.chunk_documents);
+        chunks of 64 tokens with 16-token overlap."""
+        return T.chunk_documents(_t(spark, sf, "documents"))
+
+    def pack_sequences_q(spark, sf):
+        """Concatenate-then-cut sequence packing into 256-token
+        training sequences via the two-phase distributed prefix sum
+        (operators/text.pack_sequences)."""
+        return T.pack_sequences(_t(spark, sf, "documents"))
+
     def stream_dedup_hashes(spark, sf):
         """Streaming exact-dedup (watermarked dropDuplicates on the
         content hash, streaming/windows.stream_dedup).  WHICH duplicate
@@ -1236,6 +1248,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": stream_windowed_counts,
         "stream_interval_join": stream_interval_join_q,
         "stream_dedup_hashes": stream_dedup_hashes,
+        # LLM training-data prep (r4, new)
+        "doc_chunks": doc_chunks,
+        "pack_sequences": pack_sequences_q,
         # non-SQL-expressible (NumPy model forwards) -> rows-only checks
         "approx_distinct": approx_distinct,  # rows-only (HLL differs)
         "ocr_extract": _ocr_extract,
@@ -1305,7 +1320,7 @@ _ROT_EVEN = [
 # puts them right after the pinned keys; fold into a group next round
 _ROT_DEBUT = [
     "stream_windowed_counts", "stream_interval_join",
-    "stream_dedup_hashes",
+    "stream_dedup_hashes", "doc_chunks", "pack_sequences",
 ]
 
 
@@ -1555,6 +1570,8 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 6 hours""",
         "stream_dedup_hashes": """
             SELECT DISTINCT md5(text) AS content_hash FROM documents""",
+        "doc_chunks": _TXT.chunk_documents_oracle_sql(),
+        "pack_sequences": _TXT.pack_sequences_oracle_sql(),
         "project_bbox_decode": """
             SELECT l_orderkey, l_linenumber,
                    l_quantity * 0.5 + exp(l_discount) * 8.0 AS y_dec,

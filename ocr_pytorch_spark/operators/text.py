@@ -414,3 +414,155 @@ def corpus_mix_oracle_sql(rates: tuple = MIX_RATES) -> str:
         SELECT lang, rate, count(*) AS n_total,
                CAST(sum(keep) AS BIGINT) AS n_kept
         FROM h GROUP BY lang, rate"""
+
+
+# --- chunking & sequence packing (LLM training-data prep) ---------------
+
+def chunk_documents(documents: DataFrame, chunk_tokens: int = 64,
+                    overlap: int = 16) -> DataFrame:
+    """Overlapping fixed-size token windows per document (the RAG /
+    training-window splitter): stride = chunk_tokens - overlap; a doc
+    with n tokens yields ceil((n - overlap) / stride) chunks (min 1),
+    so consecutive chunks share ``overlap`` tokens.
+
+    Map-side only — the token array is built, sliced and exploded
+    inside one projection (no shuffle, no UDF); at 10^12 docs this is
+    a pure scan whose output is partitioned exactly like its input.
+    Output: doc_id, chunk_idx, chunk_text, n_tokens."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be < chunk_tokens")
+    ws = words(F.col("text"))
+    n = F.size(ws)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1)
+    ).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(ws, i * stride + 1, chunk_tokens))
+            .alias("chunk_text"),
+            F.least(n - i * stride, F.lit(chunk_tokens)).cast("long")
+            .alias("n_tokens")))
+    return (documents
+            .select("doc_id", F.explode(chunks).alias("c"))
+            .select("doc_id", "c.chunk_idx", "c.chunk_text",
+                    "c.n_tokens"))
+
+
+def chunk_documents_oracle_sql(chunk_tokens: int = 64,
+                               overlap: int = 16) -> str:
+    stride = chunk_tokens - overlap
+    return f"""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS ws,
+                 len(string_split(text, ' ')) AS n
+          FROM documents
+        ), c AS (
+          SELECT doc_id, ws, n,
+                 unnest(generate_series(0, CAST(greatest(
+                     ceil((n - {overlap}) / {stride}.0), 1) AS INT) - 1))
+                   AS chunk_idx
+          FROM d
+        )
+        SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+               array_to_string(
+                 ws[chunk_idx * {stride} + 1 :
+                    chunk_idx * {stride} + {chunk_tokens}], ' ')
+                 AS chunk_text,
+               CAST(least(n - chunk_idx * {stride}, {chunk_tokens})
+                    AS BIGINT) AS n_tokens
+        FROM c"""
+
+
+def pack_sequences(documents: DataFrame, budget: int = 256,
+                   range_partitions: int = 8) -> DataFrame:
+    """Concatenate-then-cut sequence packing (how LLM pretraining
+    actually batches: all docs concatenated in doc_id order, cut into
+    fixed ``budget``-token training sequences; docs straddle cuts).
+    Emits one row per (sequence, doc slice):
+    (seq_id, doc_id, doc_off, n_tokens).
+
+    Scale design — the global prefix sum is NOT a single-partition
+    window: the input is range-partitioned by doc_id, per-partition
+    token totals (one row per partition) are collected and turned into
+    broadcast partition offsets, and the running sum is then a
+    partition-LOCAL window.  Driver traffic is O(partitions), each
+    executor sorts only its own range — the classic two-phase scan
+    prefix-sum, good at any row count.  The result is independent of
+    the partition boundaries, so it stays deterministic under AQE or a
+    different ``range_partitions``."""
+    from pyspark.sql import Window
+
+    toks = (documents
+            .select("doc_id",
+                    F.greatest(F.size(words(F.col("text"))), F.lit(1))
+                    .cast("long").alias("n_tok"))
+            .repartitionByRange(range_partitions, "doc_id")
+            .withColumn("pid", F.spark_partition_id()))
+    part_totals = sorted(
+        (r["pid"], r["tot"]) for r in
+        toks.groupBy("pid").agg(F.sum("n_tok").alias("tot")).collect())
+    offsets, acc = {}, 0
+    for pid, tot in part_totals:
+        offsets[pid] = acc
+        acc += tot
+    off_expr = F.coalesce(
+        F.element_at(
+            F.create_map(*[F.lit(v) for kv in offsets.items()
+                           for v in kv]),
+            F.col("pid")),
+        F.lit(0))
+    w = Window.partitionBy("pid").orderBy("doc_id")
+    with_pos = (toks
+                .withColumn("end_", F.sum("n_tok").over(w) + off_expr)
+                .withColumn("start_", F.col("end_") - F.col("n_tok")))
+    seq_ids = F.sequence(
+        F.floor(F.col("start_") / budget),
+        F.floor((F.col("end_") - 1) / budget))
+    out = (with_pos.select(
+        "doc_id", "n_tok", "start_", "end_",
+        F.explode(seq_ids).alias("seq_id")))
+    seq_lo = F.col("seq_id") * budget
+    seq_hi = seq_lo + budget
+    return out.select(
+        F.col("seq_id").cast("long"),
+        "doc_id",
+        (F.greatest(seq_lo, F.col("start_")) - F.col("start_"))
+        .cast("long").alias("doc_off"),
+        (F.least(seq_hi, F.col("end_"))
+         - F.greatest(seq_lo, F.col("start_")))
+        .cast("long").alias("n_tokens"))
+
+
+def pack_sequences_oracle_sql(budget: int = 256) -> str:
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 greatest(len(string_split(text, ' ')), 1) AS n_tok
+          FROM documents
+        ), p AS (
+          SELECT doc_id, n_tok,
+                 sum(n_tok) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS end_,
+                 sum(n_tok) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING)
+                   - n_tok AS start_
+          FROM t
+        ), s AS (
+          SELECT doc_id, n_tok, start_, end_,
+                 unnest(generate_series(
+                     CAST(floor(start_ / {budget}.0) AS BIGINT),
+                     CAST(floor((end_ - 1) / {budget}.0) AS BIGINT)))
+                   AS seq_id
+          FROM p
+        )
+        SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+               CAST(greatest(seq_id * {budget}, start_) - start_
+                    AS BIGINT) AS doc_off,
+               CAST(least((seq_id + 1) * {budget}, end_)
+                    - greatest(seq_id * {budget}, start_)
+                    AS BIGINT) AS n_tokens
+        FROM s"""
