@@ -1105,6 +1105,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (operators/text.pack_sequences)."""
         return T.pack_sequences(_t(spark, sf, "documents"))
 
+    def lm_perplexity_q(spark, sf):
+        """CCNet-style bigram-LM quality signal: mean NLL per doc
+        under an add-k smoothed count LM trained on the corpus
+        (operators/text.lm_perplexity)."""
+        return T.lm_perplexity(_t(spark, sf, "documents"))
+
     def stream_dedup_hashes(spark, sf):
         """Streaming exact-dedup (watermarked dropDuplicates on the
         content hash, streaming/windows.stream_dedup).  WHICH duplicate
@@ -1251,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM training-data prep (r4, new)
         "doc_chunks": doc_chunks,
         "pack_sequences": pack_sequences_q,
+        "lm_perplexity": lm_perplexity_q,
         # non-SQL-expressible (NumPy model forwards) -> rows-only checks
         "approx_distinct": approx_distinct,  # rows-only (HLL differs)
         "ocr_extract": _ocr_extract,
@@ -1321,6 +1328,7 @@ _ROT_EVEN = [
 _ROT_DEBUT = [
     "stream_windowed_counts", "stream_interval_join",
     "stream_dedup_hashes", "doc_chunks", "pack_sequences",
+    "lm_perplexity",
 ]
 
 
@@ -1572,6 +1580,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT md5(text) AS content_hash FROM documents""",
         "doc_chunks": _TXT.chunk_documents_oracle_sql(),
         "pack_sequences": _TXT.pack_sequences_oracle_sql(),
+        "lm_perplexity": _TXT.lm_perplexity_oracle_sql(),
         "project_bbox_decode": """
             SELECT l_orderkey, l_linenumber,
                    l_quantity * 0.5 + exp(l_discount) * 8.0 AS y_dec,

@@ -27,8 +27,8 @@ import ocr_pytorch_spark  # noqa: E402,F401  (sets OPENBLAS_CORETYPE pre-numpy)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-OCR_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_OCR_DOCS", "512"))
-OCR_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_OCR_IMAGES", "256"))
+OCR_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_OCR_DOCS", "1024"))
+OCR_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_OCR_IMAGES", "512"))
 # fixture multiplier for documents/embeddings (VERDICT r3 task 5: grow
 # the tier until the top queries run long enough that host noise can't
 # masquerade as a plan regression).  Copies carry near-duplicate (not
@@ -55,10 +55,14 @@ def _force(df) -> None:
 
 def _scaled_dir(spark) -> str:
     """Build (once, cached in /tmp) a fixture tier with documents and
-    embeddings scaled SCALE×: copy c shifts ids and appends a variant
-    token to text / adds deterministic noise to vectors, so copies are
-    NEAR-duplicates — dedup/LSH workloads grow ~linearly, not
-    quadratically.  Other tables are symlinked from SF_DIR unscaled."""
+    embeddings scaled SCALE×.  Document copies get a per-copy suffix on
+    EVERY word, so their shingles are disjoint from the originals' —
+    cross-copy LSH buckets don't fill up and the dedup/Jaccard
+    workloads scale linearly in SCALE (a bare doc-level variant token
+    left copies near-identical and made candidate-pair volume
+    superlinear: measured 12× on dedup_ngram_jaccard at 4×).
+    Embedding copies get small deterministic jitter (near-dup clusters
+    of size SCALE — bounded).  Other tables are symlinked unscaled."""
     if SCALE <= 1:
         return SF_DIR
     from pyspark.sql import functions as F
@@ -73,8 +77,9 @@ def _scaled_dir(spark) -> str:
         max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
         parts = [docs] + [
             docs.withColumn("doc_id", F.col("doc_id") + c * max_doc)
-                .withColumn("text", F.concat(F.col("text"),
-                                             F.lit(f" v{c}")))
+                .withColumn("text", F.expr(
+                    f"array_join(transform(split(text, ' '), "
+                    f"w -> concat(w, 'v{c}')), ' ')"))
             for c in range(1, SCALE)]
         sd = parts[0]
         for p in parts[1:]:

@@ -9,7 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ocr_pytorch_spark.functions import quant4, word_rows, words
+from ocr_pytorch_spark.functions import (fan_out, quant4,
+                                         quant4_sql, word_rows, words)
 
 # tiny deterministic stopword list used by the lang-ID and quality ops
 STOPWORDS = ("the", "a", "of", "and", "to")
@@ -566,3 +567,78 @@ def pack_sequences_oracle_sql(budget: int = 256) -> str:
                     - greatest(seq_id * {budget}, start_)
                     AS BIGINT) AS n_tokens
         FROM s"""
+
+
+# --- count-based bigram LM perplexity (CCNet-style quality filter) ------
+
+def lm_perplexity(documents: DataFrame, smooth_k: float = 0.5
+                  ) -> DataFrame:
+    """Per-document mean negative log-likelihood under an add-k
+    smoothed bigram LM trained on the corpus itself — the CCNet-style
+    "LM perplexity" quality signal, here with exact counts so the
+    score is oracle-checkable.
+
+    p(w2 | w1) = (c(w1 w2) + k) / (c(w1) + k·V),  V = |vocab|.
+
+    Plan shape at scale: bigram and unigram counts are each one
+    partial-aggregated groupBy; the per-doc scoring joins the doc's
+    bigram stream to those count tables on their natural keys (both
+    sides pre-aggregated — the count tables are ~vocab-sized, far
+    smaller than the corpus, and broadcastable when the vocab fits;
+    Spark's AQE picks broadcast automatically below the threshold).
+    V is a scalar aggregate collected once.
+    Output: doc_id, n_bigrams, nll_q4 (quant4 of the mean NLL)."""
+    ws = words(F.col("text"))
+    pairs = F.transform(
+        ws, lambda x, i: F.struct(
+            x.alias("w1"),
+            # try_: the last element has no successor; sliced away below
+            F.try_element_at(ws, i + 2).alias("w2")))
+    pairs = F.slice(pairs, 1, F.greatest(F.size(ws) - 1, F.lit(0)))
+    doc_bi = (fan_out(documents)
+              .select("doc_id", F.explode(pairs).alias("p"))
+              .select("doc_id", "p.w1", "p.w2"))
+
+    uni = (documents
+           .select(F.explode(words(F.col("text"))).alias("w1"))
+           .groupBy("w1").agg(F.count("*").alias("c1")))
+    bi = (doc_bi.groupBy("w1", "w2").agg(F.count("*").alias("c12")))
+    v = uni.count()  # scalar: vocab size (one tiny job)
+
+    k = float(smooth_k)
+    scored = (doc_bi
+              .join(bi, ["w1", "w2"])        # always matches (self-LM)
+              .join(uni, ["w1"])
+              .select("doc_id",
+                      (-F.log((F.col("c12") + k)
+                              / (F.col("c1") + k * v))).alias("nll")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 quant4(F.avg("nll")).alias("nll_q4")))
+
+
+def lm_perplexity_oracle_sql(smooth_k: float = 0.5) -> str:
+    k = float(smooth_k)
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents
+        ), doc_bi AS (
+          SELECT a.doc_id, a.word AS w1, b.word AS w2
+          FROM w a JOIN w b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ), uni AS (
+          SELECT word AS w1, count(*) AS c1 FROM w GROUP BY 1
+        ), bi AS (
+          SELECT w1, w2, count(*) AS c12 FROM doc_bi GROUP BY 1, 2
+        ), v AS (SELECT count(*) AS v FROM uni)
+        SELECT d.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               {quant4_sql(
+                   f"avg(-ln((bi.c12 + {k}) / (uni.c1 + {k} * v.v)))")}
+                 AS nll_q4
+        FROM doc_bi d
+        JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+        GROUP BY d.doc_id"""

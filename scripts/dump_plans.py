@@ -112,6 +112,22 @@ COMMENT = {
                              "the >1-count grams; span merging is "
                              "one sort-based window per doc "
                              "partition",
+    "doc_chunks": "build/slice/explode of the token windows all in "
+                  "ONE projection over the scan — zero exchanges; "
+                  "output partitioning == input partitioning",
+    "pack_sequences": "two-phase prefix sum: range exchange by "
+                      "doc_id, per-partition totals to the driver "
+                      "(O(partitions) rows), broadcast offsets, then "
+                      "a partition-LOCAL running-sum window (no "
+                      "single-partition global window anywhere)",
+    "lm_perplexity": "bigram + unigram counts are partial-aggregated "
+                     "groupBys (vocab-sized outputs); the scoring "
+                     "joins the doc bigram stream to those counts — "
+                     "AQE broadcasts them when the vocab fits",
+    "stream_windowed_counts": "same plan streaming would run: "
+                              "partial agg on (window, type) before "
+                              "the exchange; the watermark is a "
+                              "no-op in batch",
 }
 
 
@@ -135,7 +151,9 @@ def main() -> None:
                  "decontam_overlap", "pii_redact", "url_host_filter",
                  "dedup_lines", "inverted_index", "tfidf_topk",
                  "bpe_top_pairs", "dedup_substring_spans",
-                 "tpch_q5", "bloom_custkey", "ocr_extract"):
+                 "tpch_q5", "bloom_custkey", "doc_chunks",
+                 "pack_sequences", "lm_perplexity",
+                 "stream_windowed_counts", "ocr_extract"):
         df = qs[name](spark, SF)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
