@@ -21,9 +21,10 @@ from ocr_pytorch_spark.models.ctpn import _VGG_LAYERS, ctpn_forward
 RNG = np.random.default_rng(7)
 
 
-def _small_ctpn_weights(dtype=np.float64, scale=0.1):
+def _small_ctpn_weights(dtype=np.float64, scale=0.1, rng=None):
     """Real CTPN layer names/shapes (weights.gen_ctpn_weights'
     contract), random small values."""
+    RNG = rng if rng is not None else globals()["RNG"]
     w = {}
     for layer in _VGG_LAYERS:
         if layer[0] == "pool":
