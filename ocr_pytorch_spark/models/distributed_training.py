@@ -39,6 +39,35 @@ def _add_into(acc: dict, extra: dict) -> dict:
     return acc
 
 
+def _distributed_grads(sc, samples, params: dict, per_sample,
+                       n_losses: int, depth: int = 2):
+    """Mean gradient + mean losses over ``samples`` on the cluster.
+
+    ``per_sample(broadcast_params, sample) -> (losses_tuple, grads)``
+    runs executor-side; gradients and the ``n_losses`` loss terms are
+    summed with log-depth treeAggregate and averaged."""
+    rdd = samples if hasattr(samples, "treeAggregate") \
+        else sc.parallelize(samples, max(2, sc.defaultParallelism))
+    bw = sc.broadcast(params)
+    n = rdd.count()
+
+    def seq_op(acc, sample):
+        losses, g = per_sample(bw.value, sample)
+        tot, lsum = acc
+        return (_add_into(tot, g),
+                tuple(a + b for a, b in zip(lsum, losses)))
+
+    def comb_op(a, b):
+        return (_add_into(a[0], b[0]),
+                tuple(x + y for x, y in zip(a[1], b[1])))
+
+    tot, lsum = rdd.treeAggregate(
+        ({}, (0.0,) * n_losses), seq_op, comb_op, depth=depth)
+    bw.unpersist()
+    return (tuple(v / n for v in lsum),
+            {k: v / n for k, v in tot.items()})
+
+
 def distributed_ctpn_grads(sc, samples, params: dict,
                            total_num: int | None = None,
                            depth: int = 2):
@@ -49,27 +78,30 @@ def distributed_ctpn_grads(sc, samples, params: dict,
     with grads averaged over samples — the large-batch equivalent of
     the reference's per-sample loop.
     """
-    rdd = samples if hasattr(samples, "treeAggregate") \
-        else sc.parallelize(samples, max(2, sc.defaultParallelism))
-    bw = sc.broadcast(params)
-    n = rdd.count()
     kwargs = {} if total_num is None else {"total_num": total_num}
 
-    def seq_op(acc, sample):
+    def per_sample(w, sample):
         x, gt_cls, gt_regr = sample
-        lc, lr_, g = BP.ctpn_loss_and_grads(
-            x, bw.value, gt_cls, gt_regr, **kwargs)
-        tot, cls_sum, regr_sum = acc
-        return (_add_into(tot, g), cls_sum + lc, regr_sum + lr_)
+        lc, lr_, g = BP.ctpn_loss_and_grads(x, w, gt_cls, gt_regr,
+                                            **kwargs)
+        return (lc, lr_), g
 
-    def comb_op(a, b):
-        return (_add_into(a[0], b[0]), a[1] + b[1], a[2] + b[2])
+    (lc, lr_), grads = _distributed_grads(
+        sc, samples, params, per_sample, n_losses=2, depth=depth)
+    return lc, lr_, grads
 
-    tot, cls_sum, regr_sum = rdd.treeAggregate(
-        ({}, 0.0, 0.0), seq_op, comb_op, depth=depth)
-    bw.unpersist()
-    grads = {k: v / n for k, v in tot.items()}
-    return cls_sum / n, regr_sum / n, grads
+
+def distributed_crnn_grads(sc, samples, params: dict, depth: int = 2):
+    """Mean CRNN/CTC gradient over (x, target) samples — the
+    data-parallel form of train_pytorch_ctc.py's per-batch step."""
+    def per_sample(w, sample):
+        x, target = sample
+        loss, g = BP.crnn_loss_and_grads(x, w, target)
+        return (loss,), g
+
+    (loss,), grads = _distributed_grads(
+        sc, samples, params, per_sample, n_losses=1, depth=depth)
+    return loss, grads
 
 
 def train_ctpn_distributed(spark, samples, params: dict, optimizer,

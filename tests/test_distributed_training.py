@@ -62,3 +62,24 @@ def test_distributed_epoch_loop_decreases_loss(spark, samples):
     totals = [t for (_c, _r, t) in out["epoch_losses"]]
     assert len(totals) == 3
     assert totals[1] < totals[0] and totals[2] < totals[1], totals
+
+
+def test_distributed_crnn_grads_match_serial(spark):
+    from tests.test_backprop import _small_crnn_weights
+
+    rng = np.random.default_rng(37)
+    w = _small_crnn_weights(scale=0.05, rng=rng)
+    samples = [(rng.standard_normal((1, 1, 32, 24)),
+                rng.integers(1, 10, size=3)) for _ in range(4)]
+    loss_d, g_d = DT.distributed_crnn_grads(
+        spark.sparkContext, samples, w)
+    sums, loss_s = None, 0.0
+    for x, tgt in samples:
+        loss, g = BP.crnn_loss_and_grads(x, w, tgt)
+        loss_s += loss
+        sums = g if sums is None else {k: sums[k] + g[k] for k in g}
+    n = len(samples)
+    assert loss_d == pytest.approx(loss_s / n, rel=1e-12)
+    for k in sums:
+        np.testing.assert_allclose(g_d[k], sums[k] / n,
+                                   rtol=1e-9, atol=1e-12)
