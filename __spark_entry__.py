@@ -1322,14 +1322,17 @@ _ROT_EVEN = [
     "funnel_counts", "retention_cohorts", "percentiles_value",
     "distinct_agg", "rollup_agg", "set_ops", "pivot_counts",
     "histogram_value",
-]
-# oracle keys debuting THIS round — in neither group, so _rotate()
-# puts them right after the pinned keys; fold into a group next round
-_ROT_DEBUT = [
+    # round-4 debuts, folded straight into the even group: round 4's
+    # window still covers them (2 pinned + 37 even + 11 odd = 50) and
+    # round 5's leading group (2 + 48 odd) then fits exactly
     "stream_windowed_counts", "stream_interval_join",
     "stream_dedup_hashes", "doc_chunks", "pack_sequences",
     "lm_perplexity",
 ]
+# oracle keys debuting THIS round — in neither group, so _rotate()
+# puts them right after the pinned keys; fold into the smaller group
+# next round
+_ROT_DEBUT: list[str] = []
 
 
 def _round_number() -> int:

@@ -102,3 +102,17 @@ def test_rotation_schedule_invariants():
     # rows-only keys trail
     n_oracle = len(o)
     assert all(k not in o for k in keys[n_oracle:])
+
+
+def test_rotation_round5_window(monkeypatch):
+    """Simulate next round: the odd group must lead and fit the
+    window, so every key checked in r3 is re-checked by r5."""
+    import __spark_entry__ as E
+
+    monkeypatch.setattr(E, "_round_number", lambda: 5)
+    keys = list(E.queries())
+    o = set(E.oracle_sql())
+    assert keys[:2] == E._PINNED
+    window = set(keys[:50])
+    assert set(E._ROT_ODD) <= window
+    assert all(k in o for k in keys[:50])
