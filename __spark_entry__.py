@@ -155,21 +155,49 @@ def _ocr_extract_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows_match.
 
     Oracle cost is bounded: each of the N_OCR_IMAGES distinct fixture
-    images is OCR'd once driver-side (they are pure functions of
-    (name, seed)), then reassembled per doc via oracle.extract_document
-    — the same code path the pytest layer trusts."""
+    images is OCR'd once (pure functions of (name, seed)), then
+    reassembled per doc via oracle.extract_document — the same code
+    path the pytest layer trusts.
+
+    The per-image oracle OCR runs in EXECUTORS (a bare one-row-per-
+    image mapInPandas over oracle.ocr_image, none of the pipeline's
+    dedup/salting/assembly plumbing) rather than the driver process:
+    under a harness-owned session the driver's numpy may have
+    initialised on a different OpenBLAS kernel family than the python
+    workers (OPENBLAS_CORETYPE lands pre-fork for workers but possibly
+    post-numpy-import in the driver), and GEMM families differ bitwise
+    — a borderline CTC argmax then flips
+    (tests/test_blas_coretype.py).  Executor-side, both parity sides
+    share one kernel family by construction, and the invariant still
+    catches every plumbing defect: dropped / duplicated / reordered /
+    misassembled spans, dedup mistakes, error-row leaks.  Only the
+    tiny transcript lists return to the driver."""
     _ship_package(spark)
-    from ocr_pytorch_spark import datagen, oracle
+    from ocr_pytorch_spark import oracle
     from ocr_pytorch_spark.config import PipelineConfig
     from ocr_pytorch_spark.models import weights as W
+    from ocr_pytorch_spark.operators.extract import (OCR_OUT_SCHEMA,
+                                                     file_weights_spec,
+                                                     make_ocr_udf)
 
     ctpn_w, crnn_w = W.load_bundled()
     cfg = PipelineConfig.fixture()
+    transcript_rows = (_fixture_images(spark)
+                       .repartition(8, "media_ref")
+                       .mapInPandas(make_ocr_udf(file_weights_spec(),
+                                                 cfg),
+                                    OCR_OUT_SCHEMA)
+                       .collect())  # ~N_OCR_IMAGES tiny rows
     per_ref = {}
-    for i in range(N_OCR_IMAGES):
-        ref = f"img-td-{i:04d}"
-        img, _ = datagen.gen_image_array(ref)
-        per_ref[ref] = oracle.ocr_image(img, ctpn_w, crnn_w, cfg)
+    for r in sorted(transcript_rows,
+                    key=lambda r: (r["media_ref"], r["box_order"])):
+        if r["box_order"] < 0:  # decode/OCR error must fail loudly
+            raise RuntimeError(
+                f"oracle OCR failed for {r['media_ref']}: {r['text']}")
+        per_ref.setdefault(r["media_ref"], []).append(
+            (r["box_order"], r["text"]))
+    for i in range(N_OCR_IMAGES):  # empty-detection images yield no rows
+        per_ref.setdefault(f"img-td-{i:04d}", [])
 
     expected_rows = []
     for d in _interleaved_docs(spark, sf_dir).collect():  # N_OCR_DOCS rows
