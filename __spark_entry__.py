@@ -34,6 +34,8 @@ from ocr_pytorch_spark.operators import indexing as _IX  # noqa: E402
 from ocr_pytorch_spark.operators import text as _TXT  # noqa: E402
 from ocr_pytorch_spark.operators import tokenizer as _TOK  # noqa: E402
 from ocr_pytorch_spark.operators import web as _WEB  # noqa: E402
+from ocr_pytorch_spark.operators.graph import (  # noqa: E402
+    pagerank_oracle_sql as _pagerank_oracle_sql)
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 N_OCR_DOCS = 48        # docs used by the flagship OCR query
@@ -1133,6 +1135,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (operators/text.pack_sequences)."""
         return T.pack_sequences(_t(spark, sf, "documents"))
 
+    def pagerank_q(spark, sf):
+        """Iterative-join family: 8 synchronous PageRank iterations
+        with dangling-mass redistribution over the deterministic link
+        graph (operators/graph.pagerank; lineage bounded by
+        localCheckpoint)."""
+        from ocr_pytorch_spark.operators.graph import pagerank
+        return pagerank(_t(spark, sf, "documents"))
+
     def lm_perplexity_q(spark, sf):
         """CCNet-style bigram-LM quality signal: mean NLL per doc
         under an add-k smoothed count LM trained on the corpus
@@ -1286,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": doc_chunks,
         "pack_sequences": pack_sequences_q,
         "lm_perplexity": lm_perplexity_q,
+        "pagerank": pagerank_q,
         # non-SQL-expressible (NumPy model forwards) -> rows-only checks
         "approx_distinct": approx_distinct,  # rows-only (HLL differs)
         "ocr_extract": _ocr_extract,
@@ -1360,7 +1371,7 @@ _ROT_EVEN = [
 # oracle keys debuting THIS round — in neither group, so _rotate()
 # puts them right after the pinned keys; fold into the smaller group
 # next round
-_ROT_DEBUT: list[str] = []
+_ROT_DEBUT: list[str] = ["pagerank"]
 
 
 def _round_number() -> int:
@@ -1612,6 +1623,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _TXT.chunk_documents_oracle_sql(),
         "pack_sequences": _TXT.pack_sequences_oracle_sql(),
         "lm_perplexity": _TXT.lm_perplexity_oracle_sql(),
+        "pagerank": _pagerank_oracle_sql(),
         "project_bbox_decode": """
             SELECT l_orderkey, l_linenumber,
                    l_quantity * 0.5 + exp(l_discount) * 8.0 AS y_dec,
