@@ -131,15 +131,42 @@ def orchestrate() -> None:
         "**Gate: the N -> 4N pair with per-'executor' conditions closest",
         "to a real cluster — local[2] -> local[8].** Higher pairs degrade",
         "for a single-box reason a real cluster does not have: all local",
-        "'executors' share one socket's DRAM bandwidth + L3, so 16-32",
-        "concurrent conv-GEMM workers contend (measured per-image kernel",
-        "time rises ~1.4x from 1-way to 32-way on this host). On a real",
+        "'executors' share one socket's DRAM bandwidth + L3. On a real",
         "4N-executor cluster each executor brings its own memory system —",
         "per-executor conditions are those of the LOW leg — so dataflow",
         "scaling (shuffle fan-out, transcript reassembly, lineage",
         "commits, all included in these measurements) is the",
         "transferable number. Each level reports min of 2 timed reps",
         "(host turbo/thermal adds ~±25% noise to single runs).",
+        "",
+        "**The higher legs sit AT the host's kernel-level ceiling — a",
+        "direct Spark-free measurement** (scripts/",
+        "gemm_contention_bench.py: K independent single-thread",
+        "processes looping the conv5-shaped sgemm, forced AVX-512",
+        "kernel; r4 numbers):",
+        "",
+        "| concurrency | per-core GFLOP/s | ratio vs 1-way |",
+        "|---|---|---|",
+        "| 1 | 97.9 | 1.000 |",
+        "| 4 | 97.1 | 0.992 |",
+        "| 8 | 89.9 | 0.919 |",
+        "| 16 | 78.1 | 0.798 |",
+        "| 32 | 54.9 | 0.561 |",
+        "",
+        "Aggregate sgemm saturates ~1.76 TFLOP/s across the socket;",
+        "implied pure-kernel efficiency ceilings: r(16)/r(4) = 0.804",
+        "for 4->16 and r(32)/r(8) = 0.610 for 8->32. The pipeline's",
+        "measured legs track these ceilings — what remains above the",
+        "gate leg is single-socket memory physics, not dataflow.",
+        "",
+        "Round-4 note: forcing the AVX-512 OpenBLAS kernel",
+        "(ocr_pytorch_spark.__init__._blas_coretype, 29 -> 122",
+        "GFLOP/s single-thread) plus branch-free sigmoid /",
+        "offset-loop maxpool / memoized Lanczos tripled absolute",
+        "throughput at every level vs r3 (3.31/6.52/11.49/20.54/28.92",
+        "then, on a 400-doc fixture) while raising per-core bandwidth",
+        "demand — which is why the topmost leg sits at the measured",
+        "ceiling rather than above 0.8.",
         "",
         "Plan-shape facts backing this (operators/extract.py,",
         "tests/test_scale_properties.py): image bytes reach the OCR stage",
