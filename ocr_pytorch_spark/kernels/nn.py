@@ -50,6 +50,108 @@ def _ws(key: tuple, shape: tuple) -> np.ndarray:
 # activation copy through DRAM (the measured 32-way contention source)
 _CONV_TILE_BYTES = 4 << 20
 
+# Winograd F(2x2, 3x3) dispatch window, tuned by interleaved A/B under
+# the forced AVX-512 kernel (ratios = winograd/blocked):
+#   * C >= 256 with P in [512, 8192] wins (0.61-0.90 at the
+#     reference-720p deep layers, C512 P~1300-5400);
+#   * small/medium tiles (the whole fixture profile, P<=~200) are
+#     neutral-to-LOSING end-to-end — transform dispatch overhead
+#     eats the per-call win, so the benchmark path stays blocked;
+#   * huge tiles LOSE up to 8x — V is 16*C*P floats and falls out of
+#     cache (C64 P=342000: 1.4 GB of transform traffic);
+#   * C <= 128 LOSES at every P (K too skinny for the tile GEMMs).
+# Outside the window the blocked im2col path runs — it is within 10%
+# of winograd even where winograd wins marginally, so the gate only
+# engages where the win is real.
+_WINOGRAD_MIN_C = 256
+_WINOGRAD_MIN_TILES = 512
+_WINOGRAD_MAX_TILES = 8192
+
+# weight-transform cache: id(w) -> (w, U) — keeping w referenced pins
+# the id; one entry per conv layer per worker (VGG16+CTPN+CRNN ~ a
+# dozen arrays, U is 16/9 the weight size)
+_WINO_U: dict[int, tuple] = {}
+
+
+def _wino_weight_transform(w: np.ndarray) -> np.ndarray:
+    """U[16, O, C] = G g G^T per (O, C) 3x3 kernel;
+    G = [[1,0,0],[.5,.5,.5],[.5,-.5,.5],[0,0,1]] (exact dyadic)."""
+    hit = _WINO_U.get(id(w))
+    if hit is not None and hit[0] is w:
+        return hit[1]
+    G = np.array([[1, 0, 0], [0.5, 0.5, 0.5], [0.5, -0.5, 0.5],
+                  [0, 0, 1]], dtype=w.dtype)
+    # two tensordots (GEMM-backed) instead of einsum — the one-time
+    # transform of a 512x512x3x3 layer fell from ~600ms to ~10ms
+    t = np.tensordot(G, w, axes=(1, 2))        # (4, O, C, 3)
+    u = np.tensordot(t, G, axes=(3, 1))        # (4, O, C, 4)
+    U = np.ascontiguousarray(u.transpose(0, 3, 1, 2)).reshape(
+        16, w.shape[0], w.shape[1])
+    if len(_WINO_U) < 256:
+        _WINO_U[id(w)] = (w, U)
+    return U
+
+
+def _conv2d_winograd3x3(x, w, b, ph, pw, relu):
+    """F(2x2, 3x3) Winograd for the B=1 stride-1 3x3 path: 16 tile
+    GEMMs with K=C replace the 9C-reduction im2col GEMM — 2.25x fewer
+    multiplies and a 2.25x smaller intermediate (V is 16*C*P floats vs
+    36*C*P im2col columns), which is DRAM relief for the contended
+    high-concurrency legs (BENCH/BASELINE.md).  Transforms use only
+    +/- and exact dyadic constants.  Deterministic: tile geometry is a
+    pure function of the shapes, shared by oracle and UDFs."""
+    _, C, H, W = x.shape
+    O = w.shape[0]
+    oh, ow = H + 2 * ph - 2, W + 2 * pw - 2
+    th, tw = (oh + 1) // 2, (ow + 1) // 2
+    He, We = 2 * th + 2, 2 * tw + 2
+    xp = _ws(("wpad",), (C, He, We))
+    xp[:] = 0.0
+    xp[:, ph:ph + H, pw:pw + W] = x[0]
+    sc, sh_, sw_ = xp.strides
+    # (4, 4, C, th, tw) tile view: last two dims step 2
+    d = as_strided(xp, shape=(4, 4, C, th, tw),
+                   strides=(sh_, sw_, sc, 2 * sh_, 2 * sw_),
+                   writeable=False)
+    # input transform  V = B^T d B ;  B^T rows: [1,0,-1,0] [0,1,1,0]
+    # [0,-1,1,0] [0,1,0,-1]
+    P = th * tw
+    t = _ws(("winoT",), (4, 4, C, th, tw))
+    np.subtract(d[0], d[2], out=t[0])
+    np.add(d[1], d[2], out=t[1])
+    np.subtract(d[2], d[1], out=t[2])
+    np.subtract(d[1], d[3], out=t[3])
+    V = _ws(("winoV",), (4, 4, C, th, tw))
+    np.subtract(t[:, 0], t[:, 2], out=V[:, 0])
+    np.add(t[:, 1], t[:, 2], out=V[:, 1])
+    np.subtract(t[:, 2], t[:, 1], out=V[:, 2])
+    np.subtract(t[:, 1], t[:, 3], out=V[:, 3])
+    U = _wino_weight_transform(w)
+    M = _ws(("winoM",), (16, O, P))
+    np.matmul(U, V.reshape(16, C, P), out=M)
+    m = M.reshape(4, 4, O, th, tw)
+    # output transform  Y = A^T m A ;  A^T = [[1,1,1,0],[0,1,-1,-1]]
+    r = _ws(("winoR",), (2, 4, O, th, tw))
+    np.add(m[0], m[1], out=r[0])
+    r[0] += m[2]
+    np.subtract(m[1], m[2], out=r[1])
+    r[1] -= m[3]
+    y = _ws(("winoY",), (2, 2, O, th, tw))
+    np.add(r[:, 0], r[:, 1], out=y[:, 0])
+    y[:, 0] += r[:, 2]
+    np.subtract(r[:, 1], r[:, 2], out=y[:, 1])
+    y[:, 1] -= r[:, 3]
+    # (2h, 2w, O, th, tw) -> (O, th, 2h, tw, 2w) -> crop to (oh, ow)
+    full = np.ascontiguousarray(y.transpose(2, 3, 0, 4, 1)).reshape(
+        O, 2 * th, 2 * tw)
+    out = np.empty((1, O, oh, ow), dtype=x.dtype)
+    np.copyto(out[0], full[:, :oh, :ow])
+    if b is not None:
+        out += b.reshape(1, O, 1, 1)
+    if relu:
+        np.maximum(out, 0.0, out=out)
+    return out
+
 
 def conv2d(x: np.ndarray, w: np.ndarray, b: np.ndarray | None,
            stride=1, padding=0, relu: bool = False) -> np.ndarray:
@@ -73,6 +175,12 @@ def conv2d(x: np.ndarray, w: np.ndarray, b: np.ndarray | None,
     ph, pw = _pair(padding)
     B, C, H, W = x.shape
     O, _, kh, kw = w.shape
+    if (kh, kw, sh, sw) == (3, 3, 1, 1) and B == 1 \
+            and C >= _WINOGRAD_MIN_C:
+        _oh, _ow = H + 2 * ph - 2, W + 2 * pw - 2
+        _p = ((_oh + 1) // 2) * ((_ow + 1) // 2)
+        if _WINOGRAD_MIN_TILES <= _p <= _WINOGRAD_MAX_TILES:
+            return _conv2d_winograd3x3(x, w, b, ph, pw, relu)
     if (kh, kw, sh, sw, ph, pw) == (1, 1, 1, 1, 0, 0) and B == 1:
         # 1x1 conv fast path: the GEMM input IS the (C, H*W) tensor —
         # no im2col copy (CTPN lstm_fc + twin heads)
