@@ -1366,12 +1366,12 @@ _ROT_EVEN = [
     # round 5's leading group (2 + 48 odd) then fits exactly
     "stream_windowed_counts", "stream_interval_join",
     "stream_dedup_hashes", "doc_chunks", "pack_sequences",
-    "lm_perplexity",
+    "lm_perplexity", "pagerank",
 ]
 # oracle keys debuting THIS round — in neither group, so _rotate()
 # puts them right after the pinned keys; fold into the smaller group
 # next round
-_ROT_DEBUT: list[str] = ["pagerank"]
+_ROT_DEBUT: list[str] = []
 
 
 def _round_number() -> int:
