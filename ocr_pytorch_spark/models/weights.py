@@ -144,8 +144,21 @@ def calibrate_ctpn(w: dict[str, np.ndarray], images: list[np.ndarray],
 
 
 def weights_dir(repo_root: str | None = None) -> str:
+    """Where generated .npz weights live.  Precedence:
+    $SPARK_GRAFT_WEIGHTS_DIR, then <repo>/weights derived from the
+    package location — UNLESS the package is imported from a zip
+    (``spark-submit --py-files pkg.zip``: the derived path sits inside
+    the archive and cannot hold files), in which case a stable tmp
+    directory is used (found by tests/test_spark_submit.py)."""
+    env = os.environ.get("SPARK_GRAFT_WEIGHTS_DIR")
+    if env:
+        return env
     root = repo_root or os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
+    if repo_root is None and not os.path.isdir(root):
+        import tempfile
+        return os.path.join(tempfile.gettempdir(),
+                            "ocr_pytorch_spark_weights")
     return os.path.join(root, "weights")
 
 
