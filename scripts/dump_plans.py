@@ -128,6 +128,11 @@ COMMENT = {
                               "partial agg on (window, type) before "
                               "the exchange; the watermark is a "
                               "no-op in batch",
+    "pagerank": "the FINAL iteration's frame: a localCheckpoint scan "
+                "(lineage truncated each iteration) joined to the "
+                "static flagged-node set — per-iteration cost is one "
+                "skinny shuffle-join + one agg, and the checkpoint "
+                "keeps the plan O(1)-deep instead of O(iters)",
 }
 
 
@@ -153,7 +158,7 @@ def main() -> None:
                  "bpe_top_pairs", "dedup_substring_spans",
                  "tpch_q5", "bloom_custkey", "doc_chunks",
                  "pack_sequences", "lm_perplexity",
-                 "stream_windowed_counts", "ocr_extract"):
+                 "stream_windowed_counts", "pagerank", "ocr_extract"):
         df = qs[name](spark, SF)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
