@@ -87,9 +87,13 @@ def main() -> None:
         print(f"DECODE ERROR {row['media_ref']}: {row['error']}",
               file=sys.stderr)
     ok = images.where(F.col("height") > 0)
+    # cache: the full OCR extraction feeds three actions below
+    # (parquet write, per-image txt sink, count summary) — without the
+    # cache it recomputes up to three times (r4 ADVICE, low)
     spans = (ocr_transcripts(ok, ok.select("media_ref"), spec, cfg)
              .where(F.col("box_order") >= 0)
-             .orderBy("media_ref", "box_order"))
+             .orderBy("media_ref", "box_order")
+             .cache())
 
     # one row per image with its ordered transcript list — all span
     # payload stays executor-side (no driver collect of spans;
@@ -124,6 +128,7 @@ def main() -> None:
     for r in (ordered.select("media_ref", F.size("texts").alias("n"))
               .orderBy("media_ref").collect()):
         print(f"== {r['media_ref']}: {r['n']} lines")
+    spans.unpersist()
     spark.stop()
 
 

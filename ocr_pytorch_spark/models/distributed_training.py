@@ -48,8 +48,10 @@ def _distributed_grads(sc, samples, params: dict, per_sample,
     summed with log-depth treeAggregate and averaged."""
     rdd = samples if hasattr(samples, "treeAggregate") \
         else sc.parallelize(samples, max(2, sc.defaultParallelism))
-    bw = sc.broadcast(params)
     n = rdd.count()
+    if n == 0:
+        raise ValueError("no training samples")
+    bw = sc.broadcast(params)
 
     def seq_op(acc, sample):
         losses, g = per_sample(bw.value, sample)

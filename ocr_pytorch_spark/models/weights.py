@@ -156,9 +156,19 @@ def weights_dir(repo_root: str | None = None) -> str:
     root = repo_root or os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
     if repo_root is None and not os.path.isdir(root):
+        # per-user, 0700 (r4 ADVICE, low): a fixed world-shared /tmp
+        # name would let another local user pre-create the directory
+        # and plant tampered .npz files that executors then load
+        import getpass
         import tempfile
-        return os.path.join(tempfile.gettempdir(),
-                            "ocr_pytorch_spark_weights")
+        d = os.path.join(tempfile.gettempdir(),
+                         f"ocr_pytorch_spark_weights_{getpass.getuser()}")
+        os.makedirs(d, mode=0o700, exist_ok=True)
+        if os.stat(d).st_uid != os.getuid():
+            raise PermissionError(
+                f"weights dir {d} is owned by another user; set "
+                "$SPARK_GRAFT_WEIGHTS_DIR to a private location")
+        return d
     return os.path.join(root, "weights")
 
 

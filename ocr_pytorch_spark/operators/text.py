@@ -487,22 +487,45 @@ def pack_sequences(documents: DataFrame, budget: int = 256,
     (seq_id, doc_id, doc_off, n_tokens).
 
     Scale design — the global prefix sum is NOT a single-partition
-    window: the input is range-partitioned by doc_id, per-partition
-    token totals (one row per partition) are collected and turned into
-    broadcast partition offsets, and the running sum is then a
-    partition-LOCAL window.  Driver traffic is O(partitions), each
-    executor sorts only its own range — the classic two-phase scan
-    prefix-sum, good at any row count.  The result is independent of
-    the partition boundaries, so it stays deterministic under AQE or a
-    different ``range_partitions``."""
+    window: docs are bucketed into ``range_partitions`` doc_id ranges,
+    per-bucket token totals (one row per bucket) are collected and
+    turned into broadcast bucket offsets, and the running sum is then a
+    bucket-LOCAL window.  Driver traffic is O(buckets), each executor
+    sorts only its own range — the classic two-phase scan prefix-sum,
+    good at any row count.
+
+    The bucket id is a DETERMINISTIC function of doc_id (count of
+    precomputed quantile boundaries below it), NOT
+    ``spark_partition_id()`` over a ``repartitionByRange`` exchange:
+    RangePartitioner re-samples boundaries per job with an RDD-id-
+    derived seed, so the totals job and the window job could disagree
+    on which bucket a boundary-adjacent doc lands in, silently
+    corrupting the global prefix sum (r4 ADVICE, high).  With the
+    boundaries collected once up front, every job assigns buckets
+    identically and the result is independent of AQE, re-execution,
+    or ``range_partitions``."""
     from pyspark.sql import Window
 
+    n_parts = max(1, int(range_partitions))
+    bounds: list[float] = []
+    if n_parts > 1:
+        # one tiny action over the skinny doc_id column; Greenwald-
+        # Khanna sketch, deterministic for a fixed input
+        qs = (documents.select(F.col("doc_id").cast("double")
+                               .alias("doc_id"))
+              .approxQuantile("doc_id",
+                              [i / n_parts for i in range(1, n_parts)],
+                              0.001))
+        bounds = sorted(set(qs))
+    pid_expr = F.lit(0)
+    for b in bounds:
+        pid_expr = pid_expr + (F.col("doc_id").cast("double") > F.lit(b)
+                               ).cast("int")
     toks = (documents
             .select("doc_id",
                     F.greatest(F.size(words(F.col("text"))), F.lit(1))
                     .cast("long").alias("n_tok"))
-            .repartitionByRange(range_partitions, "doc_id")
-            .withColumn("pid", F.spark_partition_id()))
+            .withColumn("pid", pid_expr))
     part_totals = sorted(
         (r["pid"], r["tot"]) for r in
         toks.groupBy("pid").agg(F.sum("n_tok").alias("tot")).collect())

@@ -46,6 +46,9 @@ def get_spark(app: str = "ocr_pytorch_spark", cpus: str | None = None,
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # keep [Stage N:===>] spam off stdout — bench.py prints ONE
+        # machine-parsed JSON line and progress bars drowned it in r4
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
     )
