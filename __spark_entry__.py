@@ -252,13 +252,46 @@ def _png_ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image channel means / gray std / dark fraction through the
+    REAL raw-RGB decode + mapInPandas feature kernel
+    (operators/multimodal.image_features), oracle-checked (r4 VERDICT
+    task 5): the fixture images are integer gradient patterns a SQL
+    engine can regenerate with generate_series, and the kernel
+    accumulates in float64 where uint8 channel sums are exact — so
+    Spark's means equal DuckDB's avg() bit-for-bit and std/dark_frac
+    agree under quant4."""
     _ship_package(spark)
+    from ocr_pytorch_spark.functions import quant4
     from ocr_pytorch_spark.operators.multimodal import image_features
 
-    out = image_features(_fixture_images(spark))
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                h = 40 + (k % 3) * 12
+                w = 48 + (k % 4) * 16
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                base = 3 * ((r * 2 + c * 5 + k * 7) % 84)
+                img = np.stack([base, base + 3, base + 6],
+                               axis=2).astype(np.uint8)
+                rows.append((f"grad-{k:04d}", h, w, 3, img.tobytes()))
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "height", "width", "channels", "data"])
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 12).select("doc_id").coalesce(1))
+    images = docs.mapInPandas(
+        synth, "media_ref string, height int, width int, "
+               "channels int, data binary")
+    out = image_features(images)
     return out.select(
         "media_ref", "height", "width",
-        *[F.round(c, 4).alias(c) for c in
+        *[quant4(F.col(c)).alias(c) for c in
           ("mean_r", "mean_g", "mean_b", "std_gray", "dark_frac")])
 
 
@@ -274,12 +307,18 @@ def _multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio-clip gating features over real RIFF/PCM WAVs synthesized
-    deterministically per doc (seeded tone + noise, encoded with
-    kernels/wav.encode_wav) and decoded back by the same pure-NumPy
-    codec — one poisoned clip exercises the error row.  Rows-only
-    (DuckDB has no WAV decoder)."""
+    """Audio-clip gating features (duration, RMS, ZCR, peak, silence
+    fraction) over real RIFF/PCM WAVs: per-doc integer sawtooth clips
+    are encoded with kernels/wav.encode_wav, decoded back by the same
+    pure-NumPy codec, and reduced by kernels/wav.audio_features — and
+    the whole path is ORACLE-CHECKED (r4 VERDICT task 5): the samples
+    are integer-exact, their squared sums stay below 2^53, so RMS /
+    ZCR / silence_frac computed by NumPy equal DuckDB recomputing the
+    identical waveform with generate_series, bit-for-bit (quant4 on
+    the ratio columns).  One poisoned clip exercises the error row,
+    which the oracle carries as a literal."""
     _ship_package(spark)
+    from ocr_pytorch_spark.functions import quant4
     from ocr_pytorch_spark.operators.multimodal import audio_clip_features
 
     def synth(batches):
@@ -291,23 +330,33 @@ def _multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             refs, blobs = [], []
             for doc_id in pdf["doc_id"]:
-                rng = np.random.default_rng(int(doc_id) + 77)
-                t = np.arange(4000) / 16000.0
-                tone = np.sin(2 * np.pi * (200 + int(doc_id) % 300) * t)
-                clip = (tone * 12000
-                        + rng.normal(0, 500, t.size)).astype(np.int16)
-                if int(doc_id) % 8 == 0:  # leading silence block
-                    clip[:1024] = 0
-                refs.append(f"wav-{int(doc_id):04d}")
-                blobs.append(encode_wav(clip))
-            refs.append("wav-poison")
-            blobs.append(b"RIFFnope")
+                k = int(doc_id)
+                n = 4000 + (k % 5) * 512
+                per = 25 + (k % 7) * 8
+                amp = 6000 + (k % 3) * 3000
+                i = np.arange(n, dtype=np.int64)
+                x = ((i % per) * 2 * amp) // (per - 1) - amp
+                if k % 8 == 0:  # leading silence block (2 frames)
+                    x[:1024] = 0
+                refs.append(f"wav-{k:04d}")
+                blobs.append(encode_wav(x.astype(np.int16)))
+            # exactly once, not per Arrow batch: anchor to doc 0
+            if (pdf["doc_id"] == 0).any():
+                refs.append("wav-poison")
+                blobs.append(b"RIFFnope")
             yield pd.DataFrame({"media_ref": refs, "data": blobs})
 
     docs = (_t(spark, sf_dir, "documents")
             .where(F.col("doc_id") < 24).select("doc_id").coalesce(1))
     audio = docs.mapInPandas(synth, "media_ref string, data binary")
-    return audio_clip_features(audio)
+    out = audio_clip_features(audio)
+    return out.select(
+        "media_ref", "sample_rate",
+        quant4(F.col("duration_sec")).alias("duration_sec"),
+        quant4(F.col("rms")).alias("rms"),
+        quant4(F.col("zcr")).alias("zcr"),
+        F.col("peak"),
+        quant4(F.col("silence_frac")).alias("silence_frac"))
 
 
 def _multimodal_audio_neardup(spark: SparkSession,
@@ -355,11 +404,74 @@ def _text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video path: MJPEG-AVI clips synthesized per fixture image
-    (3 frames: base + 2 augment-chain variants, encoded by
-    kernels/avi.py through the in-repo JPEG encoder), then every-2nd
-    frame sampled and decoded back.  One poisoned container exercises
-    the error row.  Rows-only (no AVI/JPEG in DuckDB)."""
+    """REAL video path, ORACLE-CHECKED (r4 VERDICT task 5): per-doc
+    BI_RGB (raw DIB) AVI containers — bottom-up BGR rows, 4-byte row
+    padding, strf-driven codec dispatch in kernels/avi.py — are
+    container-walked, every-2nd frame sampled + decoded losslessly,
+    and each sampled frame reduced by the image_features kernel.
+    Frame pixels are integer gradients, so frame indices, dims and
+    channel means are recomputable in DuckDB with generate_series
+    (quant4 on std_gray).  The MJPEG codec + poison-row path stays
+    driver-exercised under multimodal_video_mjpeg."""
+    _ship_package(spark)
+    from ocr_pytorch_spark.functions import quant4
+    from ocr_pytorch_spark.operators.multimodal import (
+        image_features, video_frame_sample)
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ocr_pytorch_spark.kernels.avi import encode_avi
+
+        for pdf in batches:
+            refs, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                n_frames = 3 + k % 4
+                h = 24 + (k % 2) * 8
+                w = 33 + (k % 3) * 5  # odd widths: DIB row padding
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                frames = []
+                for f in range(n_frames):
+                    base = 3 * ((r + c * 2 + f * 5 + k * 7) % 84)
+                    frames.append(np.stack(
+                        [base, base + 3, base + 6],
+                        axis=2).astype(np.uint8))
+                refs.append(f"avi-{k:02d}")
+                blobs.append(encode_avi(frames, fps=4, codec="rgb"))
+            yield pd.DataFrame({"media_ref": refs, "data": blobs})
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 8).select("doc_id").coalesce(1))
+    videos = docs.mapInPandas(synth, "media_ref string, data binary")
+    sampled = video_frame_sample(videos, every_n=2)
+    tagged = sampled.where(F.col("frame_idx") >= 0).select(
+        F.concat_ws("#", "media_ref",
+                    F.col("frame_idx").cast("string"))
+        .alias("media_ref"),
+        "height", "width", F.lit(3).alias("channels"), "data")
+    feats = image_features(tagged)
+    return feats.select(
+        F.substring_index("media_ref", "#", 1).alias("media_ref"),
+        F.element_at(F.split("media_ref", "#"), 2).cast("int")
+        .alias("frame_idx"),
+        "height", "width",
+        quant4(F.col("mean_r")).alias("mean_r"),
+        quant4(F.col("mean_g")).alias("mean_g"),
+        quant4(F.col("mean_b")).alias("mean_b"),
+        quant4(F.col("std_gray")).alias("std_gray"),
+        quant4(F.col("dark_frac")).alias("dark_frac"))
+
+
+def _multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG-AVI clips synthesized per fixture image (3 frames: base +
+    2 augment-chain variants, encoded by kernels/avi.py through the
+    in-repo JPEG encoder), then every-2nd frame sampled and decoded
+    back.  One poisoned container exercises the error row.  Rows-only
+    (no JPEG entropy decoder in DuckDB); the lossless raw-DIB AVI path
+    is the oracle-checked multimodal_video key."""
     _ship_package(spark)
     from ocr_pytorch_spark.operators.multimodal import video_frame_sample
 
@@ -379,8 +491,9 @@ def _multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
                           gaussian_blur(img, 1.0)]
                 refs.append(f"avi-{ref}")
                 blobs.append(encode_avi(frames, fps=4))
-            refs.append("avi-poison")
-            blobs.append(b"RIFF\x04\x00\x00\x00AVI ")
+            if (pdf["media_ref"] == "img-td-0000").any():
+                refs.append("avi-poison")
+                blobs.append(b"RIFF\x04\x00\x00\x00AVI ")
             yield pd.DataFrame({"media_ref": refs, "data": blobs})
 
     base = spark.createDataFrame(
@@ -1305,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_neardup": _multimodal_neardup,
         "multimodal_audio": _multimodal_audio,
         "multimodal_video": _multimodal_video,
+        "multimodal_video_mjpeg": _multimodal_video_mjpeg,
         "multimodal_audio_neardup": _multimodal_audio_neardup,
         "text_compression": _text_compression,
         "ocr_errors_scan": _ocr_errors_scan,
@@ -1379,7 +1493,11 @@ _ROT_EVEN = [
 # oracle keys debuting THIS round — in neither group, so _rotate()
 # puts them right after the pinned keys; fold into the smaller group
 # next round
-_ROT_DEBUT: list[str] = []
+_ROT_DEBUT: list[str] = [
+    # r5 debuts: formerly rows-only multimodal keys, now with exact
+    # DuckDB oracles (generate_series-recomputable integer fixtures)
+    "multimodal_features", "multimodal_audio", "multimodal_video",
+]
 
 
 def _round_number() -> int:
@@ -2547,4 +2665,119 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(md5(gram)) AS fp_min,
                    max(md5(gram)) AS fp_max
             FROM grams GROUP BY doc_id""",
+        # --- multimodal reductions (r4 VERDICT task 5): the fixtures
+        # are integer patterns DuckDB regenerates with generate_series;
+        # WAV samples decode to x/32768 (power-of-two, exact in
+        # float32/64) and all channel/sample sums stay below 2^53, so
+        # the real codec + mapInPandas kernel path hash-matches SQL ---
+        "multimodal_audio": """
+            WITH ks AS (SELECT doc_id AS k FROM documents
+                        WHERE doc_id < 24),
+            par AS (SELECT k, 4000 + (k % 5) * 512 AS n,
+                           25 + (k % 7) * 8 AS per,
+                           6000 + (k % 3) * 3000 AS amp FROM ks),
+            s AS (
+              SELECT p.k, p.n, i.i,
+                     CASE WHEN p.k % 8 = 0 AND i.i < 1024 THEN 0
+                          ELSE ((i.i % p.per) * 2 * p.amp)
+                               // (p.per - 1) - p.amp
+                     END AS x
+              FROM par p,
+                   LATERAL unnest(generate_series(0, p.n - 1)) AS i(i)
+            ),
+            lagged AS (
+              SELECT k, n, i, x,
+                     lag(x) OVER (PARTITION BY k ORDER BY i) AS px
+              FROM s
+            ),
+            base AS (
+              SELECT k, n,
+                     sqrt(avg((x / 32768.0) * (x / 32768.0))) AS rms,
+                     sum(CASE WHEN px IS NOT NULL
+                               AND (x < 0) <> (px < 0)
+                              THEN 1 ELSE 0 END)
+                       / CAST(n AS DOUBLE) AS zcr,
+                     max(abs(x)) / 32768.0 AS peak
+              FROM lagged GROUP BY k, n
+            ),
+            fr AS (
+              SELECT k, i // 512 AS f,
+                     sqrt(avg((x / 32768.0) * (x / 32768.0))) AS frms
+              FROM s WHERE i < (n // 512) * 512
+              GROUP BY k, i // 512
+            ),
+            sil AS (
+              SELECT k, sum(CASE WHEN frms < 0.01 THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE) AS silence_frac
+              FROM fr GROUP BY k
+            )
+            SELECT 'wav-' || lpad(CAST(b.k AS VARCHAR), 4, '0')
+                     AS media_ref,
+                   16000 AS sample_rate,
+                   floor((CAST(b.n AS DOUBLE) / 16000) * 10000 + 0.5)
+                     / 10000 AS duration_sec,
+                   floor(b.rms * 10000 + 0.5) / 10000 AS rms,
+                   floor(b.zcr * 10000 + 0.5) / 10000 AS zcr,
+                   b.peak AS peak,
+                   floor(sil.silence_frac * 10000 + 0.5) / 10000
+                     AS silence_frac
+            FROM base b JOIN sil USING (k)
+            UNION ALL
+            SELECT 'wav-poison', -1, 0.0, 0.0, 0.0, 0.0, 1.0""",
+        "multimodal_features": """
+            WITH ks AS (SELECT doc_id AS k FROM documents
+                        WHERE doc_id < 12),
+            dims AS (SELECT k, 40 + (k % 3) * 12 AS h,
+                            48 + (k % 4) * 16 AS w FROM ks),
+            px AS (
+              SELECT d.k, d.h, d.w,
+                     3 * ((rr.r * 2 + cc.c * 5 + d.k * 7) % 84) AS base
+              FROM dims d,
+                   LATERAL unnest(generate_series(0, d.h - 1)) AS rr(r),
+                   LATERAL unnest(generate_series(0, d.w - 1)) AS cc(c)
+            )
+            SELECT 'grad-' || lpad(CAST(k AS VARCHAR), 4, '0')
+                     AS media_ref,
+                   CAST(h AS INT) AS height, CAST(w AS INT) AS width,
+                   floor(avg(base + 0) * 10000 + 0.5) / 10000 AS mean_r,
+                   floor(avg(base + 3) * 10000 + 0.5) / 10000 AS mean_g,
+                   floor(avg(base + 6) * 10000 + 0.5) / 10000 AS mean_b,
+                   floor(sqrt(avg((base + 3.0) * (base + 3.0))
+                              - avg(base + 3.0) * avg(base + 3.0))
+                         * 10000 + 0.5) / 10000 AS std_gray,
+                   floor((sum(CASE WHEN base + 3 < 100 THEN 1 ELSE 0
+                              END) / CAST(count(*) AS DOUBLE))
+                         * 10000 + 0.5) / 10000 AS dark_frac
+            FROM px GROUP BY k, h, w""",
+        "multimodal_video": """
+            WITH ks AS (SELECT doc_id AS k FROM documents
+                        WHERE doc_id < 8),
+            par AS (SELECT k, 3 + k % 4 AS nf, 24 + (k % 2) * 8 AS h,
+                           33 + (k % 3) * 5 AS w FROM ks),
+            fr AS (SELECT p.k, p.h, p.w, ff.f
+                   FROM par p,
+                        LATERAL unnest(generate_series(0, p.nf - 1, 2))
+                          AS ff(f)),
+            px AS (SELECT fr.k, fr.f, fr.h, fr.w,
+                          3 * ((rr.r + cc.c * 2 + fr.f * 5 + fr.k * 7)
+                               % 84) AS base
+                   FROM fr,
+                        LATERAL unnest(generate_series(0, fr.h - 1))
+                          AS rr(r),
+                        LATERAL unnest(generate_series(0, fr.w - 1))
+                          AS cc(c))
+            SELECT 'avi-' || lpad(CAST(k AS VARCHAR), 2, '0')
+                     AS media_ref,
+                   CAST(f AS INT) AS frame_idx,
+                   CAST(h AS INT) AS height, CAST(w AS INT) AS width,
+                   floor(avg(base + 0) * 10000 + 0.5) / 10000 AS mean_r,
+                   floor(avg(base + 3) * 10000 + 0.5) / 10000 AS mean_g,
+                   floor(avg(base + 6) * 10000 + 0.5) / 10000 AS mean_b,
+                   floor(sqrt(avg((base + 3.0) * (base + 3.0))
+                              - avg(base + 3.0) * avg(base + 3.0))
+                         * 10000 + 0.5) / 10000 AS std_gray,
+                   floor((sum(CASE WHEN base + 3 < 100 THEN 1 ELSE 0
+                              END) / CAST(count(*) AS DOUBLE))
+                         * 10000 + 0.5) / 10000 AS dark_frac
+            FROM px GROUP BY k, f, h, w""",
     }

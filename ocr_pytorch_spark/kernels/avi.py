@@ -6,13 +6,19 @@ last multimodal stub: Motion-JPEG AVI is an actual interchange format
 (webcams, OpenCV's default fallback writer), and every stage here is
 spec-level, not a fake.
 
-* ``encode_avi(frames, fps)``: hdrl (avih + vids strl with an 'MJPG'
-  BITMAPINFOHEADER) + movi list of '00dc' JPEG chunks, word-aligned.
-* ``avi_frame_blobs(data)``: RIFF walk -> movi list -> the raw JPEG
-  bytes per frame (no decode — callers sample BEFORE decoding, which
+* ``encode_avi(frames, fps, codec=)``: hdrl (avih + vids strl with a
+  BITMAPINFOHEADER) + movi list of video chunks, word-aligned.
+  codec="mjpg" writes '00dc' JPEG blobs; codec="rgb" writes '00db'
+  uncompressed BI_RGB DIB frames (bottom-up, BGR, rows padded to 4
+  bytes — the actual Windows DIB layout), the lossless path the
+  oracle-checked driver key rides on.
+* ``avi_frame_blobs(data)``: RIFF walk -> movi list -> the raw frame
+  byte blobs (no decode — callers sample BEFORE decoding, which
   is the whole point of frame sampling at scale).
 * ``decode_avi_frames(data, every_n)``: sample every n-th blob and
-  decode to (H, W, 3) uint8 via the in-repo JPEG decoder.
+  decode to (H, W, 3) uint8 — the stream's strf BITMAPINFOHEADER
+  (biCompression) picks the JPEG or DIB decoder, exactly how real
+  players dispatch.
 """
 
 from __future__ import annotations
@@ -26,15 +32,45 @@ class AviError(ValueError):
     pass
 
 
+def _dib_encode(frame: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> BI_RGB DIB payload: bottom-up row
+    order, BGR channel order, each row zero-padded to 4 bytes."""
+    h, w = frame.shape[:2]
+    bgr = frame[::-1, :, ::-1]  # bottom-up + BGR
+    stride = (w * 3 + 3) & ~3
+    out = np.zeros((h, stride), dtype=np.uint8)
+    out[:, :w * 3] = bgr.reshape(h, w * 3)
+    return out.tobytes()
+
+
+def _dib_decode(blob: bytes, w: int, h: int) -> np.ndarray:
+    stride = (w * 3 + 3) & ~3
+    if len(blob) < stride * h:
+        raise AviError("short DIB frame")
+    rows = np.frombuffer(blob[:stride * h],
+                         dtype=np.uint8).reshape(h, stride)
+    return rows[:, :w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy()
+
+
 def encode_avi(frames: list[np.ndarray], fps: int = 8,
-               quality: int = 90) -> bytes:
-    """frames: list of (H, W, 3) uint8, all the same size."""
+               quality: int = 90, codec: str = "mjpg") -> bytes:
+    """frames: list of (H, W, 3) uint8, all the same size.
+    codec: "mjpg" (lossy, '00dc' chunks) or "rgb" (lossless BI_RGB
+    DIB, '00db' chunks)."""
     from ocr_pytorch_spark.kernels.jpeg import encode_jpeg
 
     if not frames:
         raise AviError("need at least one frame")
+    if codec not in ("mjpg", "rgb"):
+        raise AviError(f"unknown codec {codec!r}")
     h, w = frames[0].shape[:2]
-    blobs = [encode_jpeg(f, quality=quality) for f in frames]
+    if codec == "mjpg":
+        blobs = [encode_jpeg(f, quality=quality) for f in frames]
+        fourcc, cid = b"MJPG", b"00dc"
+    else:
+        blobs = [_dib_encode(np.asarray(f, dtype=np.uint8))
+                 for f in frames]
+        fourcc, cid = b"\x00\x00\x00\x00", b"00db"  # BI_RGB = 0
 
     def chunk(cid: bytes, payload: bytes) -> bytes:
         pad = b"\x00" if len(payload) & 1 else b""
@@ -47,16 +83,16 @@ def encode_avi(frames: list[np.ndarray], fps: int = 8,
     avih = struct.pack(
         "<IIIIIIIIII4I", 1_000_000 // fps, max_bytes * fps, 0, 0x10,
         len(blobs), 0, 1, max_bytes, w, h, 0, 0, 0, 0)
-    strh = (b"vids" + b"MJPG"
+    strh = (b"vids" + (fourcc if codec == "mjpg" else b"DIB ")
             + struct.pack("<IHHIIIIIIIi4H", 0, 0, 0, 0, 1, fps, 0,
                           len(blobs), max_bytes, 0, -1, 0, 0,
                           w & 0xFFFF, h & 0xFFFF))
-    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, fourcc,
                        w * h * 3, 0, 0, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh)
                      + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00dc", b) for b in blobs))
+    movi = lst(b"movi", b"".join(chunk(cid, b) for b in blobs))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -85,12 +121,41 @@ def avi_frame_blobs(data: bytes) -> list[bytes]:
     return blobs
 
 
+def stream_format(data: bytes) -> tuple[bytes, int, int]:
+    """Parse hdrl -> strl -> strf BITMAPINFOHEADER of the first video
+    stream -> (biCompression fourcc bytes, width, height)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise AviError("not a RIFF/AVI file")
+    for cid, at, size in _walk_chunks(data, 12, len(data)):
+        if cid == b"LIST" and data[at:at + 4] == b"hdrl":
+            for sid, sat, ssize in _walk_chunks(data, at + 4, at + size):
+                if sid == b"LIST" and data[sat:sat + 4] == b"strl":
+                    for fid, fat, fsize in _walk_chunks(
+                            data, sat + 4, sat + ssize):
+                        if fid == b"strf" and fsize >= 20:
+                            _, w, h = struct.unpack(
+                                "<Iii", data[fat:fat + 12])
+                            comp = data[fat + 16:fat + 20]
+                            return comp, w, abs(h)
+    raise AviError("no strf header found")
+
+
 def decode_avi_frames(data: bytes,
                       every_n: int = 1) -> list[tuple[int, np.ndarray]]:
     """-> [(frame_idx, (H, W, 3) uint8)] for every n-th frame; only
-    sampled frames are decoded (blob slicing is container-level)."""
+    sampled frames are decoded (blob slicing is container-level).
+    Codec dispatch is strf-driven: 'MJPG' -> in-repo JPEG decoder,
+    BI_RGB (0) / 'DIB ' -> uncompressed DIB."""
     from ocr_pytorch_spark.kernels.jpeg import decode_jpeg
 
+    comp, w, h = stream_format(data)
     blobs = avi_frame_blobs(data)
-    return [(i, decode_jpeg(blobs[i]))
+    if comp == b"MJPG":
+        dec = decode_jpeg
+    elif comp in (b"\x00\x00\x00\x00", b"DIB "):
+        def dec(b):
+            return _dib_decode(b, w, h)
+    else:
+        raise AviError(f"unsupported biCompression {comp!r}")
+    return [(i, dec(blobs[i]))
             for i in range(0, len(blobs), every_n)]

@@ -183,7 +183,12 @@ def image_features(images: DataFrame) -> DataFrame:
                     pdf["media_ref"], pdf["height"], pdf["width"],
                     pdf["channels"], pdf["data"]):
                 img = decode_raw_rgb(data, int(h), int(w), int(c))
-                f = img.astype(np.float32)
+                # float64 on purpose: channel sums of uint8 pixels are
+                # exact integers in float64 at any image size, so the
+                # means here equal a SQL engine's avg() bit-for-bit —
+                # the multimodal_features driver key hash-checks this
+                # path against DuckDB
+                f = img.astype(np.float64)
                 gray = f.mean(axis=2)
                 rows.append((ref, int(h), int(w),
                              float(f[..., 0].mean()),
