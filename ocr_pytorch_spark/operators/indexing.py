@@ -327,17 +327,26 @@ def bloom_probe_stats(build_df: DataFrame, build_key: str,
             .groupBy("k").agg(F.count("*").alias("n_hit"))
             .where(F.col("n_hit") == BLOOM_HASHES)
             .select("k"))
-    members = (probe_df.select(F.col(probe_key).alias("k")).distinct()
-               .join(build_df.select(F.col(build_key).alias("k"))
-                     .distinct(), "k", "left_semi"))
-    n_probed = probe_df.select(probe_key).distinct().count()
-    n_cand = hits.count()
-    n_mem = members.count()
-    spark = probe_df.sparkSession
-    return spark.createDataFrame(
-        [(n_probed, n_cand, n_mem, n_cand - n_mem)],
-        "n_probed long, n_candidates long, n_members long, "
-        "n_false_positives long")
+    # ONE aggregation job (r4 VERDICT task 6; was three driver
+    # counts): flag each distinct probe key as candidate / member and
+    # fold the stats with conditional sums.  The membership join
+    # against the distinct build keys is fixture-tier GROUND TRUTH for
+    # measuring the sketch's FP rate — the production probe path is
+    # `hits` alone (broadcast bloom, no build-side join).
+    cand = hits.withColumn("is_cand", F.lit(1))
+    memb = (build_df.select(F.col(build_key).alias("k")).distinct()
+            .withColumn("is_mem", F.lit(1)))
+    flagged = (probe_df.select(F.col(probe_key).alias("k")).distinct()
+               .join(cand, "k", "left")
+               .join(memb, "k", "left")
+               .select(F.coalesce("is_cand", F.lit(0)).alias("c"),
+                       F.coalesce("is_mem", F.lit(0)).alias("m")))
+    return flagged.agg(
+        F.count("*").cast("long").alias("n_probed"),
+        F.sum("c").cast("long").alias("n_candidates"),
+        F.sum("m").cast("long").alias("n_members"),
+        F.sum(F.col("c") * (1 - F.col("m"))).cast("long")
+        .alias("n_false_positives"))
 
 
 def bloom_probe_stats_oracle_sql(build_table: str, build_key: str,
