@@ -54,7 +54,8 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def _scaled_dir(spark) -> str:
+def _scaled_dir(spark, sf_dir: str | None = None,
+                scale: int | None = None) -> str:
     """Build (once, cached in /tmp) a fixture tier with documents and
     embeddings scaled SCALE×.  Document copies get a per-copy suffix on
     EVERY word, so their shingles are disjoint from the originals' —
@@ -64,34 +65,36 @@ def _scaled_dir(spark) -> str:
     superlinear: measured 12× on dedup_ngram_jaccard at 4×).
     Embedding copies get small deterministic jitter (near-dup clusters
     of size SCALE — bounded).  Other tables are symlinked unscaled."""
-    if SCALE <= 1:
-        return SF_DIR
+    SF = sf_dir or SF_DIR
+    SC = scale if scale is not None else SCALE
+    if SC <= 1:
+        return SF
     from pyspark.sql import functions as F
 
-    tag = os.path.basename(SF_DIR.rstrip("/"))
-    out = f"/tmp/ocr_bench_{tag}_x{SCALE}"
+    tag = os.path.basename(SF.rstrip("/"))
+    out = f"/tmp/ocr_bench_{tag}_x{SC}"
     marker = os.path.join(out, "_SCALE_OK")
     if not os.path.exists(marker):
         os.makedirs(out, exist_ok=True)
         docs = spark.read.parquet(
-            os.path.join(SF_DIR, "documents.parquet"))
+            os.path.join(SF, "documents.parquet"))
         max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
         parts = [docs] + [
             docs.withColumn("doc_id", F.col("doc_id") + c * max_doc)
                 .withColumn("text", F.expr(
                     f"array_join(transform(split(text, ' '), "
                     f"w -> concat(w, 'v{c}')), ' ')"))
-            for c in range(1, SCALE)]
+            for c in range(1, SC)]
         sd = parts[0]
         for p in parts[1:]:
             sd = sd.unionByName(p)
         sd.write.mode("overwrite").parquet(
             os.path.join(out, "documents.parquet"))
         emb = spark.read.parquet(
-            os.path.join(SF_DIR, "embeddings.parquet"))
+            os.path.join(SF, "embeddings.parquet"))
         max_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
         eparts = [emb]
-        for c in range(1, SCALE):
+        for c in range(1, SC):
             # deterministic per-(vec,dim,copy) jitter ~U(-0.05, 0.05):
             # keeps copies near the original (near-dup neighbors grow
             # linearly) without any RNG state
@@ -108,10 +111,10 @@ def _scaled_dir(spark) -> str:
             se = se.unionByName(p)
         se.write.mode("overwrite").parquet(
             os.path.join(out, "embeddings.parquet"))
-        for f in os.listdir(SF_DIR):
+        for f in os.listdir(SF):
             dst = os.path.join(out, f)
             if f.endswith(".parquet") and not os.path.exists(dst):
-                os.symlink(os.path.join(SF_DIR, f), dst)
+                os.symlink(os.path.join(SF, f), dst)
         with open(marker, "w") as fh:
             fh.write("ok\n")
     return out

@@ -170,13 +170,17 @@ def gen_augmented_images(refs: list[str],
 # --- parquet writers (pyarrow; usable without a SparkSession) ---
 
 def write_fixture(out_dir: str, n_docs: int,
-                  seed: int = DEFAULT_SEED) -> tuple[str, str]:
-    """Write documents.parquet + images.parquet under out_dir."""
+                  seed: int = DEFAULT_SEED,
+                  docs: list[dict] | None = None) -> tuple[str, str]:
+    """Write documents.parquet + images.parquet under out_dir.
+    ``docs`` overrides the generated list (e.g. skew-amplified
+    variants for scale runs); images always cover exactly the media
+    refs the docs reference."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    docs = gen_documents(n_docs, seed)
+    docs = docs if docs is not None else gen_documents(n_docs, seed)
     span_type = pa.struct([("kind", pa.string()), ("text", pa.string()),
                            ("media_ref", pa.string()),
                            ("offset", pa.int32())])

@@ -96,18 +96,29 @@ def _get_weights(spec) -> tuple[dict, dict]:
     return spec.value
 
 
-def make_ocr_udf(weights_spec, cfg: PipelineConfig):
+def make_ocr_udf(weights_spec, cfg: PipelineConfig, timing_acc=None):
     """Iterator-of-DataFrames UDF: (media_ref, height, width, channels,
-    data) batches -> (media_ref, box_order, text) rows."""
+    data) batches -> (media_ref, box_order, text) rows.
+
+    ``timing_acc``: optional list-accumulator; when set, each task adds
+    ONE (partition_id, n_images, wall_ms) triple on completion — the
+    per-partition wall source for the lineage job's _metrics table
+    (straggler observability; task retries may double-count, which is
+    fine for a diagnostic)."""
 
     def ocr_batches(batches: Iterator[pd.DataFrame]
                     ) -> Iterator[pd.DataFrame]:
+        import time as _time
+
         import numpy as np
 
         from ocr_pytorch_spark.oracle import ocr_image
 
+        _t0 = _time.time()
+        _n_imgs = 0
         ctpn_w, crnn_w = _get_weights(weights_spec)
         for pdf in batches:
+            _n_imgs += len(pdf)
             refs: list[str] = []
             orders: list[int] = []
             texts: list[str] = []
@@ -135,8 +146,33 @@ def make_ocr_udf(weights_spec, cfg: PipelineConfig):
                 {"media_ref": refs,
                  "box_order": pd.array(orders, dtype="int32"),
                  "text": texts})
+        if timing_acc is not None:
+            from pyspark import TaskContext
+            tc = TaskContext.get()
+            pid = tc.partitionId() if tc is not None else -1
+            timing_acc.add([(pid, _n_imgs,
+                             int((_time.time() - _t0) * 1000))])
 
     return ocr_batches
+
+
+class ListAccumulatorParam:
+    """AccumulatorParam collecting small lists of tuples (per-partition
+    timing rows).  Import-light: duck-typed against
+    pyspark.accumulators.AccumulatorParam."""
+
+    def zero(self, value):
+        return []
+
+    def addInPlace(self, a, b):
+        a.extend(b)
+        return a
+
+
+def ocr_timing_accumulator(spark):
+    """-> a list accumulator make_ocr_udf/extract can fill with
+    (partition_id, n_images, wall_ms) rows."""
+    return spark.sparkContext.accumulator([], ListAccumulatorParam())
 
 
 def file_weights_spec(ctpn_path: str | None = None,
@@ -180,7 +216,8 @@ def explode_spans(documents: DataFrame) -> DataFrame:
 
 def ocr_transcripts(images: DataFrame, media_spans: DataFrame,
                     weights_spec, cfg: PipelineConfig,
-                    salt_partitions: int | None = None) -> DataFrame:
+                    salt_partitions: int | None = None,
+                    timing_acc=None) -> DataFrame:
     """(media_ref, box_order, text) for every distinct needed image."""
     spark = images.sparkSession
     needed = media_spans.select("media_ref").distinct()
@@ -198,7 +235,7 @@ def ocr_transcripts(images: DataFrame, media_spans: DataFrame,
     # the explicit partition count marks the shuffle REPARTITION_BY_NUM
     # so AQE does not coalesce this low-bytes/high-compute stage
     todo = todo.repartition(p, F.xxhash64("media_ref"))
-    return todo.mapInPandas(make_ocr_udf(weights_spec, cfg),
+    return todo.mapInPandas(make_ocr_udf(weights_spec, cfg, timing_acc),
                             schema=OCR_OUT_SCHEMA)
 
 
@@ -211,7 +248,8 @@ def ocr_errors(transcripts: DataFrame) -> DataFrame:
 
 def extract(documents: DataFrame, images: DataFrame, weights_spec=None,
             cfg: PipelineConfig | None = None,
-            salt_partitions: int | None = None) -> DataFrame:
+            salt_partitions: int | None = None,
+            timing_acc=None) -> DataFrame:
     """documents(doc_id, spans) x images -> extracted(doc_id, spans).
 
     Text spans pass through untouched; media spans are replaced by their
@@ -236,7 +274,7 @@ def extract(documents: DataFrame, images: DataFrame, weights_spec=None,
     )
 
     transcripts = ocr_transcripts(images, media_spans, weights_spec, cfg,
-                                  salt_partitions)
+                                  salt_partitions, timing_acc)
     ocr_spans = (
         media_spans.join(
             transcripts.where(F.col("box_order") != ERROR_BOX_ORDER),

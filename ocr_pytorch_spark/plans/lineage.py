@@ -30,7 +30,9 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocr_pytorch_spark.config import PipelineConfig
-from ocr_pytorch_spark.operators.extract import extract, file_weights_spec
+from ocr_pytorch_spark.operators.extract import (extract,
+                                                 file_weights_spec,
+                                                 ocr_timing_accumulator)
 
 LINEAGE_SCHEMA = ("bucket int, doc_id_min string, doc_id_max string, "
                   "n_docs long, status string, attempt int, wall_ms long")
@@ -88,8 +90,14 @@ def run_extract_job(spark: SparkSession, documents: DataFrame,
         return {"buckets_total": buckets, "buckets_skipped": len(done),
                 "docs_processed": 0, "wall_ms": 0}
 
+    # per-partition OCR walls flow back through an accumulator and
+    # land in _metrics as stage='ocr_partition' rows — the straggler
+    # observability the bucket-level rows can't give (all buckets
+    # commit from ONE job, so their wall_ms is the job wall)
+    timing_acc = ocr_timing_accumulator(spark)
     out = extract(pending_docs.drop("bucket"), images,
-                  weights_spec or file_weights_spec(), cfg)
+                  weights_spec or file_weights_spec(), cfg,
+                  timing_acc=timing_acc)
     out_b = out.withColumn(
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).cast("int"))
     data_dir = data_table or os.path.join(dst, "data")
@@ -126,6 +134,10 @@ def run_extract_job(spark: SparkSession, documents: DataFrame,
                      int(r["n_spans"]),
                      int(prev_attempt.get(r["bucket"], 0)) + 1, wall_ms)
                     for r in stats]
+    attempt_no = max([a for a in prev_attempt.values()] or [0]) + 1
+    metrics_rows += [("ocr_partition", int(pid), int(n_imgs), 0,
+                      attempt_no, int(w_ms))
+                     for pid, n_imgs, w_ms in timing_acc.value]
     spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).coalesce(1) \
         .write.mode("append").parquet(os.path.join(dst, "_lineage"))
     spark.createDataFrame(metrics_rows, METRICS_SCHEMA).coalesce(1) \

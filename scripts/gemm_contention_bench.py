@@ -10,7 +10,17 @@ dataflow effect.  On a real cluster each executor brings its own
 socket, so the low-K conditions are the transferable ones
 (BENCH/BASELINE.md).
 
-    python scripts/gemm_contention_bench.py [--mode gemm|ocr]
+    python scripts/gemm_contention_bench.py [--mode gemm|ocr|gemmact]
+
+Mode "gemmact" answers the r4 task-4 fusion question by measurement:
+the same conv5-shaped GEMM loop plus ONE simulated unfused-activation
+round-trip per iteration (sequential fill + sequential sum of an
+$SPARK_GRAFT_ACT_MB-sized float32 buffer — the write+read a fused
+conv5_x->conv5_{x+1} tile pipeline would eliminate).  If gemmact's
+r(32)/r(8) contention ratio matches plain gemm's, the round-trip is
+not what saturates the socket, i.e. pair-fusion is bandwidth-neutral
+on this host.  $SPARK_GRAFT_CONTENTION_LEVELS (e.g. "1,8,32")
+restricts the ladder.
 """
 
 from __future__ import annotations
@@ -30,28 +40,37 @@ if REPO_ROOT not in sys.path:
 
 import ocr_pytorch_spark  # noqa: E402,F401  (sets OPENBLAS_CORETYPE pre-numpy)
 
-LEVELS = (1, 2, 4, 8, 16, 32)
+LEVELS = tuple(int(v) for v in os.environ.get(
+    "SPARK_GRAFT_CONTENTION_LEVELS", "1,2,4,8,16,32").split(","))
 GEMM_SECONDS = 4.0
 OCR_IMAGES = 6
+ACT_MB = float(os.environ.get("SPARK_GRAFT_ACT_MB", "7.4"))
 
 
 def _child(mode: str) -> None:
     import numpy as np
-    if mode == "gemm":
+    if mode in ("gemm", "gemmact"):
         # conv5-shaped GEMM: (512 x 4608) @ (4608 x 576)
         rng = np.random.default_rng(0)
         a = rng.standard_normal((512, 4608)).astype(np.float32)
         b = rng.standard_normal((4608, 576)).astype(np.float32)
         out = np.empty((512, 576), np.float32)
+        act = np.empty(int(ACT_MB * (1 << 20) / 4), np.float32) \
+            if mode == "gemmact" else None
+        sink = 0.0
         np.dot(a, b, out=out)  # warm
         n = 0
         t0 = time.perf_counter()
         while time.perf_counter() - t0 < GEMM_SECONDS:
             np.dot(a, b, out=out)
+            if act is not None:
+                act.fill(0.33)          # the write an unfused conv
+                sink += float(act.sum())  # pair spends; fused saves it
             n += 1
         dt = time.perf_counter() - t0
         gflops = 2 * 512 * 4608 * 576 * n / dt / 1e9
-        print(json.dumps({"gflops": round(gflops, 2)}))
+        print(json.dumps({"gflops": round(gflops, 2),
+                          "iters_per_sec": round(n / dt, 3)}))
     else:
         from ocr_pytorch_spark import datagen, oracle
         from ocr_pytorch_spark.config import PipelineConfig

@@ -1,0 +1,209 @@
+"""sf1-tier scale evidence (r4 VERDICT task 3): the flagship OCR
+extraction + the dedup family at 10x the per-round driver tier, with
+HEAVIER skew than the stock generator — a hot-ref whale: every media
+span of 25% of documents is remapped to ONE media_ref, so a quarter of
+the corpus fans in on a single image.  This is the closest in-sandbox
+proxy for "would the plan survive 100x": the whale proves the
+broadcast-semi-join + distinct-ref design (each image OCR'd once, no
+per-doc refetch) and the doc_id-hash bucketing proves no lineage
+bucket inherits the media skew.
+
+Outputs one JSON line and rewrites BENCH/SF1.md, including a
+straggler analysis (max/median bucket wall from the _metrics table the
+extraction job commits per bucket).
+
+    python scripts/sf1_scale_run.py            # full run (~15 min)
+    SPARK_GRAFT_SF1_DOCS=1200 python ...       # smoke tier
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+import ocr_pytorch_spark  # noqa: E402,F401  (sets OPENBLAS_CORETYPE pre-numpy)
+
+N_DOCS = int(os.environ.get("SPARK_GRAFT_SF1_DOCS", "12000"))
+WHALE_EVERY = 4          # docs with idx % 4 == 0 -> all media on whale
+WHALE_REF = "img-hot-0000"
+FIXTURE_DIR = os.environ.get("SPARK_GRAFT_SF1_FIXTURE",
+                             f"/tmp/ocr_sf1_fixture_{N_DOCS}")
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEDUP_SCALE = int(os.environ.get("SPARK_GRAFT_SF1_DEDUP_SCALE", "10"))
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+DEDUP_KEYS = ["dedup_exact", "dedup_lines", "dedup_minhash_lsh",
+              "dedup_simhash", "dedup_ngram_jaccard",
+              "dedup_embedding_cosine", "dedup_components"]
+
+
+def _whale_docs():
+    from ocr_pytorch_spark import datagen
+
+    docs = datagen.gen_documents(N_DOCS)
+    n_remapped = 0
+    for i, d in enumerate(docs):
+        if i % WHALE_EVERY == 0:
+            for s in d["spans"]:
+                if s["kind"] == "media":
+                    s["media_ref"] = WHALE_REF
+                    n_remapped += 1
+    return docs, n_remapped
+
+
+def ensure_fixture() -> int:
+    from ocr_pytorch_spark import datagen
+
+    marker = os.path.join(FIXTURE_DIR, ".ready")
+    if os.path.exists(marker):
+        return int(open(marker).read())
+    docs, n_remapped = _whale_docs()
+    datagen.write_fixture(FIXTURE_DIR, N_DOCS, docs=docs)
+    open(marker, "w").write(str(n_remapped))
+    return n_remapped
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from bench import _force, _scaled_dir
+    from ocr_pytorch_spark import oracle
+    from ocr_pytorch_spark.config import PipelineConfig
+    from ocr_pytorch_spark.models import weights as W
+    from ocr_pytorch_spark.operators.extract import (OCR_OUT_SCHEMA,
+                                                     file_weights_spec,
+                                                     make_ocr_udf)
+    from ocr_pytorch_spark.plans.lineage import run_extract_job
+    from ocr_pytorch_spark.sources.session import get_spark
+
+    t_all = time.time()
+    n_whale_spans = ensure_fixture()
+    W.load_bundled()
+    spark = get_spark(app="sf1-scale", cpus=CPUS)
+    cfg = PipelineConfig.fixture()
+    docs = spark.read.parquet(os.path.join(FIXTURE_DIR,
+                                           "documents.parquet"))
+    imgs = spark.read.parquet(os.path.join(FIXTURE_DIR,
+                                           "images.parquet"))
+    n_docs, n_imgs = docs.count(), imgs.count()
+
+    # --- timed extraction through the lineage job (the production
+    # shape: bucketed commit + _lineage + _metrics) ------------------
+    dst = os.path.join("/tmp", f"ocr_sf1_out_{N_DOCS}")
+    import shutil
+    shutil.rmtree(dst, ignore_errors=True)
+    # warm python workers + weight caches (steady-state timing)
+    from ocr_pytorch_spark.operators.extract import extract
+    extract(docs.limit(64), imgs, file_weights_spec(), cfg) \
+        .write.mode("overwrite").format("noop").save()
+    t0 = time.time()
+    summary = run_extract_job(spark, docs, imgs, dst, cfg, buckets=64,
+                              resume=False)
+    wall = time.time() - t0
+
+    # --- parity: executor-side per-ref oracle OCR, driver reassembly -
+    ctpn_w, crnn_w = W.load_bundled()
+    transcript_rows = (imgs.repartition(64, "media_ref")
+                       .mapInPandas(make_ocr_udf(file_weights_spec(),
+                                                 cfg), OCR_OUT_SCHEMA)
+                       .collect())
+    per_ref: dict = {}
+    for r in sorted(transcript_rows,
+                    key=lambda r: (r["media_ref"], r["box_order"])):
+        if r["box_order"] < 0:
+            raise RuntimeError(
+                f"oracle OCR failed for {r['media_ref']}: {r['text']}")
+        per_ref.setdefault(r["media_ref"], []).append(
+            (r["box_order"], r["text"]))
+    for r in (imgs.select("media_ref").collect()):
+        per_ref.setdefault(r["media_ref"], [])
+
+    expected_rows = []
+    docs_local, _ = _whale_docs()
+    for d in docs_local:
+        doc = {"doc_id": d["doc_id"],
+               "spans": [{"kind": s["kind"], "text": s["text"],
+                          "media_ref": s["media_ref"]}
+                         for s in d["spans"]]}
+        out = oracle.extract_document(doc, None, ctpn_w, crnn_w, cfg,
+                                      ocr_for_ref=lambda ref: per_ref[ref])
+        for s in out["spans"]:
+            expected_rows.append((out["doc_id"], s["offset"], s["kind"],
+                                  s["text"], s["media_ref"]))
+    schema = ("doc_id string, offset int, kind string, text string, "
+              "media_ref string")
+    expected = spark.createDataFrame(expected_rows, schema)
+    actual = (spark.read.parquet(os.path.join(dst, "data"))
+              .select("doc_id", F.explode("spans").alias("s"))
+              .select("doc_id",
+                      F.col("s.offset").alias("offset"),
+                      F.col("s.kind").alias("kind"),
+                      F.col("s.text").alias("text"),
+                      F.col("s.media_ref").alias("media_ref")))
+    n_viol = (actual.exceptAll(expected).count()
+              + expected.exceptAll(actual).count())
+    n_spans = actual.count()
+
+    # --- straggler analysis from the job's own _metrics table -------
+    mets = (spark.read.parquet(os.path.join(dst, "_metrics"))
+            .where(F.col("stage") == "ocr_partition"))
+    stats = mets.agg(
+        F.expr("percentile(wall_ms, 0.5)").alias("med"),
+        F.max("wall_ms").alias("mx"),
+        F.min("wall_ms").alias("mn"),
+        F.count("*").alias("n")).first()
+    lin = spark.read.parquet(os.path.join(dst, "_lineage"))
+    doc_spread = lin.agg(F.min("n_docs").alias("mn"),
+                         F.max("n_docs").alias("mx")).first()
+
+    # --- dedup family at 10x documents ------------------------------
+    qs = E.queries()
+    ddir = _scaled_dir(spark, sf_dir=SF_DIR, scale=DEDUP_SCALE)
+    dedup_secs = {}
+    for k in DEDUP_KEYS:
+        _force(qs[k](spark, ddir))  # warm
+        t0 = time.time()
+        _force(qs[k](spark, ddir))
+        dedup_secs[k] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "sf1_extract_docs_per_sec",
+        "value": round(n_docs / wall, 2),
+        "unit": "docs/sec",
+        "docs": n_docs, "images": n_imgs, "spans": n_spans,
+        "whale_media_spans": n_whale_spans,
+        "extract_wall_sec": round(wall, 2),
+        "parity_violations": n_viol,
+        "bucket_wall_ms": {"median": float(stats["med"]),
+                           "max": int(stats["mx"]),
+                           "min": int(stats["mn"]),
+                           "buckets": int(stats["n"]),
+                           "max_over_median":
+                               round(stats["mx"] / stats["med"], 2)},
+        "bucket_docs": {"min": int(doc_spread["mn"]),
+                        "max": int(doc_spread["mx"])},
+        "dedup_scale": DEDUP_SCALE,
+        "dedup_secs": dedup_secs,
+        "total_wall_sec": round(time.time() - t_all, 1),
+        "cpus": CPUS,
+        "job_summary": summary,
+    }
+    line = json.dumps(result)
+    with open(os.path.join(REPO_ROOT, "BENCH", "SF1.json"), "w") as fh:
+        fh.write(line + "\n")
+    spark.stop()
+    print(line, flush=True)
+
+
+if __name__ == "__main__":
+    main()

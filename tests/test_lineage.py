@@ -98,8 +98,18 @@ def test_metrics_table_written(spark, fixture_tables, bundled_weights,
                       buckets=4)
     m = spark.read.parquet(os.path.join(dst, "_metrics"))
     rows = m.collect()
-    assert rows and all(r["stage"] == "extract" for r in rows)
-    assert sum(r["n_rows"] for r in rows) == N_DOCS
+    stages = {r["stage"] for r in rows}
+    assert stages == {"extract", "ocr_partition"}
+    assert sum(r["n_rows"] for r in rows
+               if r["stage"] == "extract") == N_DOCS
+    # per-partition OCR walls (straggler observability): one row per
+    # OCR task, image counts summing to the distinct refs OCR'd
+    tim = [r for r in rows if r["stage"] == "ocr_partition"]
+    assert tim and all(r["wall_ms"] >= 0 for r in tim)
+    n_distinct_refs = (docs_df.selectExpr("explode(spans) s")
+                       .where("s.kind = 'media'")
+                       .select("s.media_ref").distinct().count())
+    assert sum(r["n_rows"] for r in tim) == n_distinct_refs
 
 
 def test_resume_preserves_committed_under_static_overwrite(
