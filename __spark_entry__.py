@@ -465,6 +465,37 @@ def _multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
         quant4(F.col("dark_frac")).alias("dark_frac"))
 
 
+def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table PLUS 48 planted near-
+    duplicates (deterministic md5-derived jitter, the same expression
+    DuckDB evaluates — both engines compute identical doubles), so the
+    key verifies the operator's discrimination, not a vacuous
+    all-keep: the base corpus has no cos>=0.9 pairs (measured max
+    0.53), so 46 of the 48 planted copies are dropped and every
+    original kept.  The 2 surviving copies straddle an IVF cell
+    boundary (copy and original assigned to different centroids) —
+    the documented SemDeDup recall trade from cluster splitting
+    (arXiv:2303.09540 §3; production raises n_centroids AND probes
+    neighbor cells to shrink it).  operators/similarity.semantic_dedup."""
+    from ocr_pytorch_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    jit = ("(((instr('0123456789abcdef', "
+           "substr(md5(concat(vec_id, ':', i)), 1, 1)) - 1) * 16 + "
+           "instr('0123456789abcdef', "
+           "substr(md5(concat(vec_id, ':', i)), 2, 1)) - 1) "
+           "/ 255.0 * 0.08 - 0.04)")
+    copies = (emb.where(F.col("vec_id") < 48)
+              .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                      F.expr("transform(CAST(embedding AS "
+                             f"array<double>), (x, i) -> x + {jit})")
+                      .alias("embedding")))
+    base = emb.select("vec_id",
+                      F.col("embedding").cast("array<double>")
+                      .alias("embedding"))
+    return S.semantic_dedup(base.unionByName(copies), tau=0.9)
+
+
 def _multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MJPEG-AVI clips synthesized per fixture image (3 frames: base +
     2 augment-chain variants, encoded by kernels/avi.py through the
@@ -1387,6 +1418,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "embeddings")),
         "sim_ivf_topk": lambda s, sf: S.ivf_cosine_topk(
             _t(s, sf, "embeddings")),
+        # SemDeDup (arXiv:2303.09540): IVF-cluster then drop
+        # within-cell cosine>=tau duplicates, lowest id survives
+        # (operators/similarity.semantic_dedup)
+        "semdedup": _semdedup,
         "text_lang_id": lambda s, sf: T.lang_id(_t(s, sf, "documents")),
         # trivial relational coverage, green in r1 AND r2 — parked at
         # the tail so the driver's check budget lands on fresher keys
@@ -1497,6 +1532,7 @@ _ROT_DEBUT: list[str] = [
     # r5 debuts: formerly rows-only multimodal keys, now with exact
     # DuckDB oracles (generate_series-recomputable integer fixtures)
     "multimodal_features", "multimodal_audio", "multimodal_video",
+    "semdedup",
 ]
 
 
@@ -2509,6 +2545,53 @@ def oracle_sql() -> dict[str, str]:
                        AS rk
               FROM vn v CROSS JOIN cents c)
             WHERE rk = 1""",
+        "semdedup": f"""WITH b AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings
+            ), copies AS (
+              SELECT vec_id + 1000000 AS vec_id,
+                     list(x + (((instr('0123456789abcdef',
+                         substr(md5(vec_id || ':' || (i - 1)), 1, 1))
+                         - 1) * 16
+                       + instr('0123456789abcdef',
+                         substr(md5(vec_id || ':' || (i - 1)), 2, 1))
+                         - 1) / 255.0 * 0.08 - 0.04)
+                       ORDER BY i) AS vec
+              FROM (
+                SELECT vec_id, unnest(vec) AS x,
+                       generate_subscripts(vec, 1) AS i
+                FROM b WHERE vec_id < 48)
+              GROUP BY vec_id
+            ), v AS (
+              SELECT * FROM b UNION ALL SELECT * FROM copies
+            ), vn AS (
+              SELECT vec_id, vec,
+                     sqrt(list_dot_product(vec, vec)) AS nrm FROM v
+            ), cents AS (
+              SELECT vec_id AS cell, vec AS cv, nrm AS cn
+              FROM vn WHERE vec_id < 16
+            ), assign AS (
+              SELECT vec_id, cell FROM (
+                SELECT v.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                         {quant4_sql("list_dot_product(v.vec, c.cv)"
+                                     " / (v.nrm * c.cn)")} DESC, c.cell)
+                         AS rk
+                FROM vn v CROSS JOIN cents c)
+              WHERE rk = 1
+            ), vc AS (
+              SELECT a.vec_id, a.vec, a.nrm, s.cell
+              FROM vn a JOIN assign s USING (vec_id)
+            ), dropped AS (
+              SELECT DISTINCT hi.vec_id
+              FROM vc hi JOIN vc lo
+                ON hi.cell = lo.cell AND lo.vec_id < hi.vec_id
+              WHERE {quant4_sql("list_dot_product(hi.vec, lo.vec)"
+                                " / (hi.nrm * lo.nrm)")} >= 0.9
+            )
+            SELECT a.vec_id, a.cell,
+                   (d.vec_id IS NULL) AS keep
+            FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id""",
         "sim_ivf_topk": _VEC_CTE + f""", cents AS (
               SELECT vec_id AS cell, vec AS cv, nrm AS cn
               FROM vn WHERE vec_id < 16

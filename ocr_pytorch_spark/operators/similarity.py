@@ -234,3 +234,43 @@ def lsh_cosine_topk(embeddings: DataFrame, n_queries: int = 5,
                    _pair_cos(F.col("qv"), F.col("vec"),
                              F.col("qn"), F.col("nrm")).alias("cos")))
     return _two_phase_topk(cos, k)
+
+
+def semantic_dedup(embeddings: DataFrame, n_centroids: int = 16,
+                   tau: float = 0.9) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the corpus (IVF cells — the
+    paper's k-means stage), then WITHIN each cell drop every item that
+    has cosine >= tau with a lower-id item; the lowest id of each
+    duplicate neighborhood survives.  Output: (vec_id, cell,
+    keep boolean).
+
+    Scale shape: the only pairwise work is the within-cell self-join —
+    one ~16-byte row per candidate pair, never dim-exploded — and cell
+    population is the dial: raise n_centroids with corpus size (the
+    paper uses 50k clusters at 10^9 docs) so cells stay bounded and
+    the join stays quadratic-in-cell, linear-in-corpus.  The centroid
+    assignment is one broadcast scan (ivf_cells); nothing else
+    shuffles the corpus more than once.
+    """
+    vt = vectors_with_norm(embeddings)
+    cells = ivf_cells(embeddings, n_centroids)
+    vc = vt.join(cells, "vec_id")
+    hi = vc.select(F.col("vec_id").alias("id_hi"),
+                   F.col("vec").alias("vh"), F.col("nrm").alias("nh"),
+                   "cell")
+    lo = vc.select(F.col("vec_id").alias("id_lo"),
+                   F.col("vec").alias("vl"), F.col("nrm").alias("nl"),
+                   "cell")
+    dropped = (hi.join(lo, "cell")
+               .where(F.col("id_lo") < F.col("id_hi"))
+               .where(_pair_cos(F.col("vh"), F.col("vl"),
+                                F.col("nh"), F.col("nl"))
+                      >= F.lit(tau))
+               .select(F.col("id_hi").alias("vec_id"))
+               .distinct())
+    return (cells
+            .join(dropped.withColumn("dropped", F.lit(1)),
+                  "vec_id", "left")
+            .select("vec_id", "cell",
+                    F.col("dropped").isNull().alias("keep")))

@@ -495,32 +495,34 @@ def pack_sequences(documents: DataFrame, budget: int = 256,
     good at any row count.
 
     The bucket id is a DETERMINISTIC function of doc_id (count of
-    precomputed quantile boundaries below it), NOT
+    precomputed range boundaries below it), NOT
     ``spark_partition_id()`` over a ``repartitionByRange`` exchange:
     RangePartitioner re-samples boundaries per job with an RDD-id-
     derived seed, so the totals job and the window job could disagree
     on which bucket a boundary-adjacent doc lands in, silently
-    corrupting the global prefix sum (r4 ADVICE, high).  With the
-    boundaries collected once up front, every job assigns buckets
-    identically and the result is independent of AQE, re-execution,
-    or ``range_partitions``."""
+    corrupting the global prefix sum (r4 ADVICE, high).  Boundaries
+    come from a deterministic hash-sampled sort (xxhash64 sieve,
+    ~200 ids per bucket to the driver, any orderable doc_id type);
+    with them fixed up front, every job assigns buckets identically
+    and the result is independent of AQE, re-execution, or
+    ``range_partitions``."""
     from pyspark.sql import Window
 
     n_parts = max(1, int(range_partitions))
-    bounds: list[float] = []
+    bounds: list = []
     if n_parts > 1:
-        # one tiny action over the skinny doc_id column; Greenwald-
-        # Khanna sketch, deterministic for a fixed input
-        qs = (documents.select(F.col("doc_id").cast("double")
-                               .alias("doc_id"))
-              .approxQuantile("doc_id",
-                              [i / n_parts for i in range(1, n_parts)],
-                              0.001))
-        bounds = sorted(set(qs))
+        n_docs = documents.count()
+        sieve = max(1, n_docs // (n_parts * 200))
+        vals = sorted(r["doc_id"] for r in documents.select("doc_id")
+                      .where(F.pmod(F.xxhash64(
+                          F.col("doc_id").cast("string")),
+                          F.lit(sieve)) == 0)
+                      .collect())
+        bounds = sorted({vals[(len(vals) * i) // n_parts]
+                         for i in range(1, n_parts)}) if vals else []
     pid_expr = F.lit(0)
     for b in bounds:
-        pid_expr = pid_expr + (F.col("doc_id").cast("double") > F.lit(b)
-                               ).cast("int")
+        pid_expr = pid_expr + (F.col("doc_id") > F.lit(b)).cast("int")
     toks = (documents
             .select("doc_id",
                     F.greatest(F.size(words(F.col("text"))), F.lit(1))

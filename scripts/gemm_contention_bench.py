@@ -94,7 +94,7 @@ def main() -> None:
     mode = "gemm"
     if "--mode" in sys.argv:
         mode = sys.argv[sys.argv.index("--mode") + 1]
-    key = "gflops" if mode == "gemm" else "imgs_per_sec"
+    key = "gflops" if mode in ("gemm", "gemmact") else "imgs_per_sec"
     base = None
     for k in LEVELS:
         procs = [subprocess.Popen(

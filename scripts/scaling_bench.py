@@ -143,30 +143,105 @@ def orchestrate() -> None:
         "direct Spark-free measurement** (scripts/",
         "gemm_contention_bench.py: K independent single-thread",
         "processes looping the conv5-shaped sgemm, forced AVX-512",
-        "kernel; r4 numbers):",
+        "kernel; r5 session, measured the same day as this ladder):",
         "",
         "| concurrency | per-core GFLOP/s | ratio vs 1-way |",
         "|---|---|---|",
-        "| 1 | 97.9 | 1.000 |",
-        "| 4 | 97.1 | 0.992 |",
-        "| 8 | 89.9 | 0.919 |",
-        "| 16 | 78.1 | 0.798 |",
-        "| 32 | 54.9 | 0.561 |",
+        "| 1 | 115.97 | 1.000 |",
+        "| 8 | 103.06 | 0.889 |",
+        "| 32 | 83.01 | 0.716 |",
         "",
-        "Aggregate sgemm saturates ~1.76 TFLOP/s across the socket;",
-        "implied pure-kernel efficiency ceilings: r(16)/r(4) = 0.804",
-        "for 4->16 and r(32)/r(8) = 0.610 for 8->32. The pipeline's",
-        "measured legs track these ceilings — what remains above the",
-        "gate leg is single-socket memory physics, not dataflow.",
+        "Implied pure-kernel ceiling r(32)/r(8) = 0.805 this session",
+        "(r4 measured 0.610 on the same command — the harness's",
+        "background load moves the socket's effective bandwidth by",
+        "~30% between sessions, which is why each ladder is paired",
+        "with same-day ceiling measurements). The full-OCR-kernel",
+        "contention mode (--mode ocr: 32 independent processes running",
+        "the entire per-image kernel path) measured the same ceiling",
+        "this session: r(32)/r(8) = 0.806.",
         "",
-        "Round-4 note: forcing the AVX-512 OpenBLAS kernel",
-        "(ocr_pytorch_spark.__init__._blas_coretype, 29 -> 122",
-        "GFLOP/s single-thread) plus branch-free sigmoid /",
-        "offset-loop maxpool / memoized Lanczos tripled absolute",
-        "throughput at every level vs r3 (3.31/6.52/11.49/20.54/28.92",
-        "then, on a 400-doc fixture) while raising per-core bandwidth",
-        "demand — which is why the topmost leg sits at the measured",
-        "ceiling rather than above 0.8.",
+        "**Top-leg root cause, isolated by experiment (r5).** The",
+        "pipeline's 8->32 leg (0.556 at 1200 docs) sits BELOW the",
+        "same-day kernel ceilings, so this session the binder is not",
+        "socket bandwidth. Three measurements on a 4800-doc",
+        "identical-input fixture pin it to local-mode core",
+        "OVERSUBSCRIPTION — the driver python, JVM service threads,",
+        "and a measured resident ~1-core external harness process all",
+        "share the 32 'executor' cores, and the OCR stage's wave",
+        "barrier amplifies whichever worker loses its core:",
+        "",
+        "| config | docs/sec | eff(8->4N-leg) |",
+        "|---|---|---|",
+        "| local[8], 4800 docs | 36.25 | — |",
+        "| local[32], 128 salt partitions (4 waves) | 79.03 | 0.545 |",
+        "| local[32], 256 salt partitions (8 waves) | 82.20 | 0.567 |",
+        "| local[30] (leaves 2 cores for driver/JVM/external) | 84.65 | 0.623 over 3.75x cores |",
+        "",
+        "local[30] BEATS local[32] by 7% — adding the last two workers",
+        "is net negative because they evict the driver/JVM/external",
+        "threads' cores mid-wave. On a real 4N-executor cluster none",
+        "of these share executor cores (the driver is its own node and",
+        "there is no foreign tenant), so this failure mode does not",
+        "transfer; the transferable dataflow evidence remains the gate",
+        "legs above (0.968 / 0.851, both >= the 0.8 north-rule bar).",
+        "Finer waves (256 partitions) recover part of the penalty, as",
+        "expected for a straggler-amplified barrier; the 4-wave",
+        "default stays because it wins under clean conditions",
+        "(r2 sweep).",
+        "",
+        "**Round-5: the conv5 pair-fusion question, answered by",
+        "measurement (r4 task 4).** Would fusing conv+ReLU PAIRS of",
+        "VGG block 5 over one cache-resident tile close the 8->32",
+        "gap? Two measurements say the savable traffic is not what",
+        "saturates the socket:",
+        "",
+        "1. *Static bytes/image roofline* (scripts/conv5_roofline.py,",
+        "   instrumented real forward): at the fixture profile the",
+        "   conv5 block streams 75.5 MB of weight panels + 29.5 MB of",
+        "   im2col tiles per image; the inter-layer activation",
+        "   round-trip pair-fusion could eliminate is 3.3 MB — a",
+        "   **3.0% ceiling** on traffic saved (7.2% at reference",
+        "   720p: 3.58 GB weights + 8.3 GB im2col vs 0.92 GB",
+        "   activations).",
+        "2. *Dynamic contention check* (gemm_contention_bench --mode",
+        "   gemmact: the conv5 GEMM loop plus exactly the",
+        "   unfused-activation write+read per iteration): with the",
+        "   fixture-profile-sized buffer (1.2 MB, cache-resident) the",
+        "   8->32 contention ratio is 0.827 vs plain GEMM's 0.805 —",
+        "   the round-trip adds NO contention, so removing it (=",
+        "   fusing) cannot improve the leg. Only a 7.4 MB",
+        "   DRAM-resident buffer (reference-720p scale) degrades the",
+        "   ratio (0.710), i.e. halo-tile fusion becomes worthwhile",
+        "   only at 720p feature-map sizes, which this ladder does",
+        "   not run.",
+        "",
+        "Conclusion: pair-fusion is bandwidth-neutral at the measured",
+        "profile; the 8->32 residual is the GEMM's own weight/column",
+        "streaming, already at the host ceiling.",
+        "",
+        "**Round-5: sf1-tier whale run (r4 task 3,",
+        "scripts/sf1_scale_run.py, BENCH/SF1.json).** 12,000",
+        "interleaved docs (10x the per-round tier), 15,303 distinct",
+        "images, with 25% of documents' media spans remapped to ONE",
+        "hot media_ref (5,971-span whale): full-corpus span parity vs",
+        "the oracle = **0 violations**, 81.1 docs/s end-to-end",
+        "through the bucketed lineage job (64 buckets, 83,465 spans).",
+        "Straggler analysis from the job's own _metrics",
+        "(stage=ocr_partition, one row per OCR task):",
+        "max/median partition wall = **1.27** (median 26.7 s, max",
+        "33.9 s, min 17.7 s across 128 salted partitions) — the",
+        "whale is OCR'd once behind the distinct-ref semi-join and",
+        "its fan-out rides the ~100-byte transcript shuffle, so no",
+        "partition inherits the media skew; lineage buckets stay",
+        "157-228 docs (doc_id-hash). Dedup family at 10x documents",
+        "(near-dup-scaled tier): exact 1.9 s, lines 7.0 s, simhash",
+        "1.5 s, ngram-jaccard 6.3 s, minhash-LSH 20.3 s, components",
+        "12.4 s, embedding-cosine 72.3 s — embedding-cosine's",
+        "growth tracks candidate-PAIR volume, which the jittered-copy",
+        "fixture grows quadratically in SCALE by construction",
+        "(clusters of size SCALE: 45 intra-cluster pairs at 10x vs 6",
+        "at 4x = 7.5x pairs -> measured 6.8x wall, i.e. linear in",
+        "pairs).",
         "",
         "Plan-shape facts backing this (operators/extract.py,",
         "tests/test_scale_properties.py): image bytes reach the OCR stage",

@@ -95,3 +95,55 @@ def test_ivf_recall_against_exact(spark):
     # probing 2/16 cells scans ~12.5% of the corpus; near neighbors
     # concentrate in the query's cells, so recall must far exceed that
     assert mean_recall >= 0.3, f"IVF recall collapsed: {recalls}"
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    """SemDeDup semantics on a planted corpus: 3 tight clusters of 4
+    near-identical vectors + singles.  Within every cluster exactly
+    the lowest vec_id survives; singles always survive."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # vec 0..2: one representative per cluster, vec 3..7: singles —
+    # so the first-8 centroid sample (ivf_cells) holds exactly one
+    # centroid per cluster and members cannot split across
+    # near-identical centroids; members + more singles follow
+    bases = []
+    rows = []
+    for c in range(3):
+        b = rng.standard_normal(64)
+        b /= np.linalg.norm(b)
+        bases.append(b)
+        rows.append((c, [float(x) for x in b]))
+    single_ids = []
+    vid = 3
+    for _ in range(5):
+        rows.append((vid, [float(x)
+                           for x in rng.standard_normal(64)]))
+        single_ids.append(vid)
+        vid += 1
+    cluster_ids = [[c] for c in range(3)]
+    for c in range(3):
+        for _ in range(3):
+            v = bases[c] + rng.standard_normal(64) * 0.01  # cos~0.9999
+            rows.append((vid, [float(x) for x in v]))
+            cluster_ids[c].append(vid)
+            vid += 1
+    for _ in range(3):
+        rows.append((vid, [float(x)
+                           for x in rng.standard_normal(64)]))
+        single_ids.append(vid)
+        vid += 1
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["keep"]
+           for r in S.semantic_dedup(emb, n_centroids=8,
+                                     tau=0.95).collect()}
+    assert len(out) == vid
+    for ids in cluster_ids:
+        # the three planted duplicates of each cluster are dropped,
+        # the lowest id survives
+        assert out[min(ids)] is True
+        assert all(out[i] is False for i in ids if i != min(ids))
+    # random 64-dim singles never reach cos >= 0.95 with anything
+    assert all(out[i] is True for i in single_ids)
