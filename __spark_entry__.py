@@ -1322,6 +1322,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "documents")),
         "html_main_block": lambda s, sf: H.html_main_block(
             _t(s, sf, "documents")),
+        # Boilerpipe NumWordsRulesClassifier (Kohlschuetter et al.,
+        # WSDM 2010) with lag/lead block context
+        # (operators/html.boilerplate_classify)
+        "boilerplate_blocks": lambda s, sf: H.boilerplate_classify(
+            _t(s, sf, "documents")),
         "layout_reading_order": lambda s, sf: H.layout_reading_order(
             _t(s, sf, "documents")),
         "pdf_text_extract": _pdf_text_extract,
@@ -1532,7 +1537,7 @@ _ROT_DEBUT: list[str] = [
     # r5 debuts: formerly rows-only multimodal keys, now with exact
     # DuckDB oracles (generate_series-recomputable integer fixtures)
     "multimodal_features", "multimodal_audio", "multimodal_video",
-    "semdedup",
+    "semdedup", "boilerplate_blocks",
 ]
 
 
@@ -1983,6 +1988,53 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, row_number() OVER (
             PARTITION BY doc_id ORDER BY score DESC, block_idx) AS rn
           FROM scored) WHERE rn = 1""",
+        "boilerplate_blocks": _HTML_PAGE_CTE + """,
+        blocks AS (
+          SELECT doc_id,
+                 generate_subscripts(string_split_regex(html,
+                   '<(?:p|main|nav|div[^>]*|footer|header)>'), 1) - 1
+                   AS block_idx,
+                 unnest(string_split_regex(html,
+                   '<(?:p|main|nav|div[^>]*|footer|header)>')) AS raw
+          FROM pages
+        ), feat AS (
+          SELECT doc_id, CAST(block_idx AS INT) AS block_idx,
+                 CAST(CASE WHEN length(trim(""" + _HTML_CLEAN_RAW
+        + """)) = 0 THEN 0
+                      ELSE len(string_split(trim(""" + _HTML_CLEAN_RAW
+        + """), ' ')) END AS BIGINT) AS n_words,
+                 CAST(CASE WHEN length(trim(coalesce(array_to_string(
+                        regexp_extract_all(raw,
+                          '(?s)<a [^>]*>(.*?)</a>', 1), ' '), ''))) = 0
+                      THEN 0
+                      ELSE len(string_split(trim(coalesce(
+                        array_to_string(regexp_extract_all(raw,
+                          '(?s)<a [^>]*>(.*?)</a>', 1), ' '), '')),
+                        ' '))
+                      END AS BIGINT) AS n_anchor
+          FROM blocks
+        ), ld AS (
+          SELECT doc_id, block_idx, n_words,
+                 CAST(n_anchor AS DOUBLE)
+                   / greatest(CAST(n_words AS DOUBLE), 1.0) AS ld
+          FROM feat
+        ), ctx AS (
+          SELECT doc_id, block_idx, n_words, ld,
+                 lag(n_words, 1, 0) OVER w AS prev_words,
+                 lead(n_words, 1, 0) OVER w AS next_words,
+                 lag(ld, 1, 0.0) OVER w AS prev_ld
+          FROM ld
+          WINDOW w AS (PARTITION BY doc_id ORDER BY block_idx)
+        )
+        SELECT doc_id, block_idx, n_words,
+               floor(ld * 10000 + 0.5) / 10000 AS link_density,
+               CASE WHEN ld > 0.333 THEN FALSE
+                    WHEN prev_ld <= 0.555
+                      THEN (n_words > 16 OR next_words > 15
+                            OR prev_words > 4)
+                    ELSE (n_words > 40 OR next_words > 17)
+               END AS is_content
+        FROM ctx""",
         "text_repetition": _W_CTE + """,
         d AS (
           SELECT doc_id, string_split(text, ' ') AS ws FROM documents

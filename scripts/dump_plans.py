@@ -115,10 +115,11 @@ COMMENT = {
     "doc_chunks": "build/slice/explode of the token windows all in "
                   "ONE projection over the scan — zero exchanges; "
                   "output partitioning == input partitioning",
-    "pack_sequences": "two-phase prefix sum: range exchange by "
-                      "doc_id, per-partition totals to the driver "
-                      "(O(partitions) rows), broadcast offsets, then "
-                      "a partition-LOCAL running-sum window (no "
+    "pack_sequences": "two-phase prefix sum: deterministic doc_id "
+                      "range buckets (hash-sampled boundaries, "
+                      "re-execution-proof), per-bucket totals to the "
+                      "driver (O(buckets) rows), broadcast offsets, "
+                      "then a bucket-LOCAL running-sum window (no "
                       "single-partition global window anywhere)",
     "lm_perplexity": "bigram + unigram counts are partial-aggregated "
                      "groupBys (vocab-sized outputs); the scoring "
@@ -128,6 +129,12 @@ COMMENT = {
                               "partial agg on (window, type) before "
                               "the exchange; the watermark is a "
                               "no-op in batch",
+    "semdedup": "SemDeDup: one broadcast centroid scan assigns "
+                "cells; the only pairwise work is the within-cell "
+                "self-join (equi-join on cell, one skinny row per "
+                "candidate pair), then a left-anti-style keep flag — "
+                "cell population is the scale dial (raise "
+                "n_centroids with corpus size)",
     "pagerank": "the FINAL iteration's frame: a localCheckpoint scan "
                 "(lineage truncated each iteration) joined to the "
                 "static flagged-node set — per-iteration cost is one "
@@ -158,7 +165,8 @@ def main() -> None:
                  "bpe_top_pairs", "dedup_substring_spans",
                  "tpch_q5", "bloom_custkey", "doc_chunks",
                  "pack_sequences", "lm_perplexity",
-                 "stream_windowed_counts", "pagerank", "ocr_extract"):
+                 "stream_windowed_counts", "semdedup", "pagerank",
+                 "ocr_extract"):
         df = qs[name](spark, SF)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
