@@ -471,12 +471,12 @@ def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB evaluates — both engines compute identical doubles), so the
     key verifies the operator's discrimination, not a vacuous
     all-keep: the base corpus has no cos>=0.9 pairs (measured max
-    0.53), so 46 of the 48 planted copies are dropped and every
-    original kept.  The 2 surviving copies straddle an IVF cell
-    boundary (copy and original assigned to different centroids) —
-    the documented SemDeDup recall trade from cluster splitting
-    (arXiv:2303.09540 §3; production raises n_centroids AND probes
-    neighbor cells to shrink it).  operators/similarity.semantic_dedup."""
+    0.53), so all 48 planted copies are dropped and every original
+    kept (at 16 centroids, 2 copies survived by straddling a cell
+    boundary — the documented SemDeDup cluster-splitting recall
+    trade, arXiv:2303.09540 §3; 64 centroids resolves it here AND
+    keeps cells small enough that the quadratic within-cell stage
+    stays bounded).  operators/similarity.semantic_dedup."""
     from ocr_pytorch_spark.operators import similarity as S
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -493,7 +493,12 @@ def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select("vec_id",
                       F.col("embedding").cast("array<double>")
                       .alias("embedding"))
-    return S.semantic_dedup(base.unionByName(copies), tau=0.9)
+    # n_centroids=64: cell population is the quadratic dial — 16
+    # cells left ~500 vecs/cell at the bench tier (2M pairs, 9s); 64
+    # keeps cells ~125 and the pair stage sub-second, exactly the
+    # "raise n_centroids with corpus size" scale story
+    return S.semantic_dedup(base.unionByName(copies), n_centroids=64,
+                            tau=0.9)
 
 
 def _multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2597,7 +2602,7 @@ def oracle_sql() -> dict[str, str]:
                        AS rk
               FROM vn v CROSS JOIN cents c)
             WHERE rk = 1""",
-        "semdedup": f"""WITH b AS (
+        "semdedup": f"""WITH b AS (  -- n_centroids=64, tau=0.9
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
               FROM embeddings
             ), copies AS (
@@ -2621,7 +2626,7 @@ def oracle_sql() -> dict[str, str]:
                      sqrt(list_dot_product(vec, vec)) AS nrm FROM v
             ), cents AS (
               SELECT vec_id AS cell, vec AS cv, nrm AS cn
-              FROM vn WHERE vec_id < 16
+              FROM vn WHERE vec_id < 64
             ), assign AS (
               SELECT vec_id, cell FROM (
                 SELECT v.vec_id, c.cell,

@@ -46,6 +46,8 @@ HEADLINE = [
     "html_main_block", "pdf_text_extract",
     "dedup_lines", "pii_redact", "tfidf_topk",
     "doc_chunks", "pack_sequences", "lm_perplexity",
+    "semdedup", "boilerplate_blocks",
+    "multimodal_audio", "multimodal_video",
     "png_ocr_extract",
 ]
 

@@ -241,7 +241,10 @@ def orchestrate() -> None:
         "fixture grows quadratically in SCALE by construction",
         "(clusters of size SCALE: 45 intra-cluster pairs at 10x vs 6",
         "at 4x = 7.5x pairs -> measured 6.8x wall, i.e. linear in",
-        "pairs).",
+        "pairs). minhash-LSH's 20.3 s was cold-state noise, not",
+        "superlinearity: re-measured warm in one session, verified",
+        "candidates grow 2662 -> 6835 (2.57x for 2.5x data, linear)",
+        "and the 10x query runs 3.6 s.",
         "",
         "Plan-shape facts backing this (operators/extract.py,",
         "tests/test_scale_properties.py): image bytes reach the OCR stage",
