@@ -69,3 +69,39 @@ def test_spark_video_frame_sample(spark):
     assert np.abs(img.astype(int) - frames[0].astype(int)).mean() < 3.0
     bad = next(r for r in out if r["media_ref"] == "bad")
     assert bad["frame_idx"] == -1  # poison-row contract
+
+
+def test_rgb_dib_roundtrip_exact():
+    """codec='rgb': BI_RGB DIB frames (bottom-up BGR, 4-byte row
+    padding — odd width exercises the pad) roundtrip losslessly and
+    strf-driven dispatch picks the DIB decoder."""
+    from ocr_pytorch_spark.kernels.avi import stream_format
+
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, (24, 33, 3), dtype=np.uint8)
+              for _ in range(5)]
+    blob = encode_avi(frames, fps=4, codec="rgb")
+    comp, w, h = stream_format(blob)
+    assert (comp, w, h) == (b"\x00\x00\x00\x00", 33, 24)
+    out = decode_avi_frames(blob, every_n=2)
+    assert [i for i, _ in out] == [0, 2, 4]
+    for i, f in out:
+        assert np.array_equal(f, frames[i]), i
+
+
+def test_rgb_vs_mjpeg_dispatch():
+    """Same frames through both codecs: raw is bit-exact, MJPEG is
+    lossy-but-close; both decode through the same entry point."""
+    rng = np.random.default_rng(9)
+    base = rng.integers(60, 200, (16, 20, 3), dtype=np.uint8)
+    raw = decode_avi_frames(encode_avi([base], codec="rgb"))[0][1]
+    jpg = decode_avi_frames(encode_avi([base], codec="mjpg"))[0][1]
+    assert np.array_equal(raw, base)
+    assert np.abs(jpg.astype(int) - base.astype(int)).mean() < 8.0
+
+
+def test_unknown_codec_rejected():
+    rng = np.random.default_rng(1)
+    f = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)]
+    with pytest.raises(AviError):
+        encode_avi(f, codec="h264")
