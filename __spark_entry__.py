@@ -1497,6 +1497,12 @@ _PINNED = ["ocr_extract_parity", "salted_join"]
 # and the odd group shrinks to 41, leaving the round-5 window
 # 2 pinned + 41 odd + up to 4 debut keys = 47 ≤ 50 with spare.
 _ROT_ODD = [
+    # pack_sequences moved even->odd for r5: its prefix-sum bucketing
+    # was rewritten this round (deterministic boundaries, r4 ADVICE
+    # high) and the fix should carry a fresh driver hash in
+    # CORRECTNESS_r05, not wait for r6; it was checked green in r4,
+    # so the every-2-rounds cadence is unbroken either way
+    "pack_sequences",
     "decontam_overlap", "pii_redact", "url_host_filter", "dedup_lines",
     "snapshot_time_travel", "tfidf_topk", "inverted_index",
     "top_ngrams_corpus", "zorder_key", "bpe_top_pairs",
@@ -1527,7 +1533,7 @@ _ROT_EVEN = [
     # window still covers them (2 pinned + 37 even + 11 odd = 50) and
     # round 5's leading group (2 + 48 odd) then fits exactly
     "stream_windowed_counts", "stream_interval_join",
-    "stream_dedup_hashes", "doc_chunks", "pack_sequences",
+    "stream_dedup_hashes", "doc_chunks",
     "lm_perplexity", "pagerank",
     # moved from _ROT_ODD in the r5 rebalance (see comment above):
     # these trailed into round 4's (even) window, so even-round
