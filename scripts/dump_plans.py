@@ -129,6 +129,12 @@ COMMENT = {
                               "partial agg on (window, type) before "
                               "the exchange; the watermark is a "
                               "no-op in batch",
+    "boilerplate_blocks": "Boilerpipe block classification: page "
+                          "synthesis, block explode, word/anchor "
+                          "counts all codegen; the prev/next context "
+                          "is ONE sort-based window per doc — a "
+                          "10^12-doc corpus classifies as a flat "
+                          "(doc, block) table with a single exchange",
     "semdedup": "SemDeDup: one broadcast centroid scan assigns "
                 "cells; the only pairwise work is the within-cell "
                 "self-join (equi-join on cell, one skinny row per "
@@ -165,8 +171,8 @@ def main() -> None:
                  "bpe_top_pairs", "dedup_substring_spans",
                  "tpch_q5", "bloom_custkey", "doc_chunks",
                  "pack_sequences", "lm_perplexity",
-                 "stream_windowed_counts", "semdedup", "pagerank",
-                 "ocr_extract"):
+                 "stream_windowed_counts", "boilerplate_blocks",
+                 "semdedup", "pagerank", "ocr_extract"):
         df = qs[name](spark, SF)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
