@@ -501,6 +501,25 @@ def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                             tau=0.9)
 
 
+def _bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference-side BPE tokenization surface: train 8 merges on the
+    corpus (operators/tokenizer.bpe_train — deterministic, ties broken
+    lexicographically), then encode the word vocabulary with the
+    learned merges (bpe_encode: one codegen-collapsed projection chain,
+    no UDF).  Rows-only: the merge table is data-dependent, so no
+    static SQL oracle exists — the encode is verified against a pure-
+    Python reference implementation in tests/test_tokenizer.py."""
+    from ocr_pytorch_spark.operators import tokenizer as TK
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = TK.bpe_train(docs, n_merges=8)
+    enc = TK.bpe_encode(TK.word_vocab(docs), merges)
+    return enc.select(
+        "word", "n",
+        F.size("syms").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", "syms").alias("tokens"))
+
+
 def _multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MJPEG-AVI clips synthesized per fixture image (3 frames: base +
     2 augment-chain variants, encoded by kernels/avi.py through the
@@ -1464,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": _multimodal_audio,
         "multimodal_video": _multimodal_video,
         "multimodal_video_mjpeg": _multimodal_video_mjpeg,
+        "bpe_encode_tokens": _bpe_encode_tokens,
         "multimodal_audio_neardup": _multimodal_audio_neardup,
         "text_compression": _text_compression,
         "ocr_errors_scan": _ocr_errors_scan,

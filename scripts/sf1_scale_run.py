@@ -166,6 +166,37 @@ def main() -> None:
     doc_spread = lin.agg(F.min("n_docs").alias("mn"),
                          F.max("n_docs").alias("mx")).first()
 
+    # --- resume idempotency at scale (north_star: "any failed
+    # partition resumes idempotently"): forget 4 buckets' commits —
+    # as if the job died before their lineage append — and re-run
+    # with resume=True.  Only those buckets may reprocess, and the
+    # full-corpus span set must be unchanged. -----------------------
+    lin_dir = os.path.join(dst, "_lineage")
+    lin_all = spark.read.parquet(lin_dir).cache()
+    lin_all.count()
+    forget = [3, 17, 42, 63]
+    keep = lin_all.where(~F.col("bucket").isin(forget))
+    keep.write.mode("overwrite").parquet(lin_dir + "_tmp")
+    # unpersist BEFORE re-reading: Spark's CacheManager matches the
+    # new scan of lin_dir to the cached pre-delete plan otherwise
+    lin_all.unpersist(blocking=True)
+    shutil.rmtree(lin_dir)
+    os.rename(lin_dir + "_tmp", lin_dir)
+    t0 = time.time()
+    resume_summary = run_extract_job(spark, docs, imgs, dst, cfg,
+                                     buckets=64, resume=True)
+    resume_wall = time.time() - t0
+    assert resume_summary["buckets_skipped"] == 64 - len(forget),         resume_summary
+    actual2 = (spark.read.parquet(os.path.join(dst, "data"))
+               .select("doc_id", F.explode("spans").alias("s"))
+               .select("doc_id",
+                       F.col("s.offset").alias("offset"),
+                       F.col("s.kind").alias("kind"),
+                       F.col("s.text").alias("text"),
+                       F.col("s.media_ref").alias("media_ref")))
+    n_viol_resume = (actual2.exceptAll(expected).count()
+                     + expected.exceptAll(actual2).count())
+
     # --- dedup family at 10x documents ------------------------------
     qs = E.queries()
     ddir = _scaled_dir(spark, sf_dir=SF_DIR, scale=DEDUP_SCALE)
@@ -192,6 +223,13 @@ def main() -> None:
                                round(stats["mx"] / stats["med"], 2)},
         "bucket_docs": {"min": int(doc_spread["mn"]),
                         "max": int(doc_spread["mx"])},
+        "resume": {"forgotten_buckets": len(forget),
+                   "buckets_skipped":
+                       resume_summary["buckets_skipped"],
+                   "docs_reprocessed":
+                       resume_summary["docs_processed"],
+                   "wall_sec": round(resume_wall, 2),
+                   "parity_violations_after_resume": n_viol_resume},
         "dedup_scale": DEDUP_SCALE,
         "dedup_secs": dedup_secs,
         "total_wall_sec": round(time.time() - t_all, 1),
