@@ -8,9 +8,12 @@ broadcast-semi-join + distinct-ref design (each image OCR'd once, no
 per-doc refetch) and the doc_id-hash bucketing proves no lineage
 bucket inherits the media skew.
 
-Outputs one JSON line and rewrites BENCH/SF1.md, including a
-straggler analysis (max/median bucket wall from the _metrics table the
-extraction job commits per bucket).
+Outputs one JSON line (also written to BENCH/SF1.json), including a
+straggler analysis (max/median OCR-partition wall from the _metrics
+table the extraction job commits) and a resume-idempotency leg:
+4 buckets' lineage commits are forgotten and the job re-run with
+resume=True — only those buckets may reprocess and span parity must
+still hold.
 
     python scripts/sf1_scale_run.py            # full run (~15 min)
     SPARK_GRAFT_SF1_DOCS=1200 python ...       # smoke tier
