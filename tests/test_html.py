@@ -116,3 +116,33 @@ def test_rotation_round5_window(monkeypatch):
     window = set(keys[:50])
     assert set(E._ROT_ODD) <= window
     assert all(k in o for k in keys[:50])
+
+
+def test_boilerplate_rules_semantics(spark):
+    """The WSDM-2010 rule cascade must actually separate content from
+    chrome on the synthetic page: nav / ad / footer blocks are
+    link-dense -> boilerplate; the <main> block of a long document is
+    content; a short document's body blocks stay below the word
+    thresholds -> everything is boilerplate."""
+    from ocr_pytorch_spark.operators.html import boilerplate_classify
+
+    long_text = " ".join(f"w{i:02d}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, "just four tiny words")],
+        "doc_id long, text string")
+    rows = {(r["doc_id"], r["block_idx"]): r
+            for r in boilerplate_classify(docs).collect()}
+    # page block layout: 0 head-prefix, 1 nav, 2 ad, 3 <p> first half,
+    # 4 <main> second half, 5 footer
+    nav, ad, footer = rows[(1, 1)], rows[(1, 2)], rows[(1, 5)]
+    assert nav["link_density"] > 0.333 and not nav["is_content"]
+    assert ad["link_density"] > 0.333 and not ad["is_content"]
+    assert footer["link_density"] > 0.333 and not footer["is_content"]
+    p_blk, main_blk = rows[(1, 3)], rows[(1, 4)]
+    # main = 30 second-half words + "tail & end" (entity-decoded)
+    assert p_blk["n_words"] == 30 and main_blk["n_words"] == 33
+    assert p_blk["is_content"] and main_blk["is_content"]
+    # the short doc: body blocks carry <=4 words, no block passes the
+    # word thresholds, and chrome stays chrome
+    assert not any(r["is_content"] for (d, _), r in rows.items()
+                   if d == 2)
