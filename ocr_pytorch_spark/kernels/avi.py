@@ -43,13 +43,20 @@ def _dib_encode(frame: np.ndarray) -> bytes:
     return out.tobytes()
 
 
-def _dib_decode(blob: bytes, w: int, h: int) -> np.ndarray:
+def _dib_decode(blob: bytes, w: int, h: int,
+                topdown: bool = False) -> np.ndarray:
+    """BI_RGB DIB payload -> (H, W, 3) RGB.  Positive biHeight means
+    bottom-up row order (the common case); negative means top-down —
+    rows already in natural order (the BITMAPINFOHEADER spec)."""
     stride = (w * 3 + 3) & ~3
     if len(blob) < stride * h:
         raise AviError("short DIB frame")
     rows = np.frombuffer(blob[:stride * h],
                          dtype=np.uint8).reshape(h, stride)
-    return rows[:, :w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy()
+    img = rows[:, :w * 3].reshape(h, w, 3)
+    if not topdown:
+        img = img[::-1]
+    return img[:, :, ::-1].copy()
 
 
 def encode_avi(frames: list[np.ndarray], fps: int = 8,
@@ -136,7 +143,7 @@ def stream_format(data: bytes) -> tuple[bytes, int, int]:
                             _, w, h = struct.unpack(
                                 "<Iii", data[fat:fat + 12])
                             comp = data[fat + 16:fat + 20]
-                            return comp, w, abs(h)
+                            return comp, w, h
     raise AviError("no strf header found")
 
 
@@ -154,7 +161,8 @@ def decode_avi_frames(data: bytes,
         dec = decode_jpeg
     elif comp in (b"\x00\x00\x00\x00", b"DIB "):
         def dec(b):
-            return _dib_decode(b, w, h)
+            # negative biHeight = top-down DIB (spec)
+            return _dib_decode(b, w, abs(h), topdown=h < 0)
     else:
         raise AviError(f"unsupported biCompression {comp!r}")
     return [(i, dec(blobs[i]))

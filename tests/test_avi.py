@@ -105,3 +105,32 @@ def test_unknown_codec_rejected():
     f = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)]
     with pytest.raises(AviError):
         encode_avi(f, codec="h264")
+
+
+def test_topdown_dib_decodes():
+    """Negative biHeight = top-down DIB (BITMAPINFOHEADER spec): a
+    hand-patched container with un-reversed rows must decode to the
+    same frame."""
+    import struct
+
+    from ocr_pytorch_spark.kernels.avi import stream_format
+
+    rng = np.random.default_rng(13)
+    frame = rng.integers(0, 256, (10, 7, 3), dtype=np.uint8)
+    blob = bytearray(encode_avi([frame], codec="rgb"))
+    # locate strf's biHeight and negate it; rewrite the movi payload
+    # with rows NOT bottom-up (i.e. natural order, still BGR+padded)
+    i = blob.find(b"strf")
+    h_off = i + 8 + 8  # strf hdr + biSize + biWidth
+    (h,) = struct.unpack_from("<i", blob, h_off)
+    assert h == 10
+    struct.pack_into("<i", blob, h_off, -h)
+    stride = (7 * 3 + 3) & ~3
+    rows = np.zeros((10, stride), dtype=np.uint8)
+    rows[:, :21] = frame[:, :, ::-1].reshape(10, 21)  # BGR, top-down
+    j = blob.find(b"00db") + 8
+    blob[j:j + stride * 10] = rows.tobytes()
+    comp, w, hh = stream_format(bytes(blob))
+    assert (comp, w, hh) == (b"\x00\x00\x00\x00", 7, -10)
+    out = decode_avi_frames(bytes(blob))
+    assert np.array_equal(out[0][1], frame)
