@@ -561,7 +561,12 @@ def _multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ocr_errors_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 error sink as a query surface: a corpus with one poisoned
     image (truncated bytes) yields per-image error rows instead of a
-    failed job (rows-only; ERROR_BOX_ORDER contract)."""
+    failed job (ERROR_BOX_ORDER contract).  ORACLE-BEARING since r5:
+    the poison row's (media_ref, error) pair is fully deterministic
+    (numpy's reshape message for 2 bytes vs a declared 10x10x3), so
+    the DuckDB oracle is the literal expected relation — the driver
+    hash then proves the error sink emits EXACTLY one row, with the
+    right ref and message, and that no healthy image leaks into it."""
     _ship_package(spark)
     from ocr_pytorch_spark.config import PipelineConfig
     from ocr_pytorch_spark.models import weights as W
@@ -1523,7 +1528,6 @@ _ROT_ODD = [
     # CORRECTNESS_r05, not wait for r6; it was checked green in r4,
     # so the every-2-rounds cadence is unbroken either way
     "pack_sequences",
-    "decontam_overlap", "pii_redact", "url_host_filter", "dedup_lines",
     "snapshot_time_travel", "tfidf_topk", "inverted_index",
     "top_ngrams_corpus", "zorder_key", "bpe_top_pairs",
     "quality_classifier", "corpus_mix", "dedup_substring_spans",
@@ -1560,6 +1564,7 @@ _ROT_EVEN = [
     # membership keeps their every-2-rounds cadence unbroken
     "corpus_filter", "text_winnow_fp", "html_strip", "html_main_block",
     "layout_reading_order", "pdf_text_extract", "text_repetition",
+    "decontam_overlap", "pii_redact", "url_host_filter", "dedup_lines",
 ]
 # oracle keys debuting THIS round — in neither group, so _rotate()
 # puts them right after the pinned keys; fold into the smaller group
@@ -1568,7 +1573,7 @@ _ROT_DEBUT: list[str] = [
     # r5 debuts: formerly rows-only multimodal keys, now with exact
     # DuckDB oracles (generate_series-recomputable integer fixtures)
     "multimodal_features", "multimodal_audio", "multimodal_video",
-    "semdedup", "boilerplate_blocks",
+    "semdedup", "boilerplate_blocks", "ocr_errors_scan",
 ]
 
 
@@ -2836,6 +2841,10 @@ def oracle_sql() -> dict[str, str]:
         # WAV samples decode to x/32768 (power-of-two, exact in
         # float32/64) and all channel/sample sums stay below 2^53, so
         # the real codec + mapInPandas kernel path hash-matches SQL ---
+        "ocr_errors_scan": """
+            SELECT 'img-poison' AS media_ref,
+                   'ValueError: cannot reshape array of size 2 into '
+                     || 'shape (10,10,3)' AS error""",
         "multimodal_audio": """
             WITH ks AS (SELECT doc_id AS k FROM documents
                         WHERE doc_id < 24),

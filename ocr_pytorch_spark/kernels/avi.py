@@ -130,7 +130,8 @@ def avi_frame_blobs(data: bytes) -> list[bytes]:
 
 def stream_format(data: bytes) -> tuple[bytes, int, int]:
     """Parse hdrl -> strl -> strf BITMAPINFOHEADER of the first video
-    stream -> (biCompression fourcc bytes, width, height)."""
+    stream -> (biCompression fourcc bytes, width, height).  Height is
+    SIGNED, as in the header: negative means top-down row order."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise AviError("not a RIFF/AVI file")
     for cid, at, size in _walk_chunks(data, 12, len(data)):
