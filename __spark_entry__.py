@@ -587,12 +587,43 @@ def _ocr_errors_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual image dedup keys (rows-only: the resample kernel is
-    NumPy, not SQL-expressible)."""
+    """Perceptual image dedup keys through the REAL dHash path
+    (grayscale -> area-resample to 9x8 -> horizontal-gradient sign
+    bits, operators/multimodal.dhash_array) — ORACLE-BEARING since r5:
+    the fixture is a 64x72 integer gradient, so every stage is exact
+    integer arithmetic DuckDB reproduces (8x8 block sums are dyadic
+    /64 means — exact in float32; numpy's round-half-EVEN rint is
+    replicated from the integer block sum: tie iff sum%64==32, then
+    nearest even; bit 63 maps to -(2^63) for two's-complement
+    parity).  Glyph-image dHash stays driver-exercised inside
+    multimodal_neardup."""
     _ship_package(spark)
     from ocr_pytorch_spark.operators.multimodal import image_dhash
 
-    return image_dhash(_fixture_images(spark))
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                r = np.arange(64, dtype=np.int64)[:, None]
+                c = np.arange(72, dtype=np.int64)[None, :]
+                base = 3 * ((r * 2 + c * 5 + k * 7) % 84)
+                img = np.stack([base, base + 3, base + 6],
+                               axis=2).astype(np.uint8)
+                rows.append((f"grad64-{k:04d}", 64, 72, 3,
+                             img.tobytes()))
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "height", "width", "channels", "data"])
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 10).select("doc_id").coalesce(1))
+    images = docs.mapInPandas(
+        synth, "media_ref string, height int, width int, "
+               "channels int, data binary")
+    return image_dhash(images)
 
 
 def _snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1574,6 +1605,7 @@ _ROT_DEBUT: list[str] = [
     # DuckDB oracles (generate_series-recomputable integer fixtures)
     "multimodal_features", "multimodal_audio", "multimodal_video",
     "semdedup", "boilerplate_blocks", "ocr_errors_scan",
+    "multimodal_dhash",
 ]
 
 
@@ -2841,6 +2873,37 @@ def oracle_sql() -> dict[str, str]:
         # WAV samples decode to x/32768 (power-of-two, exact in
         # float32/64) and all channel/sample sums stay below 2^53, so
         # the real codec + mapInPandas kernel path hash-matches SQL ---
+        "multimodal_dhash": """
+            WITH ks AS (SELECT doc_id AS k FROM documents
+                        WHERE doc_id < 10),
+            px AS (SELECT ks.k, rr.r AS r, cc.c AS c,
+                    3 * ((rr.r * 2 + cc.c * 5 + ks.k * 7) % 84) + 3
+                      AS g
+                   FROM ks,
+                        LATERAL unnest(generate_series(0, 63)) rr(r),
+                        LATERAL unnest(generate_series(0, 71)) cc(c)),
+            cells AS (SELECT k, r // 8 AS R, c // 8 AS C,
+                             sum(g) AS s
+                      FROM px GROUP BY k, r // 8, c // 8),
+            cellv AS (SELECT k, R, C,
+                       CASE WHEN s % 64 = 32
+                            THEN (s // 64) + ((s // 64) % 2)
+                            ELSE CAST(floor(s / 64.0 + 0.5) AS BIGINT)
+                       END AS v
+                      FROM cells),
+            bits AS (SELECT a.k, a.R * 8 + a.C AS i,
+                           CASE WHEN b.v > a.v THEN 1 ELSE 0 END
+                             AS bit
+                     FROM cellv a JOIN cellv b
+                       ON a.k = b.k AND a.R = b.R AND b.C = a.C + 1)
+            SELECT 'grad64-' || lpad(CAST(k AS VARCHAR), 4, '0')
+                     AS media_ref,
+                   CAST(sum(CASE
+                     WHEN bit = 1 AND i = 63
+                       THEN -9223372036854775808
+                     WHEN bit = 1 THEN (1::BIGINT << CAST(i AS INT))
+                     ELSE 0 END) AS BIGINT) AS dhash
+            FROM bits GROUP BY k""",
         "ocr_errors_scan": """
             SELECT 'img-poison' AS media_ref,
                    'ValueError: cannot reshape array of size 2 into '
