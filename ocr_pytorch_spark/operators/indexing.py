@@ -341,12 +341,16 @@ def bloom_probe_stats(build_df: DataFrame, build_key: str,
                .join(memb, "k", "left")
                .select(F.coalesce("is_cand", F.lit(0)).alias("c"),
                        F.coalesce("is_mem", F.lit(0)).alias("m")))
+    # coalesce: F.sum over zero rows is NULL — an empty probe set must
+    # report 0s, matching the pre-r5 three-count contract (r5 ADVICE)
     return flagged.agg(
         F.count("*").cast("long").alias("n_probed"),
-        F.sum("c").cast("long").alias("n_candidates"),
-        F.sum("m").cast("long").alias("n_members"),
-        F.sum(F.col("c") * (1 - F.col("m"))).cast("long")
-        .alias("n_false_positives"))
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long")
+        .alias("n_candidates"),
+        F.coalesce(F.sum("m"), F.lit(0)).cast("long")
+        .alias("n_members"),
+        F.coalesce(F.sum(F.col("c") * (1 - F.col("m"))), F.lit(0))
+        .cast("long").alias("n_false_positives"))
 
 
 def bloom_probe_stats_oracle_sql(build_table: str, build_key: str,

@@ -12,6 +12,7 @@ partitioning, UDF signature) is real and tested.
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import pandas as pd
@@ -190,11 +191,24 @@ def image_features(images: DataFrame) -> DataFrame:
                 # path against DuckDB
                 f = img.astype(np.float64)
                 gray = f.mean(axis=2)
+                # std via E[x^2] - E[x]^2, NOT gray.std() (two-pass
+                # deviation form): the oracle-bearing driver keys
+                # (multimodal_features / multimodal_video) hash this
+                # against DuckDB's sqrt(avg(x*x) - avg(x)*avg(x)); on
+                # the integer fixtures both sides are then the exact
+                # same float64 op sequence over exact integer sums —
+                # bit-identical on any platform/numpy, not merely
+                # within quant4 rounding distance (r5 ADVICE)
+                n_px = gray.size
+                s1 = float(gray.sum())
+                s2 = float((gray * gray).sum())
+                std = math.sqrt(max(s2 / n_px - (s1 / n_px) * (s1 / n_px),
+                                    0.0))
                 rows.append((ref, int(h), int(w),
                              float(f[..., 0].mean()),
                              float(f[..., 1].mean()),
                              float(f[..., 2].mean()),
-                             float(gray.std()),
+                             std,
                              float((gray < 100).mean())))
             yield pd.DataFrame(rows, columns=[
                 "media_ref", "height", "width", "mean_r", "mean_g",

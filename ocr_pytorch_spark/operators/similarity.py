@@ -255,13 +255,20 @@ def semantic_dedup(embeddings: DataFrame, n_centroids: int = 16,
     """
     vt = vectors_with_norm(embeddings)
     # the (vec_id, cell) assignment is consumed by THREE plan branches
-    # (both self-join sides + the final keep join); cache() makes the
-    # broadcast-assignment scan run once per query instead of thrice
-    # (measured 4.2s -> 3.0s at the bench tier).  The frame is skinny
-    # (two ids per vector) and Spark's CacheManager dedupes identical
-    # plans across calls; at real scale you'd materialize the
-    # assignment to a bucketed table once and share it.
-    cells = ivf_cells(embeddings, n_centroids).cache()
+    # (both self-join sides + the final keep join); an eager
+    # localCheckpoint makes the broadcast-assignment scan run once per
+    # query instead of thrice (measured 4.2s -> 3.0s at the bench tier
+    # with the equivalent cache()).  localCheckpoint over cache()
+    # because the harness invokes this repeatedly in one session: a
+    # cache() here is never safely unpersistable (the returned plan
+    # still references it), so it leaks cached partitions for the
+    # session lifetime (r5 ADVICE), while checkpoint blocks are
+    # reclaimed by the ContextCleaner once the frame is unreferenced.
+    # The frame is skinny (two ids per vector); at real scale you'd
+    # materialize the assignment to a bucketed table once and share
+    # it — localCheckpoint also documents that executor loss requires
+    # recompute-from-source, acceptable for a two-column side input.
+    cells = ivf_cells(embeddings, n_centroids).localCheckpoint()
     vc = vt.join(cells, "vec_id")
     hi = vc.select(F.col("vec_id").alias("id_hi"),
                    F.col("vec").alias("vh"), F.col("nrm").alias("nh"),

@@ -512,12 +512,22 @@ def pack_sequences(documents: DataFrame, budget: int = 256,
     bounds: list = []
     if n_parts > 1:
         n_docs = documents.count()
-        sieve = max(1, n_docs // (n_parts * 200))
-        vals = sorted(r["doc_id"] for r in documents.select("doc_id")
-                      .where(F.pmod(F.xxhash64(
-                          F.col("doc_id").cast("string")),
-                          F.lit(sieve)) == 0)
-                      .collect())
+        # driver traffic is HARD-capped at ~200 ids/bucket: the sieve
+        # (ceil so the expected survivor count is <= cap, not 2x cap)
+        # thins distributed, then a deterministic bottom-k on
+        # (hash, doc_id) clamps the worst case — sieve=1 on a small
+        # corpus can no longer collect every doc_id (r5 ADVICE).
+        # orderBy+limit compiles to TakeOrderedAndProject over the
+        # already-sieved ~cap rows, so the sort is never corpus-sized.
+        cap = n_parts * 200
+        sieve = max(1, -(-n_docs // cap))
+        vals = sorted(r["doc_id"] for r in documents
+                      .select("doc_id",
+                              F.xxhash64(F.col("doc_id").cast("string"))
+                              .alias("h"))
+                      .where(F.pmod(F.col("h"), F.lit(sieve)) == 0)
+                      .orderBy("h", "doc_id").limit(cap)
+                      .select("doc_id").collect())
         bounds = sorted({vals[(len(vals) * i) // n_parts]
                          for i in range(1, n_parts)}) if vals else []
     pid_expr = F.lit(0)

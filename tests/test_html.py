@@ -104,18 +104,44 @@ def test_rotation_schedule_invariants():
     assert all(k not in o for k in keys[n_oracle:])
 
 
-def test_rotation_round5_window(monkeypatch):
-    """Simulate next round: the odd group must lead and fit the
-    window, so every key checked in r3 is re-checked by r5."""
+@pytest.mark.parametrize("rnd", [6, 7, 8, 9])
+def test_rotation_window_fits_both_parities(monkeypatch, rnd):
+    """The r5 handoff failed because the window fit was only asserted
+    at the round parity the builder happened to run under — the
+    driver then ran at the OTHER parity with an oversubscribed group.
+    Assert the full window contract at both parities explicitly: the
+    leading group (plus pinned plus debuts) fits the 50-key window at
+    round N AND round N+1, so committing before the driver writes
+    CORRECTNESS_r0N.json can never hide an oversubscribed window."""
     import __spark_entry__ as E
 
-    monkeypatch.setattr(E, "_round_number", lambda: 5)
+    monkeypatch.setattr(E, "_round_number", lambda: rnd)
     keys = list(E.queries())
     o = set(E.oracle_sql())
     assert keys[:2] == E._PINNED
-    window = set(keys[:50])
-    assert set(E._ROT_ODD) <= window
-    assert all(k in o for k in keys[:50])
+    window = keys[:50]
+    assert all(k in o for k in window)
+    lead = E._ROT_EVEN if rnd % 2 == 0 else E._ROT_ODD
+    assert len(E._PINNED) + len(E._ROT_DEBUT) + len(lead) <= 50, (
+        f"round {rnd} window oversubscribed: "
+        f"{len(E._PINNED)} pinned + {len(E._ROT_DEBUT)} debut + "
+        f"{len(lead)} lead > 50")
+    assert set(E._PINNED) | set(E._ROT_DEBUT) | set(lead) <= set(window)
+
+
+def test_rotation_rounds_6_and_7_cover_every_oracle_key(monkeypatch):
+    """Union of the round-6 and round-7 driver windows must cover
+    every oracle-bearing key (the every-key-every-2-rounds cadence,
+    incl. dedup_lines which was green-starved since r3)."""
+    import __spark_entry__ as E
+
+    o = set(E.oracle_sql())
+    covered = set()
+    for rnd in (6, 7):
+        monkeypatch.setattr(E, "_round_number", lambda r=rnd: r)
+        covered |= set(list(E.queries())[:50])
+    assert o <= covered, sorted(o - covered)
+    assert "dedup_lines" in covered
 
 
 def test_boilerplate_rules_semantics(spark):
