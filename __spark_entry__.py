@@ -226,13 +226,21 @@ def _ocr_extract_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _png_ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real-image-file ingestion: a PNG corpus (fixture images encoded
-    across all five PNG filter types + the checked-in reference files
+    """Real-image-file ingestion as a PARITY surface — ORACLE-BEARING
+    since r6 (r5 VERDICT task 4, the ocr_extract_parity empty-anti-
+    join pattern): a PNG corpus (fixture images encoded across all
+    five PNG filter types + the checked-in reference files
     test_images/t1.png AND the reference's own rendered JPEG output
-    test_result/t1.jpg) is decoded by the pure-NumPy codecs
-    (magic-byte dispatch) and OCR'd — the reference's demo input path
-    (demo.py:11 cv2.imread of test_images/*.*), end to end in Spark.
-    Rows-only (model forward is not SQL-expressible)."""
+    test_result/t1.jpg — the reference's demo input path, demo.py:11
+    cv2.imread of test_images/*.*) is decoded INSIDE executors by the
+    pure-NumPy codecs (magic-byte dispatch) and OCR'd; the expected
+    side OCRs reference raw arrays — datagen.gen_image_array for the
+    fixtures (fully independent of the PNG codec: encode->decode must
+    be the identity) and a driver-side single-process kernel decode
+    for the real files.  Both sides anti-join to EMPTY, so the DuckDB
+    oracle is the typed empty relation and the driver hash proves the
+    file-ingest path emits byte-identical spans to the direct-array
+    path."""
     _ship_package(spark)
     from ocr_pytorch_spark.config import PipelineConfig
     from ocr_pytorch_spark.models import weights as W
@@ -247,8 +255,38 @@ def _png_ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = PNG.decode_png_images(corpus.unionByName(real))
     ok = images.where(F.col("height") > 0)
     W.load_bundled()
-    return ocr_transcripts(ok, ok.select("media_ref"),
-                           file_weights_spec(), PipelineConfig.fixture())
+    cfg = PipelineConfig.fixture()
+    actual = ocr_transcripts(ok, ok.select("media_ref"),
+                             file_weights_spec(), cfg)
+
+    # expected side: reference raw arrays, no executor codec involved
+    from ocr_pytorch_spark import datagen
+    from ocr_pytorch_spark.kernels.jpeg import decode_jpeg
+    from ocr_pytorch_spark.kernels.png import decode_png
+
+    exp_rows = []
+    for ref in refs:
+        arr, _ = datagen.gen_image_array(ref)
+        exp_rows.append((ref, arr.shape[0], arr.shape[1], 3,
+                         bytearray(arr.tobytes())))
+    assets = os.path.join(REPO_ROOT, "tests", "assets")
+    for fname in sorted(os.listdir(assets)):
+        with open(os.path.join(assets, fname), "rb") as fh:
+            blob = fh.read()
+        arr = (decode_png(blob) if blob[:8].startswith(b"\x89PNG")
+               else decode_jpeg(blob))
+        exp_rows.append((fname, arr.shape[0], arr.shape[1], 3,
+                         bytearray(arr.tobytes())))
+    exp_images = spark.createDataFrame(
+        exp_rows, "media_ref string, height int, width int, "
+                  "channels int, data binary")
+    expected = ocr_transcripts(exp_images,
+                               exp_images.select("media_ref"),
+                               file_weights_spec(), cfg)
+    return (actual.exceptAll(expected)
+            .withColumn("side", F.lit("file_ingest_only"))
+            .unionByName(expected.exceptAll(actual)
+                         .withColumn("side", F.lit("reference_only"))))
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,14 +334,69 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-dup pairs via dHash banding (rows-only).  Fixture
-    doc-images are perceptually flat, so they all pair — semantically
-    correct for this corpus; tests/test_multimodal.py checks the
-    discriminative behavior on structured images."""
+    """Image near-dup pairs via dHash banding — ORACLE-BEARING since
+    r6 (r5 VERDICT task 5): the corpus is 6 planted near-dup groups x
+    3 variants whose dHashes are DESIGNED (datagen.neardup_dhash_bits:
+    md5-derived base pattern per group, exact bit flips per variant —
+    within-group Hamming {2,5,5}, cross-group >= 25), and the images
+    are built so the real pixel path (grayscale -> area-resample ->
+    gradient signs, operators/multimodal.dhash_array) reproduces those
+    bits EXACTLY (identity resample at the 8x9 working size, integer
+    steps).  The oracle is the design-derived pair relation computed
+    from the bit patterns alone — fully independent of the image
+    kernel — so the driver hash proves pigeonhole-band recall at
+    radius 6 end-to-end: all 18 within-group pairs found with exact
+    Hamming, zero cross-group leakage.  Flat glyph-image behavior
+    stays covered by tests/test_multimodal.py."""
     _ship_package(spark)
     from ocr_pytorch_spark.operators.multimodal import image_neardup_pairs
 
-    return image_neardup_pairs(_fixture_images(spark))
+    def synth(batches):
+        import pandas as pd
+
+        from ocr_pytorch_spark.datagen import neardup_fixture_image
+
+        for pdf in batches:
+            refs, hh, ww, cc, blobs = [], [], [], [], []
+            for gid in pdf["gid"]:
+                g = int(gid)
+                for v in range(3):
+                    img = neardup_fixture_image(g, v)
+                    refs.append(f"nd-{g:02d}-{v}")
+                    hh.append(img.shape[0])
+                    ww.append(img.shape[1])
+                    cc.append(3)
+                    blobs.append(img.tobytes())
+            yield pd.DataFrame({"media_ref": refs, "height": hh,
+                                "width": ww, "channels": cc,
+                                "data": blobs})
+
+    groups = spark.createDataFrame([(g,) for g in range(6)], "gid int")
+    images = groups.mapInPandas(
+        synth, "media_ref string, height int, width int, "
+               "channels int, data binary")
+    return (image_neardup_pairs(images, max_hamming=6)
+            .select("ref_a", "ref_b",
+                    F.col("hamming").cast("int").alias("hamming")))
+
+
+def _multimodal_neardup_oracle_sql() -> str:
+    """Design-derived literal pair relation: pairwise Hamming over the
+    datagen.neardup_dhash_bits patterns (pure Python ints — the image
+    kernel is NOT consulted), keeping pairs within radius 6."""
+    from itertools import combinations
+
+    from ocr_pytorch_spark.datagen import neardup_dhash_bits
+
+    hs = {f"nd-{g:02d}-{v}": neardup_dhash_bits(g, v)
+          for g in range(6) for v in range(3)}
+    rows = [f"('{a}', '{b}', {d})"
+            for (a, ha), (b, hb) in combinations(sorted(hs.items()), 2)
+            if (d := bin(ha ^ hb).count("1")) <= 6]
+    assert len(rows) == 18, "fixture design drifted"
+    return ("SELECT ref_a, ref_b, CAST(hamming AS INTEGER) AS hamming "
+            "FROM (VALUES " + ", ".join(rows)
+            + ") AS t(ref_a, ref_b, hamming)")
 
 
 def _multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -395,12 +488,69 @@ def _multimodal_audio_neardup(spark: SparkSession,
 
 
 def _text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """zlib compression-ratio quality signal (rows-only: DuckDB has no
-    compressor)."""
+    """zlib compression-ratio quality signal — ORACLE-BEARING since r6
+    (r5 VERDICT task 4): DuckDB has no compressor, but zlib is
+    deterministic, so the oracle is a literal expected relation
+    recomputed single-process at oracle-build time from the same
+    datagen.compression_fixture_text corpus (the ocr_errors_scan
+    pattern).  The Spark side runs the REAL distributed operator
+    (operators/text.compression_ratio, Arrow-batched mapInPandas) over
+    texts synthesized on executors from doc_id alone, so the driver
+    hash proves the distributed plumbing reproduces the single-process
+    computation on a corpus spanning the compressibility spectrum
+    (ratios 0.02-0.56).  The full documents table stays covered by
+    pytest (tests/test_text_ops.py)."""
     _ship_package(spark)
+    from ocr_pytorch_spark.functions import quant4
     from ocr_pytorch_spark.operators.text import compression_ratio
 
-    return compression_ratio(_t(spark, sf_dir, "documents"))
+    def synth(batches):
+        import pandas as pd
+
+        from ocr_pytorch_spark.datagen import compression_fixture_text
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": [int(k) for k in pdf["doc_id"]],
+                "text": [compression_fixture_text(int(k))
+                         for k in pdf["doc_id"]]})
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 32).select("doc_id"))
+    texts = docs.mapInPandas(synth, "doc_id long, text string")
+    return compression_ratio(texts).select(
+        "doc_id", "n_chars", "n_compressed",
+        quant4(F.col("compression_ratio")).alias("compression_ratio"))
+
+
+def _text_compression_oracle_sql() -> str:
+    """Literal expected relation: the same fixture texts compressed by
+    the driver's zlib (level 6, the operator's setting).  Building the
+    literal at oracle-request time — not a frozen string — keeps the
+    oracle pinned to the interpreter's actual zlib, so a zlib upgrade
+    shifts both sides together (the lesson of the r5 numpy-message
+    fragility).  The unquantized double ratio is embedded via repr()
+    (shortest round-trip) and BOTH engines then apply the identical
+    quant4 floor expression to the identical double."""
+    import zlib
+
+    from ocr_pytorch_spark.datagen import compression_fixture_text
+    from ocr_pytorch_spark.functions import quant4_sql
+
+    rows = []
+    for k in range(32):
+        raw = compression_fixture_text(k).encode("utf-8")
+        z = len(zlib.compress(raw, 6))
+        ratio = z / max(len(raw), 1)
+        rows.append(f"('{k}', {len(raw)}, {z}, "
+                    f"CAST({ratio!r} AS DOUBLE))")
+    q4 = quant4_sql("compression_ratio")
+    return (
+        "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+        "CAST(n_compressed AS BIGINT) AS n_compressed, "
+        f"{q4} AS compression_ratio "
+        "FROM (VALUES " + ", ".join(rows) + ") AS t("
+        "doc_id, n_chars, n_compressed, compression_ratio)")
 
 
 def _multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1614,6 +1764,9 @@ _ROT_EVEN = [
     "stream_windowed_counts", "stream_interval_join",
     "stream_dedup_hashes", "doc_chunks",
     "lm_perplexity", "pagerank",
+    # r6 oracle upgrades, folded directly into the even group (their
+    # debut round 6 is even — see CAPACITY NOTE above):
+    "text_compression", "multimodal_neardup", "png_ocr_extract",
     # moved from _ROT_ODD in the r5 rebalance (see comment above):
     # these trailed into round 4's (even) window, so even-round
     # membership keeps their every-2-rounds cadence unbroken
@@ -1877,6 +2030,15 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _TXT.pack_sequences_oracle_sql(),
         "lm_perplexity": _TXT.lm_perplexity_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
+        # r6 oracle upgrades (r5 VERDICT tasks 4+5)
+        "text_compression": _text_compression_oracle_sql(),
+        "multimodal_neardup": _multimodal_neardup_oracle_sql(),
+        "png_ocr_extract": """
+            SELECT CAST(NULL AS VARCHAR) AS media_ref,
+                   CAST(NULL AS INT) AS box_order,
+                   CAST(NULL AS VARCHAR) AS text,
+                   CAST(NULL AS VARCHAR) AS side
+            WHERE FALSE""",
         "project_bbox_decode": """
             SELECT l_orderkey, l_linenumber,
                    l_quantity * 0.5 + exp(l_discount) * 8.0 AS y_dec,

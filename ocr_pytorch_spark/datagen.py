@@ -205,3 +205,62 @@ def write_fixture(out_dir: str, n_docs: int,
     img_path = os.path.join(out_dir, "images.parquet")
     pq.write_table(img_tbl, img_path)
     return doc_path, img_path
+
+
+# --- oracle-bearing driver fixtures (round 6) -------------------------
+#
+# Shared by the Spark-side synthesis UDFs AND the driver's literal
+# DuckDB oracles, so both sides derive from the same pure-Python
+# design — portable math only (hashlib.md5, integer arithmetic).
+
+def compression_fixture_text(k: int) -> str:
+    """Deterministic text spanning the zlib-compressibility spectrum:
+    k%4==0 highly templated (ratio << 1), 1 small-vocab repetition,
+    2 md5-chain hex (near-incompressible for text), 3 natural-ish
+    pangram repeats.  Pure function of k — no RNG state."""
+    if k % 4 == 0:
+        return (f"copy copy pasta {k} ") * 120
+    if k % 4 == 1:
+        vocab = [
+            "w" + hashlib.md5(f"cfv-{k}-{i}".encode()).hexdigest()[:4]
+            for i in range(7)]
+        return " ".join(vocab[i % 7] for i in range(80))
+    if k % 4 == 2:
+        cur, out = f"cfx-{k}".encode(), []
+        for _ in range(40):
+            cur = hashlib.md5(cur).digest()
+            out.append(cur.hex())
+        return "".join(out)
+    return (f"the quick brown fox {k} jumps over the lazy dog. ") * 12
+
+
+_NEARDUP_FLIPS = {0: (), 1: (7, 21), 2: (7, 33, 40, 52, 61)}
+
+
+def neardup_dhash_bits(g: int, v: int) -> int:
+    """Designed 64-bit dHash for near-dup fixture group g, variant v:
+    an md5-derived base pattern per group, with variant-specific bit
+    flips giving exact within-group Hamming distances d(0,1)=2,
+    d(0,2)=5, d(1,2)=5 (all <= radius 6); distinct-group base
+    patterns differ by ~32 md5 bits, far beyond the radius."""
+    base = int.from_bytes(
+        hashlib.md5(f"ndgrp-{g}".encode()).digest()[:8], "little")
+    for b in _NEARDUP_FLIPS[v]:
+        base ^= 1 << b
+    return base
+
+
+def neardup_fixture_image(g: int, v: int) -> np.ndarray:
+    """(8, 9, 3) uint8 image whose dHash is EXACTLY
+    neardup_dhash_bits(g, v): at the 8x9 dHash working size the
+    area-resample is the identity, all three channels are equal so
+    grayscale is exact, and each horizontal step is +-10 around 100 —
+    bit i (= r*8 + c) is the sign of px[r, c+1] - px[r, c]."""
+    bits = neardup_dhash_bits(g, v)
+    img = np.zeros((8, 9), dtype=np.int64)
+    img[:, 0] = 100
+    for r in range(8):
+        for c in range(8):
+            step = 10 if (bits >> (r * 8 + c)) & 1 else -10
+            img[r, c + 1] = img[r, c] + step
+    return np.repeat(img.astype(np.uint8)[:, :, None], 3, axis=2)
