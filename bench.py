@@ -56,6 +56,28 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _gemm_anchor(seconds: float = 1.5) -> float:
+    """Single-thread conv5-shaped GEMM GFLOP/s — the same-day host-
+    noise anchor (r5 VERDICT task 2): BENCH/BASELINE.md measured the
+    harness background load moving this socket's effective bandwidth
+    ~30% between sessions, so every headline docs/sec now ships with
+    the kernel reading that explains (or rules out) a host swing.
+    Mirrors scripts/gemm_contention_bench.py's single-process mode."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((512, 4608)).astype(np.float32)
+    b = rng.standard_normal((4608, 576)).astype(np.float32)
+    out = np.empty((512, 576), np.float32)
+    np.dot(a, b, out=out)  # warm
+    n, t0 = 0, time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        np.dot(a, b, out=out)
+        n += 1
+    dt = time.perf_counter() - t0
+    return round(2 * 512 * 4608 * 576 * n / dt / 1e9, 2)
+
+
 def _scaled_dir(spark, sf_dir: str | None = None,
                 scale: int | None = None) -> str:
     """Build (once, cached in /tmp) a fixture tier with documents and
@@ -126,6 +148,7 @@ def main() -> None:
     import __spark_entry__ as E
     from ocr_pytorch_spark.sources.session import get_spark
 
+    gemm_pre = _gemm_anchor()
     spark = get_spark(app="ocr_pytorch_spark-bench", cpus=CPUS)
     qs = E.queries()
     timings: dict[str, float] = {}
@@ -162,6 +185,28 @@ def main() -> None:
 
     for name in HEADLINE:
         _timed(name, lambda: _force(qs[name](spark, run_dir)))
+
+    # dedup_minhash_lsh variance diagnosis (r5 VERDICT task 3): the
+    # r5 in-session spread hit 5.7× with no code change, so the band
+    # bucket-size histogram now lands next to the timing — if a bench
+    # rep is slow because the scaled tier blew a band bucket, max_n
+    # says so; if buckets are tiny and the rep is still slow, the
+    # cause is host/GC, not a hot bucket.
+    from ocr_pytorch_spark.operators import dedup as _D
+    from pyspark.sql import functions as _F
+
+    _bs = _D.minhash_bucket_sizes(
+        spark.read.parquet(os.path.join(run_dir, "documents.parquet")))
+    _brow = (_bs.agg(
+        _F.count("*").alias("n_buckets"),
+        _F.max("n").alias("max_n"),
+        _F.coalesce(_F.sum((_F.col("n") > 64).cast("long")),
+                    _F.lit(0)).alias("n_over_64"),
+        _F.coalesce(_F.sum((_F.col("n") > 2).cast("long")),
+                    _F.lit(0)).alias("n_over_2"))
+        .collect()[0])
+    minhash_diag = {k: int(_brow[k]) for k in
+                    ("n_buckets", "max_n", "n_over_64", "n_over_2")}
 
     # flagship OCR extraction: docs/sec over a bench-scale interleaved set
     from ocr_pytorch_spark import datagen
@@ -203,29 +248,40 @@ def main() -> None:
     ocr_sec = timings["ocr_extract"]
 
     total = round(sum(timings.values()), 3)
-    result = {
+    compact = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "spread": spread,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "scale": SCALE,
         "cpus": CPUS,
         "ocr_docs_per_sec": round(n_docs / ocr_sec, 2),
+        "gemm_gflops_single": gemm_pre,
+        "detail": "BENCH_result.json",
+    }
+    result = dict(compact)
+    result.update({
+        "spread": spread,
         "ocr_docs": n_docs,
         "ocr_distinct_images": OCR_IMAGES,
-    }
-    line = json.dumps(result)
-    # survive tail-window truncation (BENCH_r04.json came back
-    # "parsed": null because Spark console progress drowned stdout):
-    # persist the same line to a file, stop Spark (so its shutdown
-    # chatter can't land after us), then print the line LAST.
-    with open(os.path.join(REPO_ROOT, "BENCH_result.json"), "w") as fh:
-        fh.write(line + "\n")
+        "minhash_bucket_histogram": minhash_diag,
+    })
+    # the printed line must be SHORT (r5 VERDICT task 2: the driver's
+    # tail window clipped the head of the 33-query x spread line two
+    # rounds running, so "parsed" came back null) — spread and
+    # diagnostics live only in BENCH_result.json; the compact line
+    # keeps the driver-contract fields.  Persist the detail file,
+    # stop Spark (so shutdown chatter can't land after us), measure
+    # the post-run GEMM anchor, then print the compact line LAST.
     spark.stop()
+    post = _gemm_anchor()
+    compact["gemm_gflops_single_post"] = post
+    result["gemm_gflops_single_post"] = post
+    with open(os.path.join(REPO_ROOT, "BENCH_result.json"), "w") as fh:
+        fh.write(json.dumps(result) + "\n")
     sys.stdout.flush()
-    print(line, flush=True)
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":

@@ -210,6 +210,175 @@ def main() -> None:
         _force(qs[k](spark, ddir))
         dedup_secs[k] = round(time.time() - t0, 3)
 
+    # --- ANN/similarity family at 10x embeddings (r5 VERDICT task 6:
+    # the one family the whale run skipped).  Recall vs brute force at
+    # two settings of each scale dial — n_centroids/n_probe for IVF
+    # (the SemDeDup paper's cluster-count dial) and band count for
+    # LSH — at BOTH the bench tier (4x) and the sf1 tier (10x), so the
+    # dial's recall/cost trade is measured, not asserted. ------------
+    from ocr_pytorch_spark.operators import similarity as S
+
+    def _ann_tier(tier_dir: str) -> dict:
+        emb = spark.read.parquet(os.path.join(tier_dir,
+                                              "embeddings.parquet"))
+        n_vec = emb.count()
+        n_q, k = 32, 10
+        _force(S.cosine_topk(emb, n_q, k))  # warm
+        t0 = time.time()
+        exact_pairs = {(r["q_id"], r["vec_id"])
+                       for r in S.cosine_topk(emb, n_q, k).collect()}
+        bf_wall = time.time() - t0
+        out = {"n_vectors": n_vec, "n_queries": n_q, "k": k,
+               "bruteforce_wall_sec": round(bf_wall, 2),
+               "settings": {}}
+        variants = [
+            ("ivf_c16_p2", lambda: S.ivf_cosine_topk(
+                emb, n_q, k, n_centroids=16, n_probe=2)),
+            ("ivf_c64_p4", lambda: S.ivf_cosine_topk(
+                emb, n_q, k, n_centroids=64, n_probe=4)),
+            ("lsh_b4x8", lambda: S.lsh_cosine_topk(emb, n_q, k)),
+            ("lsh_b8x4", lambda: S.lsh_cosine_topk(emb, n_q, k,
+                                                   bands=8)),
+        ]
+        for label, thunk in variants:
+            _force(thunk())  # warm
+            t0 = time.time()
+            got = {(r["q_id"], r["vec_id"]) for r in thunk().collect()}
+            out["settings"][label] = {
+                "wall_sec": round(time.time() - t0, 2),
+                "recall": round(len(got & exact_pairs)
+                                / max(len(exact_pairs), 1), 4)}
+
+        # SemDeDup at the same tier: the scaled tier plants SCALE-1
+        # jittered copies per base vector, so copy-drop recall is a
+        # measurable ground truth (a copy whose cosine to its original
+        # is >= tau must come out keep=False)
+        tier_scale = DEDUP_SCALE if tier_dir == ddir else 4
+        base_n = n_vec // tier_scale
+        vt = S.vectors_with_norm(emb)
+        orig = (vt.where(F.col("vec_id") < base_n)
+                .select(F.col("vec_id").alias("o_id"),
+                        F.col("vec").alias("ov"),
+                        F.col("nrm").alias("on")))
+        cop = (vt.where(F.col("vec_id") >= base_n)
+               .select("vec_id", "vec", "nrm",
+                       F.pmod(F.col("vec_id"), F.lit(base_n))
+                       .alias("o_id")))
+        true_dups = (cop.join(F.broadcast(orig), "o_id")
+                     .where(S._pair_cos(F.col("vec"), F.col("ov"),
+                                        F.col("nrm"), F.col("on"))
+                            >= 0.9)
+                     .select("vec_id"))
+        n_true = true_dups.count()
+        for n_c in (64, 256):
+            _force(S.semantic_dedup(emb, n_centroids=n_c))  # warm
+            t0 = time.time()
+            dropped = (S.semantic_dedup(emb, n_centroids=n_c)
+                       .where(~F.col("keep")).select("vec_id"))
+            n_caught = true_dups.join(dropped, "vec_id").count()
+            out["settings"][f"semdedup_c{n_c}"] = {
+                "wall_sec": round(time.time() - t0, 2),
+                "planted_dups": n_true,
+                "dup_recall": round(n_caught / max(n_true, 1), 4)}
+        return out
+
+    ann = {"sf1_tier": _ann_tier(ddir),
+           "bench_tier": _ann_tier(_scaled_dir(spark, sf_dir=SF_DIR,
+                                               scale=4))}
+
+    # --- flagship parity under FINE-TUNED weights (r5 VERDICT task
+    # 8): reproduce tests/test_checkpoint_e2e.py's 3-epoch distributed
+    # fine-tune, write the tuned .npz, and re-run a whale-doc subset
+    # through the pipeline vs the oracle under the NEW weights — the
+    # training surface and the scale surface agree end to end. -------
+    import numpy as np
+
+    from ocr_pytorch_spark.models import distributed_training as DT
+    from ocr_pytorch_spark.models.training import SGD
+    from ocr_pytorch_spark.models.weights import save_npz
+
+    n_tuned_docs = int(os.environ.get("SPARK_GRAFT_SF1_TUNED_DOCS",
+                                      "1200"))
+    params0 = {k: np.asarray(v, dtype=np.float64)
+               for k, v in ctpn_w.items()}
+    rng = np.random.default_rng(47)
+    samples = []
+    for _ in range(4):
+        x = rng.standard_normal((1, 3, 32, 32))
+        n_anchors = (32 // 16) * (32 // 16) * 10
+        gt_cls = rng.choice([-1, 0, 1], size=n_anchors,
+                            p=[0.3, 0.5, 0.2]).astype(np.float64)
+        gt_regr = np.zeros((n_anchors, 3))
+        gt_regr[:, 0] = gt_cls
+        gt_regr[:, 1:] = rng.standard_normal((n_anchors, 2))
+        samples.append((x, gt_cls, gt_regr))
+    tuned = DT.train_ctpn_distributed(spark, samples, params0,
+                                      SGD(momentum=0.9), epochs=3,
+                                      lr0=1e-4, total_num=30)
+    tuned_npz = os.path.join("/tmp", f"ctpn_tuned_sf1_{N_DOCS}.npz")
+    save_npz(tuned_npz, {k: v.astype(np.float32)
+                         for k, v in tuned["params"].items()})
+    from ocr_pytorch_spark.models.weights import load_npz, weights_dir
+    crnn_npz = os.path.join(weights_dir(), "crnn.npz")
+    tuned_spec = file_weights_spec(tuned_npz, crnn_npz)
+    tuned_ctpn = load_npz(tuned_npz)
+
+    # doc_id is "doc-%08d" (datagen.gen_document)
+    sub_docs = docs.where(
+        F.substring("doc_id", 5, 8).cast("long") < n_tuned_docs)
+    sub_refs = {r["media_ref"] for r in
+                (sub_docs.select(F.explode("spans").alias("s"))
+                 .where(F.col("s.kind") == "media")
+                 .select(F.col("s.media_ref").alias("media_ref"))
+                 .distinct().collect())}
+    sub_imgs = imgs.where(F.col("media_ref").isin(list(sub_refs)))
+    t0 = time.time()
+    tuned_actual = (extract(sub_docs, sub_imgs, tuned_spec, cfg)
+                    .select("doc_id", F.explode("spans").alias("s"))
+                    .select("doc_id",
+                            F.col("s.offset").alias("offset"),
+                            F.col("s.kind").alias("kind"),
+                            F.col("s.text").alias("text"),
+                            F.col("s.media_ref").alias("media_ref")))
+    tuned_actual = tuned_actual.cache()
+    n_tuned_spans = tuned_actual.count()
+    tuned_wall = time.time() - t0
+
+    tuned_rows = (sub_imgs.repartition(64, "media_ref")
+                  .mapInPandas(make_ocr_udf(tuned_spec, cfg),
+                               OCR_OUT_SCHEMA).collect())
+    tuned_ref: dict = {}
+    for r in sorted(tuned_rows,
+                    key=lambda r: (r["media_ref"], r["box_order"])):
+        if r["box_order"] < 0:
+            raise RuntimeError(
+                f"tuned OCR failed for {r['media_ref']}: {r['text']}")
+        tuned_ref.setdefault(r["media_ref"], []).append(
+            (r["box_order"], r["text"]))
+    for ref in sub_refs:
+        tuned_ref.setdefault(ref, [])
+    tuned_expected_rows = []
+    for d in docs_local:
+        if int(d["doc_id"][4:]) >= n_tuned_docs:
+            continue
+        doc = {"doc_id": d["doc_id"],
+               "spans": [{"kind": s["kind"], "text": s["text"],
+                          "media_ref": s["media_ref"]}
+                         for s in d["spans"]]}
+        out = oracle.extract_document(
+            doc, None, tuned_ctpn, load_npz(crnn_npz), cfg,
+            ocr_for_ref=lambda ref: tuned_ref[ref])
+        for s in out["spans"]:
+            tuned_expected_rows.append(
+                (out["doc_id"], s["offset"], s["kind"], s["text"],
+                 s["media_ref"]))
+    tuned_expected = spark.createDataFrame(tuned_expected_rows, schema)
+    n_viol_tuned = (tuned_actual.exceptAll(tuned_expected).count()
+                    + tuned_expected.exceptAll(tuned_actual).count())
+    w_moved = sum(float(np.abs(tuned["params"][k] - params0[k]).max())
+                  for k in params0)
+    tuned_actual.unpersist()
+
     result = {
         "metric": "sf1_extract_docs_per_sec",
         "value": round(n_docs / wall, 2),
@@ -235,6 +404,13 @@ def main() -> None:
                    "parity_violations_after_resume": n_viol_resume},
         "dedup_scale": DEDUP_SCALE,
         "dedup_secs": dedup_secs,
+        "ann": ann,
+        "tuned_parity": {
+            "docs": n_tuned_docs,
+            "spans": n_tuned_spans,
+            "weight_max_abs_delta": round(w_moved, 6),
+            "extract_wall_sec": round(tuned_wall, 2),
+            "parity_violations": n_viol_tuned},
         "total_wall_sec": round(time.time() - t_all, 1),
         "cpus": CPUS,
         "job_summary": summary,
