@@ -454,37 +454,60 @@ def _multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _multimodal_audio_neardup(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
-    """Audio near-dup pairs: clips synthesized in noisy-copy groups
-    (same tone +- low noise) must pair within groups via the spectral
-    fingerprint + banded Hamming join.  Rows-only (FFT not in SQL)."""
+    """Audio near-dup pairs via spectral-fingerprint banding —
+    ORACLE-BEARING since r6 (closes the second half of r5 VERDICT
+    task 5, the multimodal_neardup pattern): clips are synthesized so
+    the REAL path (WAV encode -> decode -> framed FFT -> band/chunk
+    pooling -> sign bits, kernels/wav.spectral_hash) reproduces
+    md5-designed 64-bit patterns EXACTLY (frame-aligned integer-bin
+    tones, 8 hot bands per time chunk — see datagen.audio_neardup_*),
+    with designed within-group Hamming {2,4,6} and cross-group >= 20.
+    The oracle is the pair relation computed from the bit patterns
+    alone (audio kernel not consulted), so the driver hash proves
+    pigeonhole-band recall at radius 6 end-to-end: all 18 within-
+    group pairs with exact Hamming, zero cross-group leakage."""
     _ship_package(spark)
     from ocr_pytorch_spark.operators.multimodal import audio_neardup_pairs
 
     def synth(batches):
-        import numpy as np
         import pandas as pd
 
+        from ocr_pytorch_spark.datagen import audio_neardup_clip
         from ocr_pytorch_spark.kernels.wav import encode_wav
 
         for pdf in batches:
             refs, blobs = [], []
             for gid in pdf["gid"]:
                 g = int(gid)
-                rng = np.random.default_rng(g)
-                t = np.arange(8000) / 16000.0
-                base = (np.sin(2 * np.pi * (150 + 140 * g) * t)
-                        + 0.4 * np.sin(2 * np.pi * (450 + 90 * g) * t))
-                for v in range(2):  # original + noisy copy
-                    clip = (base * 11000 + rng.normal(0, 150, t.size)) \
-                        .astype(np.int16)
+                for v in range(3):
                     refs.append(f"au-{g:02d}-{v}")
-                    blobs.append(encode_wav(clip))
+                    blobs.append(encode_wav(audio_neardup_clip(g, v)))
             yield pd.DataFrame({"media_ref": refs, "data": blobs})
 
-    groups = spark.createDataFrame([(g,) for g in range(6)],
-                                   "gid int").coalesce(1)
+    groups = spark.createDataFrame([(g,) for g in range(6)], "gid int")
     audio = groups.mapInPandas(synth, "media_ref string, data binary")
-    return audio_neardup_pairs(audio, max_hamming=6)
+    return (audio_neardup_pairs(audio, max_hamming=6)
+            .select("ref_a", "ref_b",
+                    F.col("hamming").cast("int").alias("hamming")))
+
+
+def _multimodal_audio_neardup_oracle_sql() -> str:
+    """Design-derived literal pair relation: pairwise Hamming over the
+    datagen.audio_neardup_bits patterns (pure Python ints — the audio
+    kernel is NOT consulted), keeping pairs within radius 6."""
+    from itertools import combinations
+
+    from ocr_pytorch_spark.datagen import audio_neardup_bits
+
+    hs = {f"au-{g:02d}-{v}": audio_neardup_bits(g, v)
+          for g in range(6) for v in range(3)}
+    rows = [f"('{a}', '{b}', {d})"
+            for (a, ha), (b, hb) in combinations(sorted(hs.items()), 2)
+            if (d := bin(ha ^ hb).count("1")) <= 6]
+    assert len(rows) == 18, "fixture design drifted"
+    return ("SELECT ref_a, ref_b, CAST(hamming AS INTEGER) AS hamming "
+            "FROM (VALUES " + ", ".join(rows)
+            + ") AS t(ref_a, ref_b, hamming)")
 
 
 def _text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1676,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video": _multimodal_video,
         "multimodal_video_mjpeg": _multimodal_video_mjpeg,
         "bpe_encode_tokens": _bpe_encode_tokens,
+        # oracle-bearing since r6 (designed fixture, literal oracle):
         "multimodal_audio_neardup": _multimodal_audio_neardup,
         "text_compression": _text_compression,
         "ocr_errors_scan": _ocr_errors_scan,
@@ -1701,26 +1725,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # key against DuckDB each session, so rotation only decides which rows
 # appear in a given round's CORRECTNESS_r0N.json — nothing is ever
 # unverified.
-_PINNED = ["ocr_extract_parity", "salted_join"]
-# CAPACITY NOTE (r6): the driver window is 50 keys and _PINNED takes 2,
-# so a 2-round cadence can carry at most 2 * 48 = 96 non-pinned oracle
-# keys.  After the r6 rebalance ODD = 48 (checked r5 via old-ODD /
-# debut / r5-trailing membership, next r7) and EVEN = 45 + the three
-# r6 oracle upgrades = 48 (checked r4 / debuting r6, next r8).  New
-# r6 keys fold DIRECTLY into _ROT_EVEN rather than _ROT_DEBUT:
-# round 6 is even so EVEN leads it — membership IS the debut check —
-# while a _ROT_DEBUT entry would also sit at the head of odd round 7
-# and oversubscribe its 2 + 48 = 50 window.  The schedule is now
-# SATURATED at 96/96: the next new oracle key cannot fit a 2-round
-# cadence and must arrive together with a third, lower-cadence tier
-# (e.g. four groups of proven-stable relational keys on an every-4-
-# rounds rotation) — do NOT just append to a group; the both-parity
+_PINNED = ["ocr_extract_parity"]
+# CAPACITY NOTE (r6): the driver window is 50 keys.  With 1 pinned
+# key a 2-round cadence carries at most 49 + 49 = 98 non-pinned
+# oracle keys; the r6 contract has exactly 98 (99 oracle keys total),
+# so the schedule is SATURATED at 99/99.  salted_join was demoted
+# from _PINNED to _ROT_EVEN in r6 to free the slot (flagship parity
+# — ocr_extract_parity — keeps its every-round pin; salted_join was
+# green r1–r5 and a 2-round cadence is proportionate): that one
+# demotion funds the multimodal_audio_neardup oracle upgrade without
+# a third rotation tier.  New r6 keys fold DIRECTLY into _ROT_EVEN
+# rather than _ROT_DEBUT: round 6 is even so EVEN leads it —
+# membership IS the debut check — while a _ROT_DEBUT entry would
+# also sit at the head of odd round 7 and oversubscribe its
+# 1 + 49 = 50 window.  The NEXT new oracle key cannot fit a 2-round
+# cadence and must arrive together with a lower-cadence tier for
+# proven-stable keys — do NOT just append to a group; the both-parity
 # window test (tests/test_html.py) will fail loudly if you try.
 # r6 rebalance detail: the 7 r5-debut keys and the 3 _ROT_EVEN keys
 # that trailed into round 5's window (semi_join_keep,
 # broadcast_dim_join, explode_reassemble — all hash-green in
 # CORRECTNESS_r05) moved to _ROT_ODD; every key's check gap stays ≤ 2
-# rounds (EVEN: r4→r6, ODD: r5→r7, r6 debuts: r6→r8-via-EVEN).
+# rounds (EVEN: r4→r6, ODD: r5→r7, r6 debuts: r6→r8-via-EVEN),
+# with ONE documented exception: tpch_q1 (hash-green r1/r2/r4, the
+# most-verified trivial aggregate in the contract) moved EVEN→ODD to
+# balance the groups at 49/49 and takes a single 3-round gap
+# (r4→r7), returning to the 2-round cadence thereafter.
 _ROT_ODD = [
     # pack_sequences moved even->odd for r5: its prefix-sum bucketing
     # was rewritten this round (deterministic boundaries, r4 ADVICE
@@ -1746,10 +1776,12 @@ _ROT_ODD = [
     "multimodal_dhash",
     # r6 rebalance: trailed into round 5's window (green r05) -> r7
     "semi_join_keep", "broadcast_dim_join", "explode_reassemble",
+    # r6 group balance: one-time 3-round gap (see CAPACITY NOTE)
+    "tpch_q1",
 ]
 # outside round 3's window -> lead even rounds (incl. this round 4)
 _ROT_EVEN = [
-    "tpch_q1", "tpch_q6", "tpch_q3_topk", "dedup_exact",
+    "tpch_q6", "tpch_q3_topk", "dedup_exact",
     "dedup_minhash_sig", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_components", "dedup_embedding_cosine",
     "filename_munge", "sim_topk_cosine", "sim_lsh_buckets",
@@ -1767,6 +1799,9 @@ _ROT_EVEN = [
     # r6 oracle upgrades, folded directly into the even group (their
     # debut round 6 is even — see CAPACITY NOTE above):
     "text_compression", "multimodal_neardup", "png_ocr_extract",
+    "multimodal_audio_neardup",
+    # demoted from _PINNED in r6 (see CAPACITY NOTE above):
+    "salted_join",
     # moved from _ROT_ODD in the r5 rebalance (see comment above):
     # these trailed into round 4's (even) window, so even-round
     # membership keeps their every-2-rounds cadence unbroken
@@ -2033,6 +2068,8 @@ def oracle_sql() -> dict[str, str]:
         # r6 oracle upgrades (r5 VERDICT tasks 4+5)
         "text_compression": _text_compression_oracle_sql(),
         "multimodal_neardup": _multimodal_neardup_oracle_sql(),
+        "multimodal_audio_neardup":
+            _multimodal_audio_neardup_oracle_sql(),
         "png_ocr_extract": """
             SELECT CAST(NULL AS VARCHAR) AS media_ref,
                    CAST(NULL AS INT) AS box_order,

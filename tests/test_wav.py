@@ -94,6 +94,33 @@ def test_spectral_hash_properties():
     spectral_hash(np.zeros((600, 2), dtype=np.float32))
 
 
+def test_audio_neardup_fixture_is_exact():
+    """The designed near-dup fixture (datagen.audio_neardup_*) must
+    reproduce its md5-designed 64-bit patterns EXACTLY through the
+    real path (WAV encode -> decode -> spectral_hash): that exactness
+    is what lets the driver key carry a literal DuckDB oracle derived
+    from the bit patterns alone."""
+    from ocr_pytorch_spark import datagen
+    from ocr_pytorch_spark.kernels.wav import (decode_wav, encode_wav,
+                                               spectral_hash)
+
+    datagen._audio_neardup_check()
+    hs = {}
+    for g in range(6):
+        for v in range(3):
+            clip = datagen.audio_neardup_clip(g, v)
+            dec, _rate = decode_wav(encode_wav(clip))
+            hs[(g, v)] = spectral_hash(np.asarray(dec))
+            assert hs[(g, v)] == datagen.audio_neardup_bits(g, v), (g, v)
+    within = sorted(bin(hs[(g, a)] ^ hs[(g, b)]).count("1")
+                    for g in range(6)
+                    for a, b in ((0, 1), (0, 2), (1, 2)))
+    assert within == [2] * 6 + [4] * 6 + [6] * 6
+    cross = min(bin(hs[x] ^ hs[y]).count("1")
+                for x in hs for y in hs if x < y and x[0] != y[0])
+    assert cross > 6  # zero cross-group leakage at the radius
+
+
 def test_spark_audio_neardup_pairs(spark):
     from ocr_pytorch_spark.kernels.wav import encode_wav
     from ocr_pytorch_spark.operators.multimodal import audio_neardup_pairs
