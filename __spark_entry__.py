@@ -675,33 +675,113 @@ def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inference-side BPE tokenization surface: train 8 merges on the
-    corpus (operators/tokenizer.bpe_train — deterministic, ties broken
-    lexicographically), then encode the word vocabulary with the
-    learned merges (bpe_encode: one codegen-collapsed projection chain,
-    no UDF).  Rows-only: the merge table is data-dependent, so no
-    static SQL oracle exists — the encode is verified against a pure-
-    Python reference implementation in tests/test_tokenizer.py."""
+    """Inference-side BPE tokenization surface — ORACLE-BEARING since
+    r6 (the text_compression literal-relation pattern): the corpus is
+    datagen.bpe_fixture_text over 48 doc_ids (Sennrich-style
+    inflection lexicon, md5-skewed frequencies — 8 merges train with
+    counts >= 195, shared -er/-est suffixes force multi-level merges),
+    synthesized ON EXECUTORS from doc_id alone.  Spark runs the REAL
+    distributed trainer + encoder (operators/tokenizer.bpe_train /
+    bpe_encode — iterative argmax merges, then one codegen-collapsed
+    projection chain, no UDF); the oracle re-derives the merge table
+    and encodings with a pure-Python Sennrich reference (Sennrich et
+    al. 2016, alg. 1) at oracle-build time and emits the literal
+    (word, n, n_tokens, tokens) relation — merges are data-dependent,
+    so the static-corpus fixture is exactly what makes a static SQL
+    oracle exist.  The full documents-table path stays covered by
+    tests/test_tokenizer.py."""
     from ocr_pytorch_spark.operators import tokenizer as TK
 
-    docs = _t(spark, sf_dir, "documents")
-    merges = TK.bpe_train(docs, n_merges=8)
-    enc = TK.bpe_encode(TK.word_vocab(docs), merges)
+    def synth(batches):
+        import pandas as pd
+
+        from ocr_pytorch_spark.datagen import bpe_fixture_text
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": [int(k) for k in pdf["doc_id"]],
+                "text": [bpe_fixture_text(int(k))
+                         for k in pdf["doc_id"]]})
+
+    _ship_package(spark)
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 48).select("doc_id"))
+    texts = docs.mapInPandas(synth, "doc_id long, text string")
+    merges = TK.bpe_train(texts, n_merges=8)
+    enc = TK.bpe_encode(TK.word_vocab(texts), merges)
     return enc.select(
         "word", "n",
         F.size("syms").cast("long").alias("n_tokens"),
         F.concat_ws(" ", "syms").alias("tokens"))
 
 
+def _bpe_encode_tokens_oracle_sql() -> str:
+    """Literal expected relation from a pure-Python Sennrich BPE
+    (train + greedy left-to-right merge application — the same
+    semantics tests/test_tokenizer.py verifies the engine against),
+    over the identical datagen.bpe_fixture_text corpus."""
+    from ocr_pytorch_spark.datagen import bpe_fixture_text
+
+    counts: dict[str, int] = {}
+    for k in range(48):
+        for w in bpe_fixture_text(k).split():
+            counts[w] = counts.get(w, 0) + 1
+
+    vocab = {tuple(w): c for w, c in counts.items()}
+    for _step in range(8):
+        pairs: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[syms[i], syms[i + 1]] = \
+                    pairs.get((syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+
+        def _merge(s: tuple, a: str = a, b: str = b) -> tuple:
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            return tuple(out)
+
+        vocab = {_merge(s): c for s, c in vocab.items()}
+
+    rows = [f"('{''.join(s)}', {c}, {len(s)}, '{' '.join(s)}')"
+            for s, c in sorted(vocab.items())]
+    assert len(rows) == 12, "fixture design drifted"
+    return ("SELECT word, CAST(n AS BIGINT) AS n, "
+            "CAST(n_tokens AS BIGINT) AS n_tokens, tokens "
+            "FROM (VALUES " + ", ".join(rows)
+            + ") AS t(word, n, n_tokens, tokens)")
+
+
 def _multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MJPEG-AVI clips synthesized per fixture image (3 frames: base +
-    2 augment-chain variants, encoded by kernels/avi.py through the
-    in-repo JPEG encoder), then every-2nd frame sampled and decoded
-    back.  One poisoned container exercises the error row.  Rows-only
-    (no JPEG entropy decoder in DuckDB); the lossless raw-DIB AVI path
-    is the oracle-checked multimodal_video key."""
+    """MJPEG-AVI frame sampling as a PARITY surface — ORACLE-BEARING
+    since r6 (the png_ocr_extract empty-anti-join pattern): clips are
+    synthesized per fixture image (3 frames: base + 2 augment-chain
+    variants, encoded by kernels/avi.py through the in-repo JPEG
+    encoder), every-2nd frame container-sliced and decoded by the
+    distributed operator (multimodal.video_frame_sample); the
+    EXPECTED side skips the container entirely — per-frame
+    encode_jpeg -> decode_jpeg on the sampled indices {0, 2} — so the
+    anti-join proves the AVI container round trip is byte-lossless
+    w.r.t. the embedded JPEG blobs and the sampler picks exactly the
+    advertised frames.  Both sides run executor-side (same BLAS
+    family, the r4 lesson), compare by frame md5 so only ~100-byte
+    rows cross the exchange, and the poisoned container's error row
+    must match too.  DuckDB oracle = the typed empty relation."""
     _ship_package(spark)
     from ocr_pytorch_spark.operators.multimodal import video_frame_sample
+
+    POISON = b"RIFF\x04\x00\x00\x00AVI "
 
     def synth(batches):
         import pandas as pd
@@ -721,14 +801,58 @@ def _multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_avi(frames, fps=4))
             if (pdf["media_ref"] == "img-td-0000").any():
                 refs.append("avi-poison")
-                blobs.append(b"RIFF\x04\x00\x00\x00AVI ")
+                blobs.append(POISON)
             yield pd.DataFrame({"media_ref": refs, "data": blobs})
+
+    def expected_rows(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from ocr_pytorch_spark import datagen
+        from ocr_pytorch_spark.kernels.augment import (
+            adjust_brightness, gaussian_blur)
+        from ocr_pytorch_spark.kernels.avi import decode_avi_frames
+        from ocr_pytorch_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for ref in pdf["media_ref"]:
+                img, _ = datagen.gen_image_array(ref)
+                frames = [img, adjust_brightness(img, 0.8),
+                          gaussian_blur(img, 1.0)]
+                for idx in (0, 2):  # every-2nd of 3, sans container
+                    arr = decode_jpeg(encode_jpeg(frames[idx],
+                                                  quality=90))
+                    rows.append((f"avi-{ref}", idx, arr.shape[0],
+                                 arr.shape[1],
+                                 hashlib.md5(arr.tobytes()).hexdigest()))
+                if ref == "img-td-0000":
+                    try:
+                        list(decode_avi_frames(POISON, 2))
+                    except Exception as exc:
+                        msg = f"{type(exc).__name__}: {exc}"[:200]
+                        rows.append(("avi-poison", -1, -1, -1,
+                                     hashlib.md5(msg.encode())
+                                     .hexdigest()))
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "frame_idx", "height", "width",
+                "frame_md5"])
 
     base = spark.createDataFrame(
         [(f"img-td-{i:04d}",) for i in range(8)], "media_ref string")
     videos = base.coalesce(1).mapInPandas(
         synth, "media_ref string, data binary")
-    return video_frame_sample(videos, every_n=2)
+    actual = (video_frame_sample(videos, every_n=2)
+              .select("media_ref", "frame_idx", "height", "width",
+                      F.md5(F.col("data")).alias("frame_md5")))
+    expected = base.coalesce(1).mapInPandas(
+        expected_rows, "media_ref string, frame_idx int, height int, "
+                       "width int, frame_md5 string")
+    return (actual.exceptAll(expected)
+            .withColumn("side", F.lit("pipeline_only"))
+            .unionByName(expected.exceptAll(actual)
+                         .withColumn("side", F.lit("expected_only"))))
 
 
 def _ocr_errors_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1726,31 +1850,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # appear in a given round's CORRECTNESS_r0N.json — nothing is ever
 # unverified.
 _PINNED = ["ocr_extract_parity"]
-# CAPACITY NOTE (r6): the driver window is 50 keys.  With 1 pinned
-# key a 2-round cadence carries at most 49 + 49 = 98 non-pinned
-# oracle keys; the r6 contract has exactly 98 (99 oracle keys total),
-# so the schedule is SATURATED at 99/99.  salted_join was demoted
-# from _PINNED to _ROT_EVEN in r6 to free the slot (flagship parity
-# — ocr_extract_parity — keeps its every-round pin; salted_join was
-# green r1–r5 and a 2-round cadence is proportionate): that one
-# demotion funds the multimodal_audio_neardup oracle upgrade without
-# a third rotation tier.  New r6 keys fold DIRECTLY into _ROT_EVEN
-# rather than _ROT_DEBUT: round 6 is even so EVEN leads it —
-# membership IS the debut check — while a _ROT_DEBUT entry would
-# also sit at the head of odd round 7 and oversubscribe its
-# 1 + 49 = 50 window.  The NEXT new oracle key cannot fit a 2-round
-# cadence and must arrive together with a lower-cadence tier for
-# proven-stable keys — do NOT just append to a group; the both-parity
-# window test (tests/test_html.py) will fail loudly if you try.
+# CAPACITY NOTE (r6): the driver window is 50 keys.  The r6 contract
+# carries 101 oracle keys — past what a pure 2-round cadence can fit
+# (1 pinned + 49 + 49 = 99) — so the schedule became check-cadence-
+# proportional-to-risk, three tiers:
+#   * _PINNED (1): the flagship parity key, EVERY round.  salted_join
+#     was demoted from _PINNED to _ROT_EVEN in r6 to free its slot
+#     (green r1–r5; a 2-round cadence is proportionate).
+#   * _ROT_ODD / _ROT_EVEN (47 + 47): every 2 rounds, as before.
+#   * _ROT_SLOW (6): proven-stable trivial keys (each hash-green in
+#     ≥2 prior rounds), _SLOW_PER_ROUND = 2 surfaced per round by a
+#     deterministic round-robin — every slow key is in-window at
+#     least every 3 rounds.
+# Window arithmetic, EVERY round: 1 pinned + 2 slow + 47 lead = 50,
+# exact.  New r6 keys fold DIRECTLY into _ROT_EVEN rather than
+# _ROT_DEBUT: round 6 is even so EVEN leads it — membership IS the
+# debut check — while a _ROT_DEBUT entry would also sit at the head
+# of odd round 7 and oversubscribe its window.  The NEXT new oracle
+# key must arrive with a matching move of one proven-stable key from
+# its parity group into _ROT_SLOW (growing the slow cycle) — do NOT
+# just append to a group; the both-parity window tests
+# (tests/test_html.py) fail loudly if you try.
 # r6 rebalance detail: the 7 r5-debut keys and the 3 _ROT_EVEN keys
 # that trailed into round 5's window (semi_join_keep,
 # broadcast_dim_join, explode_reassemble — all hash-green in
-# CORRECTNESS_r05) moved to _ROT_ODD; every key's check gap stays ≤ 2
-# rounds (EVEN: r4→r6, ODD: r5→r7, r6 debuts: r6→r8-via-EVEN),
-# with ONE documented exception: tpch_q1 (hash-green r1/r2/r4, the
-# most-verified trivial aggregate in the contract) moved EVEN→ODD to
-# balance the groups at 49/49 and takes a single 3-round gap
-# (r4→r7), returning to the 2-round cadence thereafter.
+# CORRECTNESS_r05) moved to _ROT_ODD.  Transition gaps stay ≤ 3
+# rounds: EVEN r4→r6, ODD r5→r7, r6 debuts r6→r8-via-EVEN; slow-tier
+# slices land r6 = {tpch_q6, filename_munge} (r4→r6), r7 =
+# {filter_minsize, distinct_agg} (r4→r7), r8 = {tpch_q14,
+# filter_threshold} (r5→r8); tpch_q1 moved EVEN→ODD to balance the
+# groups (r4→r7).  Steady state: slow keys every 3 rounds, everything
+# else every 2.
 _ROT_ODD = [
     # pack_sequences moved even->odd for r5: its prefix-sum bucketing
     # was rewritten this round (deterministic boundaries, r4 ADVICE
@@ -1761,10 +1891,10 @@ _ROT_ODD = [
     "snapshot_time_travel", "tfidf_topk", "inverted_index",
     "top_ngrams_corpus", "zorder_key", "bpe_top_pairs",
     "quality_classifier", "corpus_mix", "dedup_substring_spans",
-    "phrase_lookup", "tpch_q5", "tpch_q10", "tpch_q14", "tpch_q18",
+    "phrase_lookup", "tpch_q5", "tpch_q10", "tpch_q18",
     "event_outliers", "bloom_custkey", "approx_distinct_hll",
     "text_quality", "text_token_count", "text_fingerprint",
-    "filter_threshold", "sessionize", "project_bbox_decode",
+    "sessionize", "project_bbox_decode",
     "ohem_topk_sum", "asof_join_events", "cube_agg",
     "window_moving_avg", "session_window_agg", "dedup_keeper_policy",
     "text_normalize", "sample_documents", "time_bucket_rollup",
@@ -1781,14 +1911,14 @@ _ROT_ODD = [
 ]
 # outside round 3's window -> lead even rounds (incl. this round 4)
 _ROT_EVEN = [
-    "tpch_q6", "tpch_q3_topk", "dedup_exact",
+    "tpch_q3_topk", "dedup_exact",
     "dedup_minhash_sig", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_components", "dedup_embedding_cosine",
-    "filename_munge", "sim_topk_cosine", "sim_lsh_buckets",
+    "sim_topk_cosine", "sim_lsh_buckets",
     "sim_lsh_topk", "sim_ivf_cells", "sim_ivf_topk", "text_lang_id",
-    "filter_minsize", "topk_score", "dedupe_consecutive_lag",
+    "topk_score", "dedupe_consecutive_lag",
     "funnel_counts", "retention_cohorts", "percentiles_value",
-    "distinct_agg", "rollup_agg", "set_ops", "pivot_counts",
+    "rollup_agg", "set_ops", "pivot_counts",
     "histogram_value",
     # round-4 debuts, folded straight into the even group: round 4's
     # window still covers them (2 pinned + 37 even + 11 odd = 50) and
@@ -1799,7 +1929,8 @@ _ROT_EVEN = [
     # r6 oracle upgrades, folded directly into the even group (their
     # debut round 6 is even — see CAPACITY NOTE above):
     "text_compression", "multimodal_neardup", "png_ocr_extract",
-    "multimodal_audio_neardup",
+    "multimodal_audio_neardup", "multimodal_video_mjpeg",
+    "bpe_encode_tokens",
     # demoted from _PINNED in r6 (see CAPACITY NOTE above):
     "salted_join",
     # moved from _ROT_ODD in the r5 rebalance (see comment above):
@@ -1809,9 +1940,19 @@ _ROT_EVEN = [
     "layout_reading_order", "pdf_text_extract", "text_repetition",
     "decontam_overlap", "pii_redact", "url_host_filter", "dedup_lines",
 ]
+# low-cadence tier (see CAPACITY NOTE): proven-stable trivial keys,
+# _SLOW_PER_ROUND surfaced per round round-robin — ordered so the r6
+# transition slices keep every gap <= 3 rounds
+_ROT_SLOW = [
+    "tpch_q6", "filename_munge",        # r6 slice (last green r4)
+    "filter_minsize", "distinct_agg",   # r7 slice (last green r4)
+    "tpch_q14", "filter_threshold",     # r8 slice (last green r5)
+]
+_SLOW_PER_ROUND = 2
 # oracle keys debuting THIS round — in neither group, so _rotate()
 # puts them right after the pinned keys; fold into the smaller group
-# next round.  Round 6 budget: exactly 3 slots (see CAPACITY NOTE).
+# next round.  Round 6 budget: ZERO free slots (see CAPACITY NOTE —
+# a new key must arrive with a matching EVEN/ODD -> _ROT_SLOW move).
 _ROT_DEBUT: list[str] = []
 
 
@@ -1827,14 +1968,24 @@ def _round_number() -> int:
 
 def _rotate(base: dict) -> dict:
     with_oracle = set(oracle_sql().keys())
-    lead, trail = ((_ROT_EVEN, _ROT_ODD) if _round_number() % 2 == 0
+    rnd = _round_number()
+    lead, trail = ((_ROT_EVEN, _ROT_ODD) if rnd % 2 == 0
                    else (_ROT_ODD, _ROT_EVEN))
+    # low-cadence tier: _SLOW_PER_ROUND keys per round, round-robin,
+    # so every _ROT_SLOW key is in-window within ceil(len/era) rounds
+    if _ROT_SLOW:
+        start = (rnd * _SLOW_PER_ROUND) % len(_ROT_SLOW)
+        slow = [_ROT_SLOW[(start + i) % len(_ROT_SLOW)]
+                for i in range(min(_SLOW_PER_ROUND, len(_ROT_SLOW)))]
+    else:
+        slow = []
     new = [k for k in base
            if k in with_oracle and k not in _PINNED
-           and k not in _ROT_ODD and k not in _ROT_EVEN]
+           and k not in _ROT_ODD and k not in _ROT_EVEN
+           and k not in _ROT_SLOW]
     rows_only = [k for k in base if k not in with_oracle]
     order, seen = [], set()
-    for k in _PINNED + new + lead + trail + rows_only:
+    for k in _PINNED + new + slow + lead + trail + _ROT_SLOW + rows_only:
         if k in base and k not in seen:
             order.append(k)
             seen.add(k)
@@ -2070,10 +2221,19 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_neardup": _multimodal_neardup_oracle_sql(),
         "multimodal_audio_neardup":
             _multimodal_audio_neardup_oracle_sql(),
+        "bpe_encode_tokens": _bpe_encode_tokens_oracle_sql(),
         "png_ocr_extract": """
             SELECT CAST(NULL AS VARCHAR) AS media_ref,
                    CAST(NULL AS INT) AS box_order,
                    CAST(NULL AS VARCHAR) AS text,
+                   CAST(NULL AS VARCHAR) AS side
+            WHERE FALSE""",
+        "multimodal_video_mjpeg": """
+            SELECT CAST(NULL AS VARCHAR) AS media_ref,
+                   CAST(NULL AS INT) AS frame_idx,
+                   CAST(NULL AS INT) AS height,
+                   CAST(NULL AS INT) AS width,
+                   CAST(NULL AS VARCHAR) AS frame_md5,
                    CAST(NULL AS VARCHAR) AS side
             WHERE FALSE""",
         "project_bbox_decode": """

@@ -86,18 +86,20 @@ def test_rotation_schedule_invariants():
     q, o = E.queries(), set(E.oracle_sql())
     keys = list(q)
     assert keys[:len(E._PINNED)] == E._PINNED
-    listed = set(E._PINNED) | set(E._ROT_ODD) | set(E._ROT_EVEN)
+    groups = [set(E._PINNED), set(E._ROT_ODD), set(E._ROT_EVEN),
+              set(E._ROT_SLOW)]
+    listed = set().union(*groups)
     # strict partition: every oracle key is pinned, in exactly one
-    # group, or explicitly declared as debuting this round
+    # tier, or explicitly declared as debuting this round
     assert listed | set(E._ROT_DEBUT) == o, \
         (sorted(o - listed - set(E._ROT_DEBUT)), sorted(listed - o))
     assert not (listed & set(E._ROT_DEBUT))
-    assert not (set(E._ROT_ODD) & set(E._ROT_EVEN))
-    assert not (set(E._PINNED) & (set(E._ROT_ODD) | set(E._ROT_EVEN)))
-    # the leading group (+ pinned + debut keys) fits the window
+    assert sum(len(g) for g in groups) == len(listed)  # disjoint
+    # the leading group (+ pinned + debuts + the slow slice) fits
     lead = E._ROT_EVEN if E._round_number() % 2 == 0 else E._ROT_ODD
     new = [k for k in q if k in o and k not in listed]
-    assert len(E._PINNED) + len(new) + len(lead) <= 50
+    assert (len(E._PINNED) + len(new) + E._SLOW_PER_ROUND
+            + len(lead)) <= 50
     assert set(E._PINNED + new + lead) <= set(keys[:50])
     # rows-only keys trail
     n_oracle = len(o)
@@ -122,26 +124,39 @@ def test_rotation_window_fits_both_parities(monkeypatch, rnd):
     window = keys[:50]
     assert all(k in o for k in window)
     lead = E._ROT_EVEN if rnd % 2 == 0 else E._ROT_ODD
-    assert len(E._PINNED) + len(E._ROT_DEBUT) + len(lead) <= 50, (
+    assert (len(E._PINNED) + len(E._ROT_DEBUT) + E._SLOW_PER_ROUND
+            + len(lead)) <= 50, (
         f"round {rnd} window oversubscribed: "
         f"{len(E._PINNED)} pinned + {len(E._ROT_DEBUT)} debut + "
-        f"{len(lead)} lead > 50")
-    assert set(E._PINNED) | set(E._ROT_DEBUT) | set(lead) <= set(window)
+        f"{E._SLOW_PER_ROUND} slow + {len(lead)} lead > 50")
+    start = (rnd * E._SLOW_PER_ROUND) % len(E._ROT_SLOW)
+    slow = {E._ROT_SLOW[(start + i) % len(E._ROT_SLOW)]
+            for i in range(E._SLOW_PER_ROUND)}
+    assert (set(E._PINNED) | set(E._ROT_DEBUT) | slow
+            | set(lead)) <= set(window)
 
 
-def test_rotation_rounds_6_and_7_cover_every_oracle_key(monkeypatch):
-    """Union of the round-6 and round-7 driver windows must cover
-    every oracle-bearing key (the every-key-every-2-rounds cadence,
-    incl. dedup_lines which was green-starved since r3)."""
+def test_rotation_cadence_bounds(monkeypatch):
+    """Bounded staleness for every tier: the union of rounds 6+7
+    covers every non-slow oracle key (2-round cadence), any 3
+    consecutive rounds cover the whole contract incl. _ROT_SLOW
+    (3-round cadence), and dedup_lines (green-starved since r3)
+    is in the round-6 window."""
     import __spark_entry__ as E
 
     o = set(E.oracle_sql())
-    covered = set()
-    for rnd in (6, 7):
+
+    def window(rnd):
         monkeypatch.setattr(E, "_round_number", lambda r=rnd: r)
-        covered |= set(list(E.queries())[:50])
-    assert o <= covered, sorted(o - covered)
-    assert "dedup_lines" in covered
+        return set(list(E.queries())[:50])
+
+    wins = {rnd: window(rnd) for rnd in range(6, 12)}
+    assert o - set(E._ROT_SLOW) <= wins[6] | wins[7], \
+        sorted(o - set(E._ROT_SLOW) - wins[6] - wins[7])
+    for rnd in range(6, 9):
+        u = wins[rnd] | wins[rnd + 1] | wins[rnd + 2]
+        assert o <= u, (rnd, sorted(o - u))
+    assert "dedup_lines" in wins[6]
 
 
 def test_boilerplate_rules_semantics(spark):
