@@ -146,6 +146,42 @@ COMMENT = {
                 "static flagged-node set — per-iteration cost is one "
                 "skinny shuffle-join + one agg, and the checkpoint "
                 "keeps the plan O(1)-deep instead of O(iters)",
+    "png_ocr_extract": "file-ingest parity surface: BOTH sides (codec "
+                       "decode and reference arrays) OCR inside "
+                       "executors via the same iterator mapInPandas "
+                       "stage as the flagship — same BLAS family both "
+                       "sides — and the anti-join compares only "
+                       "~100-byte span rows, never image bytes",
+    "multimodal_video_mjpeg": "container parity surface: the "
+                              "distributed sampler slices AVI chunks "
+                              "at container level and decodes ONLY "
+                              "sampled frames; the expectation side "
+                              "re-encodes per frame without the "
+                              "container; frames reduce to md5 "
+                              "executor-side so the exceptAll "
+                              "exchanges carry ~100-byte rows",
+    "multimodal_neardup": "designed-fixture dHash banding: pigeonhole "
+                          "band keys from ONE projection over the "
+                          "hashes, candidate pairs from an equi-join "
+                          "on (band, key) — recall at radius 6 is "
+                          "structural, never an all-pairs product",
+    "multimodal_audio_neardup": "the audio twin of the image key: "
+                                "framed-FFT fingerprints in one "
+                                "mapInPandas pass, then the SAME "
+                                "banded Hamming join — the designed "
+                                "fixture makes recall at radius 6 "
+                                "hash-provable",
+    "text_compression": "zlib ratios are one Arrow-batched "
+                        "mapInPandas pass (bytes stay in the "
+                        "executor); output rows are 4 scalars per "
+                        "doc, so the operator composes into quality "
+                        "gates without a shuffle",
+    "bpe_encode_tokens": "train = 8 argmax rounds over the (word, "
+                         "count) vocab (shuffles bounded by vocab "
+                         "size, 1-row collect per round); encode is a "
+                         "codegen-collapsed projection chain applying "
+                         "merges in order — no UDF, no join against "
+                         "the corpus",
 }
 
 
@@ -172,7 +208,11 @@ def main() -> None:
                  "tpch_q5", "bloom_custkey", "doc_chunks",
                  "pack_sequences", "lm_perplexity",
                  "stream_windowed_counts", "boilerplate_blocks",
-                 "semdedup", "pagerank", "ocr_extract"):
+                 "semdedup", "pagerank",
+                 "png_ocr_extract", "multimodal_video_mjpeg",
+                 "multimodal_neardup", "multimodal_audio_neardup",
+                 "text_compression", "bpe_encode_tokens",
+                 "ocr_extract"):
         df = qs[name](spark, SF)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
