@@ -85,6 +85,100 @@ def running_user_totals(events: DataFrame) -> DataFrame:
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+NEARDUP_SCHEMA = ("doc_id string, dup_of string, band_idx int, "
+                  "est_sim double")
+NEARDUP_STATE_SCHEMA = "ids array<string>, sigs array<string>"
+
+
+def stream_minhash_neardup(docs: DataFrame, k: int = 8, bands: int = 4,
+                           shingle_n: int = 3,
+                           sim_threshold: float = 0.5,
+                           watermark: str = "10 minutes",
+                           state_retention_ms: int = 600_000,
+                           bucket_cap: int = 64) -> DataFrame:
+    """Continuous-ingestion NEAR-dup — the streaming face of
+    operators/dedup.minhash_lsh_pairs: map-side MinHash signatures
+    (dedup.minhash_sig_array — aggregation-free, so banding is pure
+    projection), band keys exploded map-side, then ONE stateful
+    operator keyed by (band_idx, key) whose state is the bucket's
+    seen (doc_id, signature) list.  Each arriving doc is compared
+    against every doc already in its bucket (prior micro-batches AND
+    earlier in this batch) and emits a pair row when the estimated
+    Jaccard (fraction of equal signature components) clears
+    ``sim_threshold``.
+
+    Scale contract: state per bucket is capped at ``bucket_cap``
+    (docs beyond the cap are still COMPARED, not remembered — a viral
+    bucket degrades recall instead of growing state, mirroring the
+    batch bucket_cap contract), and EventTimeTimeout ages idle
+    buckets out ``state_retention_ms`` past the watermark, so total
+    state is O(active buckets x cap), never O(stream).  Pairs are
+    emitted at-least-once (one row per matching band) — consumers
+    take ``distinct()`` on (doc_id, dup_of), exactly as the batch
+    banded join distincts its candidate set."""
+    from ocr_pytorch_spark.operators.dedup import minhash_sig_array
+
+    rows = k // bands
+    hashed = (docs
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withColumn("sig", minhash_sig_array("text", k, shingle_n))
+              .where(F.col("sig")[0].isNotNull()))
+    band_structs = [
+        F.struct(F.lit(b).alias("band_idx"),
+                 F.md5(F.concat_ws("|", *[
+                     F.col("sig")[b * rows + r] for r in range(rows)]))
+                 .alias("key"))
+        for b in range(bands)]
+    banded = (hashed
+              .select("doc_id", "ts",
+                      F.concat_ws("|", *[F.col("sig")[i]
+                                         for i in range(k)])
+                      .alias("sig_str"),
+                      F.explode(F.array(*band_structs)).alias("bk"))
+              .select("doc_id", "ts", "sig_str", "bk.band_idx",
+                      "bk.key")
+              .withWatermark("ts", watermark))
+
+    def update(key, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "dup_of", "band_idx", "est_sim"]
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=cols)
+            return
+        ids, sigs = ([], []) if not state.exists else state.get
+        ids, sigs = list(ids), list(sigs)
+        band_idx = int(key[0])
+        out = []
+        for pdf in pdfs:
+            for doc_id, sig_str in zip(pdf["doc_id"], pdf["sig_str"]):
+                parts = sig_str.split("|")
+                for prev_id, prev_sig in zip(ids, sigs):
+                    if prev_id == doc_id:
+                        continue
+                    prev = prev_sig.split("|")
+                    sim = (sum(a == b for a, b in zip(parts, prev))
+                           / len(parts))
+                    if sim >= sim_threshold:
+                        out.append((doc_id, prev_id, band_idx, sim))
+                if len(ids) < bucket_cap:
+                    ids.append(str(doc_id))
+                    sigs.append(str(sig_str))
+        state.update((ids, sigs))
+        wm = state.getCurrentWatermarkMs()
+        if wm > 0:
+            state.setTimeoutTimestamp(wm + state_retention_ms)
+        yield pd.DataFrame(out, columns=cols)
+
+    return (banded.groupBy("band_idx", "key")
+            .applyInPandasWithState(
+                update,
+                outputStructType=NEARDUP_SCHEMA,
+                stateStructType=NEARDUP_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
 def stream_interval_join(impressions: DataFrame, clicks: DataFrame,
                          max_delay: str = "1 minute",
                          watermark: str = "2 minutes") -> DataFrame:

@@ -230,3 +230,90 @@ def test_stream_interval_join_matches_batch(spark, tmp_path_factory):
                  for r in spark.sql("select * from ij_out").collect())
     q.stop()
     assert got == want
+
+
+def test_minhash_sig_array_matches_aggregate(spark):
+    """The map-side (stream-safe) signature must equal the aggregate
+    formulation component-for-component — that identity is what makes
+    the streaming near-dup's buckets comparable with the batch LSH."""
+    from pyspark.sql import functions as F
+
+    from ocr_pytorch_spark.operators.dedup import (minhash_sig_array,
+                                                   minhash_signatures)
+    from tests.conftest import SF_SMALL
+
+    docs = (spark.read.parquet(os.path.join(SF_SMALL,
+                                            "documents.parquet"))
+            .select("doc_id", "text").limit(60))
+    agg = {r["doc_id"]: [r[f"mh{i}"] for i in range(8)]
+           for r in minhash_signatures(docs, k=8).collect()}
+    arr = {r["doc_id"]: list(r["sig"])
+           for r in docs.select(
+               "doc_id", minhash_sig_array("text", 8).alias("sig"))
+           .where(F.col("sig")[0].isNotNull()).collect()}
+    assert agg and agg == arr
+
+
+def test_stream_minhash_neardup_matches_batch(spark, tmp_path_factory):
+    """Stateful streaming near-dup == batch LSH: planted noisy copies
+    arrive across 3 micro-batches; the distinct stream pair set must
+    equal the batch banded-join candidate set filtered at the same
+    estimated-similarity threshold (pair discovery is order- and
+    batching-independent because every doc is compared against all
+    earlier bucket members, in-batch or in-state)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ocr_pytorch_spark.operators.dedup import (minhash_lsh_pairs,
+                                                   minhash_signatures)
+    from ocr_pytorch_spark.streaming.windows import stream_minhash_neardup
+    from tests.conftest import SF_SMALL
+
+    base = (spark.read.parquet(os.path.join(SF_SMALL,
+                                            "documents.parquet"))
+            .select("doc_id", "text").limit(60).collect())
+    t0 = dt.datetime(2026, 1, 1)
+    rows, j = [], 0
+    for r in base:
+        rows.append((f"d{int(r['doc_id']):04d}", r["text"],
+                     t0 + dt.timedelta(seconds=j)))
+        j += 1
+        if int(r["doc_id"]) % 3 == 0:  # planted noisy copy
+            ws = r["text"].split()
+            ws[len(ws) // 2] = "zq"
+            rows.append((f"d{int(r['doc_id']):04d}-c", " ".join(ws),
+                         t0 + dt.timedelta(seconds=j)))
+            j += 1
+    src = str(tmp_path_factory.mktemp("nd_src"))
+    spark.createDataFrame(
+        rows, "doc_id string, text string, ts timestamp") \
+        .repartition(3).write.parquet(os.path.join(src, "p"))
+
+    batch = spark.read.parquet(os.path.join(src, "*"))
+    sigs = minhash_signatures(batch, k=8)
+    cand = minhash_lsh_pairs(batch, k=8, bands=4)
+    sim = sum(
+        (F.col(f"a.mh{i}") == F.col(f"b.mh{i}")).cast("int")
+        for i in range(8)) / F.lit(8.0)
+    want = {(r["doc_a"], r["doc_b"]) for r in
+            (cand.join(sigs.alias("a"),
+                       F.col("doc_a") == F.col("a.doc_id"))
+             .join(sigs.alias("b"),
+                   F.col("doc_b") == F.col("b.doc_id"))
+             .where(sim >= 0.5).select("doc_a", "doc_b").collect())}
+    assert want  # the planted copies must produce pairs
+
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(os.path.join(src, "*")))
+    ckpt = str(tmp_path_factory.mktemp("nd_ckpt"))
+    q = (stream_minhash_neardup(stream, bucket_cap=100000)
+         .writeStream.format("memory").queryName("nd_out")
+         .outputMode("update")
+         .option("checkpointLocation", ckpt).start())
+    q.processAllAvailable()
+    got = {tuple(sorted((r["doc_id"], r["dup_of"])))
+           for r in spark.sql("select * from nd_out").collect()}
+    q.stop()
+    assert got == want
