@@ -1724,6 +1724,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             D.repeated_substring_spans(_t(s, sf, "documents")),
         "phrase_lookup": lambda s, sf: _IX.phrase_lookup(
             _t(s, sf, "documents")),
+        # r6 additions: retrieval scoring, temperature resampling,
+        # and the pre-salting skew diagnostic
+        "bm25_topk": lambda s, sf: _IX.bm25_topk(
+            _t(s, sf, "documents")),
+        "stratified_sample": lambda s, sf: T.stratified_sample(
+            _t(s, sf, "documents")),
+        "skew_profile": lambda s, sf: _IX.skew_profile(
+            _t(s, sf, "events")),
         "tpch_q5": tpch_q5,
         "tpch_q10": tpch_q10,
         "tpch_q14": tpch_q14,
@@ -1851,36 +1859,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # unverified.
 _PINNED = ["ocr_extract_parity"]
 # CAPACITY NOTE (r6): the driver window is 50 keys.  The r6 contract
-# carries 101 oracle keys — past what a pure 2-round cadence can fit
-# (1 pinned + 49 + 49 = 99) — so the schedule became check-cadence-
+# carries 104 oracle keys — past what a pure 2-round cadence can fit
+# (1 pinned + 49 + 49 = 99) — so the schedule is check-cadence-
 # proportional-to-risk, three tiers:
 #   * _PINNED (1): the flagship parity key, EVERY round.  salted_join
 #     was demoted from _PINNED to _ROT_EVEN in r6 to free its slot
 #     (green r1–r5; a 2-round cadence is proportionate).
-#   * _ROT_ODD / _ROT_EVEN (47 + 47): every 2 rounds, as before.
-#   * _ROT_SLOW (6): proven-stable trivial keys (each hash-green in
-#     ≥2 prior rounds), _SLOW_PER_ROUND = 2 surfaced per round by a
+#   * _ROT_ODD / _ROT_EVEN (44 + 44): every 2 rounds, as before.
+#   * _ROT_SLOW (15): proven-stable trivial keys (each hash-green in
+#     ≥2 prior rounds), _SLOW_PER_ROUND = 5 surfaced per round by a
 #     deterministic round-robin — every slow key is in-window at
-#     least every 3 rounds.
-# Window arithmetic, EVERY round: 1 pinned + 2 slow + 47 lead = 50,
+#     least every 3 rounds (3 * 5 >= 15).
+# Window arithmetic, EVERY round: 1 pinned + 5 slow + 44 lead = 50,
 # exact.  New r6 keys fold DIRECTLY into _ROT_EVEN rather than
 # _ROT_DEBUT: round 6 is even so EVEN leads it — membership IS the
 # debut check — while a _ROT_DEBUT entry would also sit at the head
-# of odd round 7 and oversubscribe its window.  The NEXT new oracle
-# key must arrive with a matching move of one proven-stable key from
-# its parity group into _ROT_SLOW (growing the slow cycle) — do NOT
-# just append to a group; the both-parity window tests
-# (tests/test_html.py) fail loudly if you try.
-# r6 rebalance detail: the 7 r5-debut keys and the 3 _ROT_EVEN keys
-# that trailed into round 5's window (semi_join_keep,
+# of odd round 7 and oversubscribe its window.  The schedule is again
+# SATURATED: the NEXT new oracle key must arrive with a matching
+# rebalance (per the arithmetic above, +n keys forces
+# _SLOW_PER_ROUND = 5 + n and a slow tier of 3*(5+n), demoting
+# 2*(n + ...) proven-stable keys) — do NOT just append to a group;
+# the both-parity window tests (tests/test_html.py) fail loudly.
+# r6 rebalance detail (first pass): the 7 r5-debut keys and the 3
+# _ROT_EVEN keys that trailed into round 5's window (semi_join_keep,
 # broadcast_dim_join, explode_reassemble — all hash-green in
-# CORRECTNESS_r05) moved to _ROT_ODD.  Transition gaps stay ≤ 3
-# rounds: EVEN r4→r6, ODD r5→r7, r6 debuts r6→r8-via-EVEN; slow-tier
-# slices land r6 = {tpch_q6, filename_munge} (r4→r6), r7 =
-# {filter_minsize, distinct_agg} (r4→r7), r8 = {tpch_q14,
-# filter_threshold} (r5→r8); tpch_q1 moved EVEN→ODD to balance the
-# groups (r4→r7).  Steady state: slow keys every 3 rounds, everything
-# else every 2.
+# CORRECTNESS_r05) moved to _ROT_ODD; tpch_q1 moved EVEN→ODD to
+# balance the groups (one-time r4→r7 gap).
+# r6 rebalance detail (second pass, +3 new keys bm25_topk /
+# stratified_sample / skew_profile): slow tier grew 6→15 with
+# _SLOW_PER_ROUND 2→5.  Demotions, all hash-green ≥2 rounds, with
+# transition gaps ≤ 3: slice r6 (slow positions 0-4) = {tpch_q6,
+# filename_munge (r4→r6), set_ops, pivot_counts, histogram_value
+# (EVEN, r4→r6)}; slice r7 (5-9) = {filter_minsize, distinct_agg
+# (r4→r7), rollup_agg, percentiles_value, retention_cohorts (EVEN,
+# r4→r7)}; slice r8 (10-14) = {tpch_q14, filter_threshold (r5→r8),
+# cube_agg, text_normalize, time_bucket_rollup (ODD, r5→r8)}.
+# Steady state: slow keys every 3 rounds, everything else every 2.
 _ROT_ODD = [
     # pack_sequences moved even->odd for r5: its prefix-sum bucketing
     # was rewritten this round (deterministic boundaries, r4 ADVICE
@@ -1895,9 +1909,9 @@ _ROT_ODD = [
     "event_outliers", "bloom_custkey", "approx_distinct_hll",
     "text_quality", "text_token_count", "text_fingerprint",
     "sessionize", "project_bbox_decode",
-    "ohem_topk_sum", "asof_join_events", "cube_agg",
+    "ohem_topk_sum", "asof_join_events",
     "window_moving_avg", "session_window_agg", "dedup_keeper_policy",
-    "text_normalize", "sample_documents", "time_bucket_rollup",
+    "sample_documents",
     "data_quality_checks", "window_reading_order", "group_line_stats",
     "group_linefit_regr", "range_self_join",
     # r6 rebalance: r5 debuts fold here (checked r5 as debuts -> r7)
@@ -1917,9 +1931,9 @@ _ROT_EVEN = [
     "sim_topk_cosine", "sim_lsh_buckets",
     "sim_lsh_topk", "sim_ivf_cells", "sim_ivf_topk", "text_lang_id",
     "topk_score", "dedupe_consecutive_lag",
-    "funnel_counts", "retention_cohorts", "percentiles_value",
-    "rollup_agg", "set_ops", "pivot_counts",
-    "histogram_value",
+    "funnel_counts",
+    # r6 debuts (new operators land in the round-6 leading group):
+    "bm25_topk", "stratified_sample", "skew_profile",
     # round-4 debuts, folded straight into the even group: round 4's
     # window still covers them (2 pinned + 37 even + 11 odd = 50) and
     # round 5's leading group (2 + 48 odd) then fits exactly
@@ -1944,11 +1958,17 @@ _ROT_EVEN = [
 # _SLOW_PER_ROUND surfaced per round round-robin — ordered so the r6
 # transition slices keep every gap <= 3 rounds
 _ROT_SLOW = [
-    "tpch_q6", "filename_munge",        # r6 slice (last green r4)
-    "filter_minsize", "distinct_agg",   # r7 slice (last green r4)
-    "tpch_q14", "filter_threshold",     # r8 slice (last green r5)
+    # r6 slice (positions 0-4; last green r4)
+    "tpch_q6", "filename_munge", "set_ops", "pivot_counts",
+    "histogram_value",
+    # r7 slice (positions 5-9; last green r4)
+    "filter_minsize", "distinct_agg", "rollup_agg",
+    "percentiles_value", "retention_cohorts",
+    # r8 slice (positions 10-14; last green r5)
+    "tpch_q14", "filter_threshold", "cube_agg", "text_normalize",
+    "time_bucket_rollup",
 ]
-_SLOW_PER_ROUND = 2
+_SLOW_PER_ROUND = 5
 # oracle keys debuting THIS round — in neither group, so _rotate()
 # puts them right after the pinned keys; fold into the smaller group
 # next round.  Round 6 budget: ZERO free slots (see CAPACITY NOTE —
@@ -2686,6 +2706,9 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _IX.tfidf_topk_oracle_sql(),
         "inverted_index": _IX.inverted_index_oracle_sql(),
         "top_ngrams_corpus": _IX.top_ngrams_corpus_oracle_sql(),
+        "bm25_topk": _IX.bm25_topk_oracle_sql(),
+        "skew_profile": _IX.skew_profile_oracle_sql(),
+        "stratified_sample": _TXT.stratified_sample_oracle_sql(),
         "zorder_key": f"""
             SELECT doc_id,
                    {_IX.zorder_key_sql('doc_id', 'n_chars')} AS z

@@ -492,3 +492,171 @@ def hll_distinct_oracle_sql(table: str, col: str) -> str:
                            / CAST({HLL_BUCKETS} - n_present AS DOUBLE))
                       ELSE raw END) * 10000 + 0.5) / 10000 AS hll_est
         FROM est"""
+
+
+# --- BM25 retrieval scoring (r6) -----------------------------------------
+
+def bm25_topk(documents: DataFrame, k: int = 20,
+              n_query_terms: int = 8) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75, Lucene's non-negative idf variant)
+    document ranking for a data-derived query: the ``n_query_terms``
+    most frequent mid-band terms (2 <= df, df*4 <= N — above noise,
+    below stopword grade), ranked (df desc, word).  The query being a
+    deterministic function of the corpus keeps the key input-driven at
+    every scale factor with no hardcoded vocabulary.
+
+    Scale shape (100 TB story): (doc, word) tf counts are ONE shuffle
+    with map-side combine; dl (doc length) and df both derive from tf
+    with no second corpus scan; the query-term set (8 rows) and the
+    corpus stats (1 row) come back as broadcasts, so scoring is a
+    map-side semi-join of tf against 8 terms — only matching rows
+    survive to the per-doc aggregation; the global top-k is
+    TakeOrderedAndProject (no full sort).
+
+    Engine parity: per-(doc, term) scores are rounded HALF-UP to
+    integer micro-units BEFORE the per-doc sum, so the aggregation is
+    order-independent bigint addition — a float sum's result would
+    depend on reduction order and differ between engines at the ulp.
+    Output: rank, doc_id, score_micro (bigint, BM25 * 1e6)."""
+    n_docs = documents.count()
+    w = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = (w.groupBy("doc_id", "word")
+          .agg(F.count("*").alias("tf")))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.sum("dl").alias("tw"),
+                   F.count("*").alias("nd"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    qterms = (dfreq
+              .where((F.col("df") >= 2)
+                     & (F.col("df") * 4 <= F.lit(n_docs)))
+              .orderBy(F.col("df").desc(), "word")
+              .limit(n_query_terms))
+    avgdl = F.col("tw").cast("double") / F.col("nd").cast("double")
+    idf = F.log(F.lit(1.0)
+                + ((F.lit(n_docs) - F.col("df")) + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    denom = (F.col("tf")
+             + F.lit(1.2) * (F.lit(0.25)
+                             + F.lit(0.75)
+                             * (F.col("dl").cast("double") / avgdl)))
+    tfn = (F.col("tf") * F.lit(2.2)) / denom
+    micro = F.floor((idf * tfn) * F.lit(1000000.0)
+                    + F.lit(0.5)).cast("long")
+    scored = (tf.join(F.broadcast(qterms), "word")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .select("doc_id", micro.alias("micro")))
+    per_doc = (scored.groupBy("doc_id")
+               .agg(F.sum("micro").alias("score_micro")))
+    top = (per_doc.orderBy(F.col("score_micro").desc(), "doc_id")
+           .limit(k))
+    rw = Window.orderBy(F.col("score_micro").desc(), "doc_id")
+    return (top.withColumn("rank",
+                           F.row_number().over(rw).cast("long"))
+            .select("rank", "doc_id", "score_micro"))
+
+
+def bm25_topk_oracle_sql(k: int = 20, n_query_terms: int = 8) -> str:
+    """DuckDB oracle for bm25_topk — identical arithmetic, identical
+    micro-unit rounding before the per-doc sum."""
+    return f"""
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, word, count(*) AS tf
+          FROM w GROUP BY doc_id, word
+        ), dl AS (
+          SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+        ), stats AS (
+          SELECT sum(dl) AS tw, count(*) AS nd FROM dl
+        ), n AS (SELECT count(*) AS n_docs FROM documents),
+        dfreq AS (
+          SELECT word, count(*) AS df FROM tf GROUP BY word
+        ), qterms AS (
+          SELECT word, df FROM dfreq CROSS JOIN n
+          WHERE df >= 2 AND df * 4 <= n_docs
+          ORDER BY df DESC, word LIMIT {n_query_terms}
+        ), scored AS (
+          SELECT tf.doc_id,
+                 CAST(floor((ln(1.0 + ((n.n_docs - qterms.df) + 0.5)
+                                 / (qterms.df + 0.5))
+                      * ((tf.tf * 2.2)
+                         / (tf.tf + 1.2 * (0.25 + 0.75
+                             * (CAST(dl.dl AS DOUBLE)
+                                / (CAST(stats.tw AS DOUBLE)
+                                   / CAST(stats.nd AS DOUBLE)))))))
+                      * 1000000.0 + 0.5) AS BIGINT) AS micro
+          FROM tf
+          JOIN qterms USING (word)
+          JOIN dl USING (doc_id)
+          CROSS JOIN stats CROSS JOIN n
+        ), per_doc AS (
+          SELECT doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
+          FROM scored GROUP BY doc_id
+        ), top AS (
+          SELECT doc_id, score_micro FROM per_doc
+          ORDER BY score_micro DESC, doc_id LIMIT {k}
+        )
+        SELECT CAST(row_number() OVER (ORDER BY score_micro DESC,
+                                       doc_id) AS BIGINT) AS rank,
+               doc_id, score_micro
+        FROM top"""
+
+
+# --- join-key skew profile (r6) ------------------------------------------
+
+def skew_profile(events: DataFrame, key: str = "user_id",
+                 k: int = 20) -> DataFrame:
+    """Heavy-key diagnostic for a prospective join/aggregation key —
+    the measurement you run BEFORE choosing a salting factor (the
+    repo's ``salted_join`` consumes exactly this): per-key row counts,
+    each heavy key's corpus share in ppm, and its ratio to the
+    uniform-key average in percent.
+
+    Scale shape: one count shuffle with map-side combine (the profile
+    of a 10^12-row key column moves |distinct keys| rows, not data
+    rows); the corpus totals are a 1-row broadcast; the top-k is
+    TakeOrderedAndProject.  All outputs are exact integers (floor of
+    double ratios of exact ints — identical IEEE ops both engines).
+    Output: rank, <key>, cnt, share_ppm, ratio_pct."""
+    counts = events.groupBy(key).agg(F.count("*").alias("cnt"))
+    stats = counts.agg(F.sum("cnt").alias("total"),
+                       F.count("*").alias("nk"))
+    share_ppm = F.floor((F.col("cnt") * F.lit(1000000.0))
+                        / F.col("total")).cast("long")
+    ratio_pct = F.floor(((F.col("cnt") * F.col("nk")) * F.lit(100.0))
+                        / F.col("total")).cast("long")
+    top = (counts.crossJoin(F.broadcast(stats))
+           .orderBy(F.col("cnt").desc(), key)
+           .limit(k))
+    rw = Window.orderBy(F.col("cnt").desc(), key)
+    return (top.withColumn("rank",
+                           F.row_number().over(rw).cast("long"))
+            .select("rank", key, "cnt",
+                    share_ppm.alias("share_ppm"),
+                    ratio_pct.alias("ratio_pct")))
+
+
+def skew_profile_oracle_sql(key: str = "user_id", k: int = 20,
+                            table: str = "events") -> str:
+    """DuckDB oracle for skew_profile."""
+    return f"""
+        WITH counts AS (
+          SELECT {key}, count(*) AS cnt FROM {table} GROUP BY {key}
+        ), stats AS (
+          SELECT sum(cnt) AS total, count(*) AS nk FROM counts
+        ), top AS (
+          SELECT {key}, cnt, total, nk
+          FROM counts CROSS JOIN stats
+          ORDER BY cnt DESC, {key} LIMIT {k}
+        )
+        SELECT CAST(row_number() OVER (ORDER BY cnt DESC, {key})
+                    AS BIGINT) AS rank,
+               {key}, cnt,
+               CAST(floor((cnt * 1000000.0) / total) AS BIGINT)
+                 AS share_ppm,
+               CAST(floor(((cnt * nk) * 100.0) / total) AS BIGINT)
+                 AS ratio_pct
+        FROM top"""

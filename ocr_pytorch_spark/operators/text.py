@@ -677,3 +677,65 @@ def lm_perplexity_oracle_sql(smooth_k: float = 0.5) -> str:
         FROM doc_bi d
         JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
         GROUP BY d.doc_id"""
+
+
+def stratified_sample(documents: DataFrame,
+                      c: float = 8.0) -> DataFrame:
+    """Temperature-rebalanced stratified sampling (alpha = 0.5):
+    each language stratum keeps docs at rate min(1, c / sqrt(n_lang)),
+    so the sampled count per stratum is ~c * sqrt(n_lang) — exactly
+    the alpha=0.5 temperature-smoothed multinomial shape used to
+    rebalance multilingual training corpora (rare languages are
+    up-weighted relative to their raw share; XLM-R-style).  Unlike
+    ``corpus_mix`` (operator-supplied constant rates), the rates here
+    are DERIVED FROM THE DATA in a first tiny aggregation pass.
+
+    Scale shape: pass 1 is a count-by-lang (|langs| rows) broadcast
+    back; pass 2 is a map-only md5-prefix threshold test per row — no
+    shuffle of the corpus, no RNG state, no per-stratum sort (an
+    exact-quota row_number() design would shuffle and sort 10^12 rows
+    by stratum, with the dominant language as one giant skewed
+    partition; the rate design is O(rows) map-side and the realized
+    quota concentrates tightly around the target).
+
+    Engine parity: the per-stratum cutoff floor(c * 16^8 /
+    sqrt(n_lang)) involves ONE sqrt, ONE divide and ONE floor of
+    exact-integer inputs — correctly-rounded IEEE ops that are
+    bit-identical across engines (no cross-stratum float sum whose
+    reduction order could differ).
+    Output: lang, n_lang, doc_id, h."""
+    counts = documents.groupBy("lang").agg(
+        F.count("*").alias("n_lang"))
+    cutoff = F.least(
+        F.lit(_H_SPAN).cast("long"),
+        F.floor(F.lit(float(c) * _H_SPAN)
+                / F.sqrt(F.col("n_lang").cast("double")))
+        .cast("long"))
+    h = _md5_bucket(F.col("doc_id"))
+    return (documents
+            .join(F.broadcast(counts), "lang")
+            .select("lang", "n_lang", "doc_id", h.alias("h"),
+                    cutoff.alias("cutoff"))
+            .where(F.col("h") < F.col("cutoff"))
+            .select("lang", "n_lang", "doc_id", "h"))
+
+
+def stratified_sample_oracle_sql(c: float = 8.0) -> str:
+    """DuckDB oracle for stratified_sample — identical cutoff math."""
+    bucket = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5("
+        f"CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}" for i in range(8))
+    return f"""
+        WITH counts AS (
+          SELECT lang, count(*) AS n_lang
+          FROM documents GROUP BY lang
+        ), h AS (
+          SELECT lang, doc_id, {bucket} AS h FROM documents
+        )
+        SELECT h.lang, counts.n_lang, h.doc_id, h.h
+        FROM h JOIN counts USING (lang)
+        WHERE h.h < least({_H_SPAN},
+                          CAST(floor({float(c) * _H_SPAN!r}
+                               / sqrt(CAST(counts.n_lang AS DOUBLE)))
+                               AS BIGINT))"""

@@ -182,6 +182,25 @@ COMMENT = {
                          "codegen-collapsed projection chain applying "
                          "merges in order — no UDF, no join against "
                          "the corpus",
+    "bm25_topk": "tf is ONE partial-agg shuffle; dl and df both "
+                 "derive from tf (no second corpus scan); the 8-term "
+                 "query and the 1-row corpus stats come back as "
+                 "BROADCASTS so scoring is a map-side semi-join; "
+                 "per-(doc,term) scores round to integer micro-units "
+                 "BEFORE the per-doc sum (order-independent bigint "
+                 "add); global top-k is TakeOrderedAndProject",
+    "stratified_sample": "pass 1 is a |langs|-row count agg broadcast "
+                         "back; pass 2 is a map-only md5-threshold "
+                         "test — the corpus never shuffles and there "
+                         "is no per-stratum sort (an exact-quota "
+                         "row_number design would sort 10^12 rows "
+                         "with the dominant language as one giant "
+                         "skewed partition)",
+    "skew_profile": "per-key counts with map-side combine (the "
+                    "profile moves |distinct keys| rows, not data "
+                    "rows); totals are a 1-row broadcast; top-k is "
+                    "TakeOrderedAndProject — the diagnostic you run "
+                    "before sizing salted_join's salt factor",
 }
 
 
@@ -212,6 +231,7 @@ def main() -> None:
                  "png_ocr_extract", "multimodal_video_mjpeg",
                  "multimodal_neardup", "multimodal_audio_neardup",
                  "text_compression", "bpe_encode_tokens",
+                 "bm25_topk", "stratified_sample", "skew_profile",
                  "ocr_extract"):
         df = qs[name](spark, SF)
         buf = io.StringIO()

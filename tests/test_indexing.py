@@ -120,3 +120,52 @@ def test_hll_estimate_within_tolerance(spark):
         # NOT compute it (no distinct aggregate in the sketch plan)
         assert "n_exact" not in row.asDict()
         assert abs(row["hll_est"] - n) / n < 0.4, row
+
+
+def test_bm25_ranks_matching_docs(spark):
+    """BM25 semantics on a handcrafted corpus: docs containing more
+    of the data-derived query terms (with shorter length) score
+    higher; docs with no query term never appear."""
+    rows = [
+        # 'alpha' df=4, 'beta' df=3 -> the two mid-band query terms
+        # (df*4 <= 12 requires df <= 3: 'beta' (3) and 'gamma' (2))
+        (1, "alpha beta gamma"),
+        (2, "alpha beta filler filler filler filler filler filler"),
+        (3, "alpha beta"),
+        (4, "alpha only here"),
+        (5, "nothing relevant at all"),
+        (6, "gamma gamma plus extra words"),
+    ] + [(10 + i, f"pad{i} unique words doc") for i in range(6)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = IX.bm25_topk(d, k=10, n_query_terms=2).collect()
+    got = {r["doc_id"]: (r["rank"], r["score_micro"]) for r in out}
+    # doc 1 holds BOTH query terms -> top rank
+    assert got[1][0] == 1
+    # doc 3 (short) outscores doc 2 (same tf, longer doc): length
+    # normalization must bite
+    assert got[3][1] > got[2][1]
+    # docs with no query term are absent
+    assert 4 not in got and 5 not in got
+    # scores strictly ordered by (score desc, doc_id) rank
+    ranked = sorted(out, key=lambda r: r["rank"])
+    scores = [r["score_micro"] for r in ranked]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_skew_profile_flags_hot_key(spark):
+    """The hot key dominates the profile: rank 1, share and
+    ratio-to-uniform reflect exact integer math."""
+    rows = ([("hot",)] * 80
+            + [(f"cold{i}",) for i in range(20)])
+    d = spark.createDataFrame(rows, "user_id string")
+    out = {r["rank"]: r for r in
+           IX.skew_profile(d, key="user_id", k=5).collect()}
+    top = out[1]
+    assert top["user_id"] == "hot" and top["cnt"] == 80
+    # 80 of 100 rows = 800000 ppm; 21 distinct keys -> uniform
+    # would be 100/21, ratio = floor(80*21*100/100) = 1680 pct
+    assert top["share_ppm"] == 800000
+    assert top["ratio_pct"] == 1680
+    # cold keys: 1/100 = 10000 ppm, ratio floor(1*21*100/100) = 21
+    assert out[2]["cnt"] == 1 and out[2]["share_ppm"] == 10000
+    assert out[2]["ratio_pct"] == 21

@@ -86,3 +86,27 @@ def test_pack_sequences_partition_count_invariant(spark, docs):
 def test_chunk_documents_rejects_bad_overlap():
     with pytest.raises(ValueError):
         T.chunk_documents(None, chunk_tokens=8, overlap=8)
+
+
+def test_stratified_sample_temperature_shape(spark):
+    """Rates follow min(1, c/sqrt(n_lang)): a tiny stratum is kept
+    wholesale (cutoff saturates at 16^8) while a large stratum is
+    down-sampled near c*sqrt(n); sampling is deterministic (same
+    rows on re-run)."""
+    from ocr_pytorch_spark.operators.text import stratified_sample
+    rows = ([(f"big-{i:05d}", "big") for i in range(4000)]
+            + [(f"tiny-{i}", "tiny") for i in range(16)])
+    d = spark.createDataFrame(rows, "doc_id string, lang string")
+    out = stratified_sample(d, c=8.0).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    # tiny stratum: rate = min(1, 8/4) = 1 -> everything kept
+    assert len(by_lang["tiny"]) == 16
+    # big stratum: target ~ 8*sqrt(4000) ~ 506; binomial 5-sigma
+    n_big = len(by_lang["big"])
+    assert 400 < n_big < 620, n_big
+    # deterministic: identical keep-set on re-run
+    out2 = stratified_sample(d, c=8.0).collect()
+    assert {r["doc_id"] for r in out2} == (by_lang["big"]
+                                           | by_lang["tiny"])
