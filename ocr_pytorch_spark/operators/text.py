@@ -359,17 +359,18 @@ MIX_RATES = (("de", 1.0), ("en", 0.5), ("es", 0.25), ("fr", 0.8),
 _H_SPAN = 16 ** 8
 
 
-def _md5_bucket(col):
-    """First 8 md5 hex digits of a column as a long in [0, 16^8) —
-    the engine-portable deterministic sampling hash (no RNG state;
-    the same doc keeps/drops across runs, engines, and cluster
-    sizes)."""
+def _md5_bucket(col_name: str = "doc_id"):
+    """First 8 md5 hex digits of the named column as a long in
+    [0, 16^8) — the engine-portable deterministic sampling hash (no
+    RNG state; the same doc keeps/drops across runs, engines, and
+    cluster sizes).  Takes the column NAME (the expression is built
+    with F.expr, which cannot splice Column objects)."""
     from functools import reduce
 
     return reduce(
         lambda acc, i: acc + (
             F.expr(f"instr('0123456789abcdef', substring("
-                   f"md5(cast(doc_id as string)), {i + 1}, 1))")
+                   f"md5(cast({col_name} as string)), {i + 1}, 1))")
             - 1).cast("long") * (16 ** (7 - i)),
         range(8), F.lit(0).cast("long"))
 
@@ -388,7 +389,7 @@ def corpus_mix(documents: DataFrame,
         rate = F.when(F.col("lang") == lang, F.lit(float(r))) \
             .otherwise(rate)
     rate = F.coalesce(rate, F.lit(0.0))
-    h = _md5_bucket(F.col("doc_id"))
+    h = _md5_bucket("doc_id")
     keep = (h < (rate * _H_SPAN)).cast("long")
     return (documents
             .select("lang", rate.alias("rate"), keep.alias("keep"))
@@ -711,7 +712,7 @@ def stratified_sample(documents: DataFrame,
         F.floor(F.lit(float(c) * _H_SPAN)
                 / F.sqrt(F.col("n_lang").cast("double")))
         .cast("long"))
-    h = _md5_bucket(F.col("doc_id"))
+    h = _md5_bucket("doc_id")
     return (documents
             .join(F.broadcast(counts), "lang")
             .select("lang", "n_lang", "doc_id", h.alias("h"),
