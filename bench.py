@@ -45,6 +45,7 @@ HEADLINE = [
     "text_quality", "text_fingerprint", "multimodal_features",
     "html_main_block", "pdf_text_extract",
     "dedup_lines", "pii_redact", "tfidf_topk",
+    "bm25_topk", "stratified_sample", "skew_profile",
     "doc_chunks", "pack_sequences", "lm_perplexity",
     "semdedup", "boilerplate_blocks",
     "multimodal_audio", "multimodal_video",
