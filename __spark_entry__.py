@@ -1702,6 +1702,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "documents")),
         "url_host_filter": lambda s, sf: WB.url_host_filter(
             _t(s, sf, "documents")),
+        # canonical-URL dedup (r6, new): RefinedWeb-style URL-level
+        # dedup before any content pass (operators/web.py)
+        "url_canonical_dedup": lambda s, sf: WB.url_canonical_dedup(
+            _t(s, sf, "documents")),
         "dedup_lines": lambda s, sf: D.line_dedup(
             _t(s, sf, "documents")),
         "snapshot_time_travel": _snapshot_time_travel,
@@ -1865,12 +1869,12 @@ _PINNED = ["ocr_extract_parity"]
 #   * _PINNED (1): the flagship parity key, EVERY round.  salted_join
 #     was demoted from _PINNED to _ROT_EVEN in r6 to free its slot
 #     (green r1–r5; a 2-round cadence is proportionate).
-#   * _ROT_ODD / _ROT_EVEN (44 + 44): every 2 rounds, as before.
-#   * _ROT_SLOW (15): proven-stable trivial keys (each hash-green in
-#     ≥2 prior rounds), _SLOW_PER_ROUND = 5 surfaced per round by a
+#   * _ROT_ODD / _ROT_EVEN (43 + 43): every 2 rounds, as before.
+#   * _ROT_SLOW (18): proven-stable trivial keys (each hash-green in
+#     ≥2 prior rounds), _SLOW_PER_ROUND = 6 surfaced per round by a
 #     deterministic round-robin — every slow key is in-window at
-#     least every 3 rounds (3 * 5 >= 15).
-# Window arithmetic, EVERY round: 1 pinned + 5 slow + 44 lead = 50,
+#     least every 3 rounds (3 * 6 >= 18).
+# Window arithmetic, EVERY round: 1 pinned + 6 slow + 43 lead = 50,
 # exact.  New r6 keys fold DIRECTLY into _ROT_EVEN rather than
 # _ROT_DEBUT: round 6 is even so EVEN leads it — membership IS the
 # debut check — while a _ROT_DEBUT entry would also sit at the head
@@ -1894,6 +1898,13 @@ _PINNED = ["ocr_extract_parity"]
 # (r4→r7), rollup_agg, percentiles_value, retention_cohorts (EVEN,
 # r4→r7)}; slice r8 (10-14) = {tpch_q14, filter_threshold (r5→r8),
 # cube_agg, text_normalize, time_bucket_rollup (ODD, r5→r8)}.
+# r6 rebalance detail (third pass, +1 late key
+# url_canonical_dedup -> _ROT_EVEN): slow tier grew 15->18 with
+# _SLOW_PER_ROUND 5->6 (slices stay aligned: (6*6)%18=0, (7*6)%18=6,
+# (8*6)%18=12).  Demotions, all hash-green >=2 rounds, gaps <= 3:
+# funnel_counts (EVEN, r4 -> slow slice r6, gap 2), topk_score
+# (EVEN, r4 -> slice r7, gap 3), text_token_count (ODD, r5 ->
+# slice r8, gap 3).
 # Steady state: slow keys every 3 rounds, everything else every 2.
 _ROT_ODD = [
     # pack_sequences moved even->odd for r5: its prefix-sum bucketing
@@ -1907,7 +1918,7 @@ _ROT_ODD = [
     "quality_classifier", "corpus_mix", "dedup_substring_spans",
     "phrase_lookup", "tpch_q5", "tpch_q10", "tpch_q18",
     "event_outliers", "bloom_custkey", "approx_distinct_hll",
-    "text_quality", "text_token_count", "text_fingerprint",
+    "text_quality", "text_fingerprint",
     "sessionize", "project_bbox_decode",
     "ohem_topk_sum", "asof_join_events",
     "window_moving_avg", "session_window_agg", "dedup_keeper_policy",
@@ -1930,8 +1941,11 @@ _ROT_EVEN = [
     "dedup_ngram_jaccard", "dedup_components", "dedup_embedding_cosine",
     "sim_topk_cosine", "sim_lsh_buckets",
     "sim_lsh_topk", "sim_ivf_cells", "sim_ivf_topk", "text_lang_id",
-    "topk_score", "dedupe_consecutive_lag",
-    "funnel_counts",
+    "dedupe_consecutive_lag",
+    # r6 late addition (debut-by-membership, round 6 is even; the
+    # matching rebalance demoted funnel_counts/topk_score/
+    # text_token_count to _ROT_SLOW per the CAPACITY NOTE):
+    "url_canonical_dedup",
     # r6 debuts (new operators land in the round-6 leading group):
     "bm25_topk", "stratified_sample", "skew_profile",
     # round-4 debuts, folded straight into the even group: round 4's
@@ -1958,17 +1972,17 @@ _ROT_EVEN = [
 # _SLOW_PER_ROUND surfaced per round round-robin — ordered so the r6
 # transition slices keep every gap <= 3 rounds
 _ROT_SLOW = [
-    # r6 slice (positions 0-4; last green r4)
+    # r6 slice (positions 0-5; last green r4)
     "tpch_q6", "filename_munge", "set_ops", "pivot_counts",
-    "histogram_value",
-    # r7 slice (positions 5-9; last green r4)
+    "histogram_value", "funnel_counts",
+    # r7 slice (positions 6-11; last green r4 -> gap 3, the bound)
     "filter_minsize", "distinct_agg", "rollup_agg",
-    "percentiles_value", "retention_cohorts",
-    # r8 slice (positions 10-14; last green r5)
+    "percentiles_value", "retention_cohorts", "topk_score",
+    # r8 slice (positions 12-17; last green r5 -> gap 3, the bound)
     "tpch_q14", "filter_threshold", "cube_agg", "text_normalize",
-    "time_bucket_rollup",
+    "time_bucket_rollup", "text_token_count",
 ]
-_SLOW_PER_ROUND = 5
+_SLOW_PER_ROUND = 6
 # oracle keys debuting THIS round — in neither group, so _rotate()
 # puts them right after the pinned keys; fold into the smaller group
 # next round.  Round 6 budget: ZERO free slots (see CAPACITY NOTE —
@@ -2577,6 +2591,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE host NOT IN ({", ".join(
                 f"'{h}'" for h in _WEB.BLOCKLIST)})
             GROUP BY 1, 2""",
+        # canonical-URL dedup: the same 7-step canonicalization chain
+        # as operators/web.canonical_url_expr, staged as CTEs (every
+        # regex in the shared Java-regex/RE2 subset; DuckDB needs the
+        # explicit 'g' flag only where Spark replaces all matches —
+        # the dup-slash collapse)
+        "url_canonical_dedup": f"""
+            WITH u AS ({_WEB.URL_MESSY_WRAP_SQL}),
+            s1 AS (SELECT doc_id, n_chars,
+                          regexp_replace(url, '{_WEB.URL_FRAG_RE}',
+                                         '') AS u
+                   FROM u),
+            s2 AS (SELECT doc_id, n_chars,
+                          lower(regexp_extract(u,
+                              '({_WEB.URL_PREFIX_RE})', 1))
+                          || regexp_replace(u,
+                              '{_WEB.URL_PREFIX_RE}', '') AS u
+                   FROM s1),
+            s3 AS (SELECT doc_id, n_chars,
+                          replace(u, ':443/', '/') AS u FROM s2),
+            s4 AS (SELECT doc_id, n_chars,
+                          regexp_replace(u, '{_WEB.URL_TRACK_RE}',
+                                         '') AS u
+                   FROM s3),
+            s5 AS (SELECT doc_id, n_chars,
+                          regexp_replace(u, '{_WEB.URL_INDEX_RE}',
+                                         '') AS u
+                   FROM s4),
+            s6 AS (SELECT doc_id, n_chars,
+                          'https://' || regexp_replace(substring(u, 9),
+                              '{_WEB.URL_DUPSLASH_RE}', '/', 'g') AS u
+                   FROM s5),
+            s7 AS (SELECT doc_id, n_chars,
+                          regexp_replace(u, '{_WEB.URL_TRAIL_RE}', '')
+                            AS canonical_url
+                   FROM s6)
+            SELECT canonical_url,
+                   count(*) AS n_variants,
+                   min(doc_id) AS keeper_doc,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM s7 GROUP BY 1""",
         "dedup_lines": """
             WITH words AS (
               SELECT doc_id, string_split(text, ' ') AS w

@@ -186,3 +186,109 @@ def url_host_filter(documents: DataFrame,
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_chars").alias("total_chars"),
                  F.min("doc_id").alias("first_doc")))
+
+
+# --- URL canonicalization + canonical-URL dedup (r6) --------------------
+#
+# RefinedWeb / CCNet dedupe crawl snapshots on the NORMALIZED URL before
+# any content-level pass: the same page is fetched under scheme/host
+# case variants, default ports, tracking query params, fragments,
+# duplicate slashes and /index.html suffixes.  ``url_messy_wrap``
+# renders four deterministic messy variants per canonical target
+# (keyed off doc_id, same expression in the DuckDB oracle) and
+# ``url_canonical_dedup`` collapses them: canonicalize (pure codegen
+# string/regex chain — map-only, fuses into the scan at corpus scale),
+# then one hash-partitioned rollup on the canonical URL with map-side
+# partial aggregation.  Keeper choice is min(doc_id) — deterministic,
+# order-independent.  Every regex below is in the common
+# Java-regex/RE2 subset (no backreferences, no replacement groups) so
+# Spark and DuckDB agree byte-for-byte.
+
+# canonicalization patterns (verbatim in the SQL oracle)
+URL_FRAG_RE = "#.*$"                 # strip fragment
+URL_PREFIX_RE = "^[^/]*//[^/]*"      # scheme://host[:port] prefix
+URL_TRACK_RE = "[?]utm_[^#]*$"       # all-tracking query string
+URL_INDEX_RE = "/index[.]html$"      # directory-default suffix
+URL_DUPSLASH_RE = "//+"              # path duplicate slashes
+URL_TRAIL_RE = "/$"                  # trailing slash
+
+
+def url_messy_wrap(documents: DataFrame) -> DataFrame:
+    """(doc_id, source, n_chars) -> (doc_id, n_chars, url): four messy
+    variants (doc_id % 4) of one canonical target (doc_id // 4)."""
+    grp_n = F.floor(F.col("doc_id") / 4).cast("long")
+    grp = grp_n.cast("string")
+    host = F.concat(F.lit("www.example-"), (grp_n % 8).cast("string"),
+                    F.lit(".com"))
+    path = F.concat(F.lit("/articles/"), grp)
+    v = F.col("doc_id") % 4
+    url = (F.when(v == 0, F.concat(F.lit("https://"), host, path))
+            .when(v == 1, F.concat(F.lit("HTTPS://"), F.upper(host),
+                                   F.lit(":443"), path, F.lit("/")))
+            .when(v == 2, F.concat(
+                F.lit("https://"), host, path,
+                F.lit("?utm_source=feed&utm_medium=rss")))
+            .otherwise(F.concat(F.lit("https://"), host, F.lit("/"),
+                                path, F.lit("/index.html#sec-2"))))
+    return documents.select("doc_id", "n_chars", url.alias("url"))
+
+
+URL_MESSY_WRAP_SQL = """
+  WITH g AS (
+    SELECT doc_id, n_chars,
+           CAST(CAST(floor(doc_id / 4) AS BIGINT) AS VARCHAR) AS grp,
+           'www.example-'
+             || CAST(CAST(floor(doc_id / 4) AS BIGINT) % 8 AS VARCHAR)
+             || '.com' AS host
+    FROM documents
+  )
+  SELECT doc_id, n_chars,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://' || host || '/articles/' || grp
+           WHEN 1 THEN 'HTTPS://' || upper(host) || ':443'
+                       || '/articles/' || grp || '/'
+           WHEN 2 THEN 'https://' || host || '/articles/' || grp
+                       || '?utm_source=feed&utm_medium=rss'
+           ELSE 'https://' || host || '//articles/' || grp
+                || '/index.html#sec-2'
+         END AS url
+  FROM g
+"""
+
+
+def canonical_url_expr(col):
+    """Canonical form of a messy URL: drop fragment, lowercase the
+    scheme://host[:port] prefix, strip the default :443 port, drop an
+    all-tracking query string, strip /index.html, collapse duplicate
+    path slashes, strip the trailing slash.  Chain of 7 map-only
+    string ops — whole-stage codegen, no UDF."""
+    c = F.regexp_replace(col, URL_FRAG_RE, "")
+    c = F.concat(F.lower(F.regexp_extract(c, f"({URL_PREFIX_RE})", 1)),
+                 F.regexp_replace(c, URL_PREFIX_RE, ""))
+    c = F.replace(c, F.lit(":443/"), F.lit("/"))
+    c = F.regexp_replace(c, URL_TRACK_RE, "")
+    c = F.regexp_replace(c, URL_INDEX_RE, "")
+    c = F.concat(F.lit("https://"),
+                 F.regexp_replace(F.substr(c, F.lit(9)),
+                                  URL_DUPSLASH_RE, "/"))
+    return F.regexp_replace(c, URL_TRAIL_RE, "")
+
+
+def url_canonical_dedup(documents: DataFrame) -> DataFrame:
+    """Collapse messy URL variants onto their canonical URL.
+    Output: (canonical_url, keeper_doc, n_variants, total_chars).
+
+    Scale shape: canonicalization is a map-only expression chain fused
+    into the scan; the rollup is the single shuffle, keyed on the
+    canonical URL (key space = number of distinct pages, uniform by
+    construction of the hash — a crawl's per-site skew is the
+    ``skew_profile`` -> ``salted_join`` path, not this one), with
+    map-side partial aggregation collapsing the variant fan-in before
+    the exchange."""
+    urls = url_messy_wrap(documents)
+    canon = urls.withColumn("canonical_url",
+                            canonical_url_expr(F.col("url")))
+    return (canon.groupBy("canonical_url")
+            .agg(F.count("*").alias("n_variants"),
+                 F.min("doc_id").alias("keeper_doc"),
+                 F.sum("n_chars").cast("long").alias("total_chars")))

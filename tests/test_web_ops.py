@@ -171,3 +171,42 @@ def test_repeated_substring_spans_randomized_reference(spark):
     got = {r["doc_id"]: (r["n_dup_spans"], r["chars_removed"])
            for r in repeated_substring_spans(d, k=k).collect()}
     assert got == want
+
+
+def test_url_canonical_dedup_collapses_variants(spark):
+    """All four messy decorations of one canonical target (case +
+    default port + trailing slash, tracking query, duplicate slash +
+    index.html + fragment) must collapse onto one canonical URL with
+    the min doc_id as keeper; distinct targets must stay apart."""
+    from pyspark.sql import functions as F
+
+    from ocr_pytorch_spark.operators.web import (
+        canonical_url_expr, url_canonical_dedup, url_messy_wrap)
+
+    # doc_ids 0-3 = the four variants of group 0; 4-7 = group 1
+    rows = [(i, f"t{i}", "en", "srcX", 10 + i) for i in range(8)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+    messy = {r["doc_id"]: r["url"]
+             for r in url_messy_wrap(docs).collect()}
+    assert messy[1].startswith("HTTPS://") and ":443" in messy[1]
+    assert messy[2].endswith("utm_medium=rss")
+    assert "//articles" in messy[3] and messy[3].endswith("#sec-2")
+
+    out = {r["canonical_url"]: r
+           for r in url_canonical_dedup(docs).collect()}
+    assert len(out) == 2
+    g0 = out["https://www.example-0.com/articles/0"]
+    g1 = out["https://www.example-1.com/articles/1"]
+    assert g0["n_variants"] == 4 and g0["keeper_doc"] == 0
+    assert g0["total_chars"] == 10 + 11 + 12 + 13
+    assert g1["n_variants"] == 4 and g1["keeper_doc"] == 4
+
+    # canonicalization is idempotent: canonical(canonical(u)) == u
+    canon = url_messy_wrap(docs).select(
+        canonical_url_expr(F.col("url")).alias("c"))
+    twice = canon.select(F.col("c"),
+                         canonical_url_expr(F.col("c")).alias("c2"))
+    assert all(r["c"] == r["c2"] for r in twice.collect())
