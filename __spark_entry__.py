@@ -1706,6 +1706,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup before any content pass (operators/web.py)
         "url_canonical_dedup": lambda s, sf: WB.url_canonical_dedup(
             _t(s, sf, "documents")),
+        # per-domain document cap (r6, new): RefinedWeb/C4-style cap on
+        # pages per domain, salted two-phase top-k (operators/web.py)
+        "domain_doc_cap": lambda s, sf: WB.domain_doc_cap(
+            _t(s, sf, "documents")),
         "dedup_lines": lambda s, sf: D.line_dedup(
             _t(s, sf, "documents")),
         "snapshot_time_travel": _snapshot_time_travel,
@@ -1863,18 +1867,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # unverified.
 _PINNED = ["ocr_extract_parity"]
 # CAPACITY NOTE (r6): the driver window is 50 keys.  The r6 contract
-# carries 104 oracle keys — past what a pure 2-round cadence can fit
+# carries 106 oracle keys — past what a pure 2-round cadence can fit
 # (1 pinned + 49 + 49 = 99) — so the schedule is check-cadence-
 # proportional-to-risk, three tiers:
 #   * _PINNED (1): the flagship parity key, EVERY round.  salted_join
 #     was demoted from _PINNED to _ROT_EVEN in r6 to free its slot
 #     (green r1–r5; a 2-round cadence is proportionate).
-#   * _ROT_ODD / _ROT_EVEN (43 + 43): every 2 rounds, as before.
-#   * _ROT_SLOW (18): proven-stable trivial keys (each hash-green in
-#     ≥2 prior rounds), _SLOW_PER_ROUND = 6 surfaced per round by a
+#   * _ROT_ODD / _ROT_EVEN (42 + 42): every 2 rounds, as before.
+#   * _ROT_SLOW (21): proven-stable trivial keys (each hash-green in
+#     ≥2 prior rounds), _SLOW_PER_ROUND = 7 surfaced per round by a
 #     deterministic round-robin — every slow key is in-window at
-#     least every 3 rounds (3 * 6 >= 18).
-# Window arithmetic, EVERY round: 1 pinned + 6 slow + 43 lead = 50,
+#     least every 3 rounds (3 * 7 >= 21).
+# Window arithmetic, EVERY round: 1 pinned + 7 slow + 42 lead = 50,
 # exact.  New r6 keys fold DIRECTLY into _ROT_EVEN rather than
 # _ROT_DEBUT: round 6 is even so EVEN leads it — membership IS the
 # debut check — while a _ROT_DEBUT entry would also sit at the head
@@ -1905,6 +1909,16 @@ _PINNED = ["ocr_extract_parity"]
 # funnel_counts (EVEN, r4 -> slow slice r6, gap 2), topk_score
 # (EVEN, r4 -> slice r7, gap 3), text_token_count (ODD, r5 ->
 # slice r8, gap 3).
+# r6 rebalance detail (fourth pass, +1 late key
+# domain_doc_cap -> _ROT_EVEN): slow tier grew 18 -> 21 with
+# _SLOW_PER_ROUND 6 -> 7 (slices stay aligned: (6*7)%21=0,
+# (7*7)%21=7, (8*7)%21=14; lead groups now 42+42, window
+# 1 + 7 + 42 = 50 exact).  Re-slicing at 7/round only moves
+# existing slow keys EARLIER (old position 6 r7->r6, old 12-13
+# r8->r7), so no carried gap grows.  Demotions, all hash-green
+# >= 2 prior rounds, gaps <= 3: dedupe_consecutive_lag (EVEN,
+# r4 -> slice r6, gap 2), tpch_q3_topk (EVEN, r4 -> slice r7,
+# gap 3), sessionize (ODD, r5 -> slice r8, gap 3).
 # Steady state: slow keys every 3 rounds, everything else every 2.
 _ROT_ODD = [
     # pack_sequences moved even->odd for r5: its prefix-sum bucketing
@@ -1919,7 +1933,8 @@ _ROT_ODD = [
     "phrase_lookup", "tpch_q5", "tpch_q10", "tpch_q18",
     "event_outliers", "bloom_custkey", "approx_distinct_hll",
     "text_quality", "text_fingerprint",
-    "sessionize", "project_bbox_decode",
+    # sessionize demoted to _ROT_SLOW in the r6 fourth-pass rebalance
+    "project_bbox_decode",
     "ohem_topk_sum", "asof_join_events",
     "window_moving_avg", "session_window_agg", "dedup_keeper_policy",
     "sample_documents",
@@ -1936,16 +1951,18 @@ _ROT_ODD = [
 ]
 # outside round 3's window -> lead even rounds (incl. this round 4)
 _ROT_EVEN = [
-    "tpch_q3_topk", "dedup_exact",
+    # tpch_q3_topk + dedupe_consecutive_lag demoted to _ROT_SLOW in
+    # the r6 fourth-pass rebalance
+    "dedup_exact",
     "dedup_minhash_sig", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_components", "dedup_embedding_cosine",
     "sim_topk_cosine", "sim_lsh_buckets",
     "sim_lsh_topk", "sim_ivf_cells", "sim_ivf_topk", "text_lang_id",
-    "dedupe_consecutive_lag",
-    # r6 late addition (debut-by-membership, round 6 is even; the
-    # matching rebalance demoted funnel_counts/topk_score/
-    # text_token_count to _ROT_SLOW per the CAPACITY NOTE):
-    "url_canonical_dedup",
+    # r6 late additions (debut-by-membership, round 6 is even; the
+    # matching rebalances demoted funnel_counts/topk_score/
+    # text_token_count, then dedupe_consecutive_lag/tpch_q3_topk/
+    # sessionize, to _ROT_SLOW per the CAPACITY NOTE):
+    "url_canonical_dedup", "domain_doc_cap",
     # r6 debuts (new operators land in the round-6 leading group):
     "bm25_topk", "stratified_sample", "skew_profile",
     # round-4 debuts, folded straight into the even group: round 4's
@@ -1972,17 +1989,18 @@ _ROT_EVEN = [
 # _SLOW_PER_ROUND surfaced per round round-robin — ordered so the r6
 # transition slices keep every gap <= 3 rounds
 _ROT_SLOW = [
-    # r6 slice (positions 0-5; last green r4)
+    # r6 slice (positions 0-6; last green r4 -> gap <= 2)
     "tpch_q6", "filename_munge", "set_ops", "pivot_counts",
-    "histogram_value", "funnel_counts",
-    # r7 slice (positions 6-11; last green r4 -> gap 3, the bound)
+    "histogram_value", "funnel_counts", "dedupe_consecutive_lag",
+    # r7 slice (positions 7-13; last green r4 -> gap 3, the bound)
     "filter_minsize", "distinct_agg", "rollup_agg",
     "percentiles_value", "retention_cohorts", "topk_score",
-    # r8 slice (positions 12-17; last green r5 -> gap 3, the bound)
+    "tpch_q3_topk",
+    # r8 slice (positions 14-20; last green r5 -> gap 3, the bound)
     "tpch_q14", "filter_threshold", "cube_agg", "text_normalize",
-    "time_bucket_rollup", "text_token_count",
+    "time_bucket_rollup", "text_token_count", "sessionize",
 ]
-_SLOW_PER_ROUND = 6
+_SLOW_PER_ROUND = 7
 # oracle keys debuting THIS round — in neither group, so _rotate()
 # puts them right after the pinned keys; fold into the smaller group
 # next round.  Round 6 budget: ZERO free slots (see CAPACITY NOTE —
@@ -2631,6 +2649,18 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_doc,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM s7 GROUP BY 1""",
+        # the salt is invisible in the result (phase 1 is a lossless
+        # prune under the total order), so the oracle is the plain
+        # per-domain ranked cap; CAST rank to match Spark's
+        # row_number() IntegerType
+        "domain_doc_cap": """
+            SELECT source, doc_id, n_chars, rank FROM (
+              SELECT source, doc_id, n_chars,
+                     CAST(row_number() OVER (PARTITION BY source
+                         ORDER BY n_chars DESC, doc_id) AS INTEGER)
+                       AS rank
+              FROM documents)
+            WHERE rank <= 10""",
         "dedup_lines": """
             WITH words AS (
               SELECT doc_id, string_split(text, ' ') AS w

@@ -292,3 +292,47 @@ def url_canonical_dedup(documents: DataFrame) -> DataFrame:
             .agg(F.count("*").alias("n_variants"),
                  F.min("doc_id").alias("keeper_doc"),
                  F.sum("n_chars").cast("long").alias("total_chars")))
+
+
+def domain_doc_cap(documents: DataFrame, key: str = "source",
+                   k: int = 10, n_salts: int = 4) -> DataFrame:
+    """Per-domain document cap: keep at most ``k`` documents per
+    ``key`` (domain), preferring longer documents, ``doc_id`` as the
+    deterministic tiebreak.  RefinedWeb and C4 both cap pages per
+    registrable domain so a single template-heavy site cannot dominate
+    the corpus; this is that pass.  Output:
+    ``(source, doc_id, n_chars, rank)`` with ``rank`` in ``1..k``.
+
+    Scale shape — salted two-phase top-k.  A naive
+    ``row_number() OVER (PARTITION BY domain ...)`` sends EVERY row of
+    a domain to one reducer; at crawl scale a hot domain (10^8 pages
+    behind one key) is a straggler-and-OOM magnet that salting joins
+    (``salted_join``) fixes for joins but not for windows.  Phase 1
+    ranks within ``(key, salt)`` — the hot key spreads over
+    ``n_salts`` reducers, each keeping only its local top-k.  Because
+    the ordering ``(n_chars DESC, doc_id ASC)`` is a total order, a
+    row in the global top-k of its domain is outranked by < k rows
+    overall, hence by < k rows inside its own salt bucket — so the
+    global top-k is a subset of the union of salt-local top-k's, and
+    phase 1 is lossless.  Phase 2 re-ranks the <= n_salts*k survivors
+    per key: that exchange carries O(domains * n_salts * k) rows, not
+    the corpus.  Both phases are whole-stage-codegen windows; the
+    salt column is ``xxhash64(doc_id)`` so re-execution of a lost
+    partition reproduces identical buckets (no
+    ``spark_partition_id``/``rand`` nondeterminism).
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.desc("n_chars"), F.asc("doc_id")]
+    w1 = Window.partitionBy(key, "salt").orderBy(*order)
+    w2 = Window.partitionBy(key).orderBy(*order)
+    pruned = (documents
+              .select(key, "doc_id", "n_chars",
+                      F.pmod(F.xxhash64("doc_id"),
+                             F.lit(n_salts)).alias("salt"))
+              .withColumn("rn1", F.row_number().over(w1))
+              .filter(F.col("rn1") <= k))
+    return (pruned
+            .withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select(key, "doc_id", "n_chars", "rank"))

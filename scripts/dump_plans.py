@@ -201,6 +201,16 @@ COMMENT = {
                     "rows); totals are a 1-row broadcast; top-k is "
                     "TakeOrderedAndProject — the diagnostic you run "
                     "before sizing salted_join's salt factor",
+    "url_canonical_dedup": "canonicalization is a pure-codegen "
+                           "string/regex projection fused into a "
+                           "2-column pruned scan (text never read); "
+                           "the ONLY shuffle is the canonical-URL "
+                           "rollup with map-side partial aggs",
+    "domain_doc_cap": "salted two-phase per-domain top-k; "
+                      "WindowGroupLimit fires Partial before BOTH "
+                      "exchanges so no unbounded shuffle exists and "
+                      "the final per-domain reducer sees <= "
+                      "n_salts*k rows however hot the domain",
 }
 
 
@@ -232,6 +242,7 @@ def main() -> None:
                  "multimodal_neardup", "multimodal_audio_neardup",
                  "text_compression", "bpe_encode_tokens",
                  "bm25_topk", "stratified_sample", "skew_profile",
+                 "url_canonical_dedup", "domain_doc_cap",
                  "ocr_extract"):
         df = qs[name](spark, SF)
         buf = io.StringIO()

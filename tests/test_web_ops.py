@@ -210,3 +210,36 @@ def test_url_canonical_dedup_collapses_variants(spark):
     twice = canon.select(F.col("c"),
                          canonical_url_expr(F.col("c")).alias("c2"))
     assert all(r["c"] == r["c2"] for r in twice.collect())
+
+
+def test_domain_doc_cap_salted_prune_is_lossless(spark):
+    """The salted two-phase top-k must equal the naive single-window
+    rank on a skewed input: one hot domain with 200 docs (spread over
+    every salt bucket), one domain with fewer docs than k, plus
+    n_chars ties that only the doc_id tiebreak resolves."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ocr_pytorch_spark.operators.web import domain_doc_cap
+
+    rows = ([(i, "hot.example", 1000 - (i % 7)) for i in range(200)]
+            + [(1000 + i, "cold.example", 50) for i in range(3)])
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long")
+
+    got = sorted(tuple(r) for r in domain_doc_cap(
+        docs, k=10, n_salts=4).collect())
+
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    want = sorted(tuple(r) for r in docs
+                  .withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= 10)
+                  .select("source", "doc_id", "n_chars", "rank")
+                  .collect())
+    assert got == want
+    # the under-k domain survives whole; the hot one is capped at k
+    by_src = {}
+    for src, *_ in got:
+        by_src[src] = by_src.get(src, 0) + 1
+    assert by_src == {"hot.example": 10, "cold.example": 3}
