@@ -1692,6 +1692,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "documents")),
         "layout_reading_order": lambda s, sf: H.layout_reading_order(
             _t(s, sf, "documents")),
+        # outlink/anchor-text harvest feeding the link graph (r6,
+        # operators/html.html_outlinks) — data-dependent citation
+        # links over html_wrap_linked pages
+        "html_outlinks": lambda s, sf: H.html_outlinks(
+            _t(s, sf, "documents")),
         "pdf_text_extract": _pdf_text_extract,
         "text_repetition": lambda s, sf: T.repetition_signals(
             _t(s, sf, "documents")),
@@ -1867,18 +1872,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # unverified.
 _PINNED = ["ocr_extract_parity"]
 # CAPACITY NOTE (r6): the driver window is 50 keys.  The r6 contract
-# carries 106 oracle keys — past what a pure 2-round cadence can fit
+# carries 107 oracle keys — past what a pure 2-round cadence can fit
 # (1 pinned + 49 + 49 = 99) — so the schedule is check-cadence-
 # proportional-to-risk, three tiers:
 #   * _PINNED (1): the flagship parity key, EVERY round.  salted_join
 #     was demoted from _PINNED to _ROT_EVEN in r6 to free its slot
 #     (green r1–r5; a 2-round cadence is proportionate).
-#   * _ROT_ODD / _ROT_EVEN (42 + 42): every 2 rounds, as before.
-#   * _ROT_SLOW (21): proven-stable trivial keys (each hash-green in
-#     ≥2 prior rounds), _SLOW_PER_ROUND = 7 surfaced per round by a
+#   * _ROT_ODD / _ROT_EVEN (41 + 41): every 2 rounds, as before.
+#   * _ROT_SLOW (24): proven-stable trivial keys (each hash-green in
+#     ≥2 prior rounds), _SLOW_PER_ROUND = 8 surfaced per round by a
 #     deterministic round-robin — every slow key is in-window at
-#     least every 3 rounds (3 * 7 >= 21).
-# Window arithmetic, EVERY round: 1 pinned + 7 slow + 42 lead = 50,
+#     least every 3 rounds (3 * 8 >= 24).
+# Window arithmetic, EVERY round: 1 pinned + 8 slow + 41 lead = 50,
 # exact.  New r6 keys fold DIRECTLY into _ROT_EVEN rather than
 # _ROT_DEBUT: round 6 is even so EVEN leads it — membership IS the
 # debut check — while a _ROT_DEBUT entry would also sit at the head
@@ -1919,6 +1924,17 @@ _PINNED = ["ocr_extract_parity"]
 # >= 2 prior rounds, gaps <= 3: dedupe_consecutive_lag (EVEN,
 # r4 -> slice r6, gap 2), tpch_q3_topk (EVEN, r4 -> slice r7,
 # gap 3), sessionize (ODD, r5 -> slice r8, gap 3).
+# r6 rebalance detail (fifth pass, +1 late key
+# html_outlinks -> _ROT_EVEN): slow tier grew 21 -> 24 with
+# _SLOW_PER_ROUND 7 -> 8 (slices stay aligned: (6*8)%24=0,
+# (7*8)%24=8, (8*8)%24=16; lead groups now 41+41, window
+# 1 + 8 + 41 = 50 exact).  Re-slicing at 8/round only moves
+# existing slow keys EARLIER (old position 7 r7->r6, old
+# positions 14-15 r8->r7), so no carried gap grows; the three
+# new entries are placed so every demotion gap stays <= 3:
+# dedup_exact + dedup_minhash_sig (EVEN, green r4 -> positions
+# 14-15, slice r7, gap 3) and sample_documents (ODD, green r5 ->
+# position 23, slice r8, gap 3).
 # Steady state: slow keys every 3 rounds, everything else every 2.
 _ROT_ODD = [
     # pack_sequences moved even->odd for r5: its prefix-sum bucketing
@@ -1937,7 +1953,8 @@ _ROT_ODD = [
     "project_bbox_decode",
     "ohem_topk_sum", "asof_join_events",
     "window_moving_avg", "session_window_agg", "dedup_keeper_policy",
-    "sample_documents",
+    # sample_documents demoted to _ROT_SLOW in the r6 fifth-pass
+    # rebalance (html_outlinks landing)
     "data_quality_checks", "window_reading_order", "group_line_stats",
     "group_linefit_regr", "range_self_join",
     # r6 rebalance: r5 debuts fold here (checked r5 as debuts -> r7)
@@ -1952,9 +1969,9 @@ _ROT_ODD = [
 # outside round 3's window -> lead even rounds (incl. this round 4)
 _ROT_EVEN = [
     # tpch_q3_topk + dedupe_consecutive_lag demoted to _ROT_SLOW in
-    # the r6 fourth-pass rebalance
-    "dedup_exact",
-    "dedup_minhash_sig", "dedup_minhash_lsh", "dedup_simhash",
+    # the r6 fourth-pass rebalance; dedup_exact + dedup_minhash_sig in
+    # the fifth (html_outlinks landing)
+    "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_components", "dedup_embedding_cosine",
     "sim_topk_cosine", "sim_lsh_buckets",
     "sim_lsh_topk", "sim_ivf_cells", "sim_ivf_topk", "text_lang_id",
@@ -1962,7 +1979,7 @@ _ROT_EVEN = [
     # matching rebalances demoted funnel_counts/topk_score/
     # text_token_count, then dedupe_consecutive_lag/tpch_q3_topk/
     # sessionize, to _ROT_SLOW per the CAPACITY NOTE):
-    "url_canonical_dedup", "domain_doc_cap",
+    "url_canonical_dedup", "domain_doc_cap", "html_outlinks",
     # r6 debuts (new operators land in the round-6 leading group):
     "bm25_topk", "stratified_sample", "skew_profile",
     # round-4 debuts, folded straight into the even group: round 4's
@@ -1989,18 +2006,20 @@ _ROT_EVEN = [
 # _SLOW_PER_ROUND surfaced per round round-robin — ordered so the r6
 # transition slices keep every gap <= 3 rounds
 _ROT_SLOW = [
-    # r6 slice (positions 0-6; last green r4 -> gap <= 2)
+    # r6 slice (positions 0-7; last green r4 -> gap <= 2)
     "tpch_q6", "filename_munge", "set_ops", "pivot_counts",
     "histogram_value", "funnel_counts", "dedupe_consecutive_lag",
-    # r7 slice (positions 7-13; last green r4 -> gap 3, the bound)
-    "filter_minsize", "distinct_agg", "rollup_agg",
+    "filter_minsize",
+    # r7 slice (positions 8-15; last green r4 -> gap 3, the bound)
+    "distinct_agg", "rollup_agg",
     "percentiles_value", "retention_cohorts", "topk_score",
-    "tpch_q3_topk",
-    # r8 slice (positions 14-20; last green r5 -> gap 3, the bound)
+    "tpch_q3_topk", "dedup_exact", "dedup_minhash_sig",
+    # r8 slice (positions 16-23; last green r5 -> gap 3, the bound)
     "tpch_q14", "filter_threshold", "cube_agg", "text_normalize",
     "time_bucket_rollup", "text_token_count", "sessionize",
+    "sample_documents",
 ]
-_SLOW_PER_ROUND = 7
+_SLOW_PER_ROUND = 8
 # oracle keys debuting THIS round — in neither group, so _rotate()
 # puts them right after the pinned keys; fold into the smaller group
 # next round.  Round 6 budget: ZERO free slots (see CAPACITY NOTE —
@@ -2460,6 +2479,53 @@ def oracle_sql() -> dict[str, str]:
                           / greatest(length(""" + _HTML_CLEAN + """), 1))
                          * 10000 + 0.5) / 10000 AS link_density
             FROM pages""",
+        # identical page construction (html_wrap_linked) + identical
+        # two-group link regex; DuckDB unnest of two same-length lists
+        # zips positionally, matching Spark's arrays_zip + explode
+        "html_outlinks": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents
+            ), pages AS (
+              SELECT doc_id,
+                '<html><body><nav><a href=https://hub.example/nav>'
+                || 'Hub home</a></nav><p>'
+                || '<a href=https://'
+                || ws[least(2, greatest(len(ws), 1))]
+                || '.example/p' || CAST(doc_id AS VARCHAR) || '>'
+                || ws[least(2, greatest(len(ws), 1))]
+                || ' page</a> cite '
+                || '<a href=https://'
+                || ws[least(5, greatest(len(ws), 1))]
+                || '.example/p' || CAST(doc_id AS VARCHAR) || '>'
+                || ws[least(5, greatest(len(ws), 1))]
+                || ' page</a> see '
+                || '<a href=https://'
+                || ws[least(8, greatest(len(ws), 1))]
+                || '.example/p' || CAST(doc_id AS VARCHAR) || '>'
+                || ws[least(8, greatest(len(ws), 1))]
+                || ' page</a></p><footer>'
+                || '<a href=https://hub.example/tos>Terms of use</a>'
+                || '</footer></body></html>' AS html
+              FROM d
+            ), links AS (
+              SELECT doc_id,
+                     regexp_extract_all(html,
+                       '<a href=https://([^/>]+)/[^>]*>([^<]*)</a>',
+                       1) AS hosts,
+                     regexp_extract_all(html,
+                       '<a href=https://([^/>]+)/[^>]*>([^<]*)</a>',
+                       2) AS anchors
+              FROM pages
+            ), edges AS (
+              SELECT doc_id, unnest(hosts) AS dst_host,
+                     unnest(anchors) AS anchor
+              FROM links
+            )
+            SELECT dst_host, count(*) AS n_links,
+                   count(DISTINCT doc_id) AS n_docs,
+                   CAST(sum(length(anchor)) AS BIGINT) AS anchor_chars
+            FROM edges GROUP BY 1""",
         "html_main_block": _HTML_PAGE_CTE + """,
         blocks AS (
           SELECT doc_id,

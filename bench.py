@@ -46,7 +46,7 @@ HEADLINE = [
     "html_main_block", "pdf_text_extract",
     "dedup_lines", "pii_redact", "tfidf_topk",
     "bm25_topk", "stratified_sample", "skew_profile",
-    "url_canonical_dedup", "domain_doc_cap",
+    "url_canonical_dedup", "domain_doc_cap", "html_outlinks",
     "doc_chunks", "pack_sequences", "lm_perplexity",
     "semdedup", "boilerplate_blocks",
     "multimodal_audio", "multimodal_video",

@@ -216,3 +216,82 @@ def boilerplate_classify(documents: DataFrame) -> DataFrame:
     return ctx.select("doc_id", "block_idx", "n_words",
                       quant4(F.col("ld")).alias("link_density"),
                       is_content.alias("is_content"))
+
+
+# ---------------------------------------------------------------------------
+# Outlink / anchor-text harvest (link-graph build)
+# ---------------------------------------------------------------------------
+
+# one regex, two capture groups: (dst_host, anchor text).  Written in
+# the shared Java-regex/RE2 subset (negated classes only, no
+# backtracking ambiguity) so Spark and DuckDB extract byte-identical
+# match lists from the same page.
+_LINK_RE = r"<a href=https://([^/>]+)/[^>]*>([^<]*)</a>"
+
+
+def html_wrap_linked(documents: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, html): a page whose outlinks are
+    DATA-DEPENDENT (unlike ``html_wrap``'s fixed chrome links): three
+    in-text citation links whose target host derives from the
+    document's own words (``https://<word>.example/p<doc_id>``), plus
+    fixed hub nav/footer links.  The word picks are 1-based positions
+    2/5/8 clamped to the word count, so short documents degrade
+    deterministically and the oracle can rebuild the identical page
+    in SQL."""
+    words = F.split(F.col("text"), " ")
+
+    def word_at(p: int):
+        return F.element_at(
+            words, F.least(F.lit(p), F.greatest(F.size(words),
+                                                F.lit(1))))
+
+    def link(p: int):
+        w = word_at(p)
+        return F.concat(F.lit("<a href=https://"), w,
+                        F.lit(".example/p"),
+                        F.col("doc_id").cast("string"), F.lit(">"),
+                        w, F.lit(" page</a>"))
+
+    html = F.concat(
+        F.lit("<html><body><nav><a href=https://hub.example/nav>"
+              "Hub home</a></nav><p>"),
+        link(2), F.lit(" cite "), link(5), F.lit(" see "), link(8),
+        F.lit("</p><footer><a href=https://hub.example/tos>"
+              "Terms of use</a></footer></body></html>"))
+    return documents.select("doc_id", html.alias("html"))
+
+
+def html_outlinks(documents: DataFrame) -> DataFrame:
+    """Anchor-text corpus / link-graph build: harvest every
+    ``<a href=https://host/...>anchor</a>`` from the rendered pages
+    and aggregate per destination host — the pass a web pipeline runs
+    alongside main-content extraction to feed link analysis (the
+    ``pagerank`` operator here) and anchor-text retrieval corpora.
+    Output: (dst_host, n_links, n_docs, anchor_chars), exact integers.
+
+    Scale shape: link extraction is two ``regexp_extract_all`` over
+    the page plus one ``arrays_zip``/``explode`` — pure codegen fused
+    into the scan, no UDF, no shuffle until the single per-host
+    rollup.  ``count(distinct doc_id)`` expands to a two-phase
+    (host, doc_id) partial aggregation, so map-side combine bounds
+    what crosses the exchange by the distinct edge set, not the link
+    multiset.  Destination hosts are power-law at crawl scale — the
+    same skew `skew_profile` diagnoses and AQE skew-join handles;
+    the per-host row is a few counters, so even a 10^8-inlink host
+    reduces to bounded partial aggregates per map task.
+    """
+    page = html_wrap_linked(documents)
+    hosts = F.regexp_extract_all(F.col("html"), F.lit(_LINK_RE), 1)
+    anchors = F.regexp_extract_all(F.col("html"), F.lit(_LINK_RE), 2)
+    edges = (page
+             .select("doc_id",
+                     F.explode(F.arrays_zip(
+                         hosts.alias("dst_host"),
+                         anchors.alias("anchor"))).alias("e"))
+             .select("doc_id", F.col("e.dst_host").alias("dst_host"),
+                     F.col("e.anchor").alias("anchor")))
+    return (edges.groupBy("dst_host")
+            .agg(F.count("*").alias("n_links"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.sum(F.length("anchor")).cast("long")
+                 .alias("anchor_chars")))

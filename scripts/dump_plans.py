@@ -211,6 +211,14 @@ COMMENT = {
                       "exchanges so no unbounded shuffle exists and "
                       "the final per-domain reducer sees <= "
                       "n_salts*k rows however hot the domain",
+    "html_outlinks": "link/anchor harvest is pure codegen fused into "
+                     "a 2-column scan (regexp_extract_all x2 + "
+                     "arrays_zip + one Generate); count(distinct "
+                     "doc_id) expands to a two-phase (host, doc_id) "
+                     "partial agg, so a power-law hot host spreads "
+                     "over its doc_ids in the first exchange and "
+                     "only per-(host,doc) counters reach the final "
+                     "per-host reducer",
 }
 
 
@@ -243,6 +251,7 @@ def main() -> None:
                  "text_compression", "bpe_encode_tokens",
                  "bm25_topk", "stratified_sample", "skew_profile",
                  "url_canonical_dedup", "domain_doc_cap",
+                 "html_outlinks",
                  "ocr_extract"):
         df = qs[name](spark, SF)
         buf = io.StringIO()

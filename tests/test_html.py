@@ -187,3 +187,30 @@ def test_boilerplate_rules_semantics(spark):
     # word thresholds, and chrome stays chrome
     assert not any(r["is_content"] for (d, _), r in rows.items()
                    if d == 2)
+
+
+def test_html_outlinks_anchor_corpus(spark):
+    """Link harvest over the linked page: word-derived citation hosts
+    aggregate across documents (n_links counts every link, n_docs is
+    distinct linking docs), the fixed hub links contribute 2 per doc,
+    and a short document clamps every word pick to its last word."""
+    from ocr_pytorch_spark.operators.html import html_outlinks
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+         (2, "one two"),
+         (3, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id long, text string")
+    got = {r["dst_host"]: (r["n_links"], r["n_docs"], r["anchor_chars"])
+           for r in html_outlinks(docs).collect()}
+    # docs 1+3 link words at positions 2/5/8: beta, epsilon, theta;
+    # anchor is "<word> page" (len(word) + 5)
+    assert got["beta.example"] == (2, 2, 2 * 9)
+    assert got["epsilon.example"] == (2, 2, 2 * 12)
+    assert got["theta.example"] == (2, 2, 2 * 10)
+    # doc 2 has two words -> every pick clamps to "two"
+    assert got["two.example"] == (3, 1, 3 * 8)
+    # hub chrome: nav "Hub home" (8) + footer "Terms of use" (12)
+    assert got["hub.example"] == (6, 3, 3 * 20)
+    assert set(got) == {"beta.example", "epsilon.example",
+                        "theta.example", "two.example", "hub.example"}
