@@ -232,7 +232,8 @@ def _png_ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     five PNG filter types + the checked-in reference files
     test_images/t1.png AND the reference's own rendered JPEG output
     test_result/t1.jpg — the reference's demo input path, demo.py:11
-    cv2.imread of test_images/*.*) is decoded INSIDE executors by the
+    np.array(PIL Image.open(...).convert('RGB')) over
+    test_images/*.*) is decoded INSIDE executors by the
     pure-NumPy codecs (magic-byte dispatch) and OCR'd; the expected
     side OCRs reference raw arrays — datagen.gen_image_array for the
     fixtures (fully independent of the PNG codec: encode->decode must
@@ -542,7 +543,8 @@ def _text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("doc_id") < 32).select("doc_id"))
     texts = docs.mapInPandas(synth, "doc_id long, text string")
     return compression_ratio(texts).select(
-        "doc_id", "n_chars", "n_compressed",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_chars", "n_compressed",
         quant4(F.col("compression_ratio")).alias("compression_ratio"))
 
 
@@ -565,11 +567,12 @@ def _text_compression_oracle_sql() -> str:
         raw = compression_fixture_text(k).encode("utf-8")
         z = len(zlib.compress(raw, 6))
         ratio = z / max(len(raw), 1)
-        rows.append(f"('{k}', {len(raw)}, {z}, "
+        rows.append(f"({k}, {len(raw)}, {z}, "
                     f"CAST({ratio!r} AS DOUBLE))")
     q4 = quant4_sql("compression_ratio")
     return (
-        "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(n_chars AS BIGINT) AS n_chars, "
         "CAST(n_compressed AS BIGINT) AS n_compressed, "
         f"{q4} AS compression_ratio "
         "FROM (VALUES " + ", ".join(rows) + ") AS t("

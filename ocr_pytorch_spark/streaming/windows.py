@@ -150,7 +150,11 @@ def stream_minhash_neardup(docs: DataFrame, k: int = 8, bands: int = 4,
         ids, sigs = list(ids), list(sigs)
         band_idx = int(key[0])
         out = []
+        max_ts_ms = 0
         for pdf in pdfs:
+            if len(pdf):
+                max_ts_ms = max(max_ts_ms,
+                                int(pdf["ts"].max().timestamp() * 1000))
             for doc_id, sig_str in zip(pdf["doc_id"], pdf["sig_str"]):
                 parts = sig_str.split("|")
                 for prev_id, prev_sig in zip(ids, sigs):
@@ -161,13 +165,22 @@ def stream_minhash_neardup(docs: DataFrame, k: int = 8, bands: int = 4,
                            / len(parts))
                     if sim >= sim_threshold:
                         out.append((doc_id, prev_id, band_idx, sim))
-                if len(ids) < bucket_cap:
+                # at-least-once sources can replay a doc_id: guard the
+                # append on membership (ids is capped at bucket_cap, so
+                # the linear scan is O(64)) or replays evict capacity
+                # meant for distinct docs
+                if str(doc_id) not in ids and len(ids) < bucket_cap:
                     ids.append(str(doc_id))
                     sigs.append(str(sig_str))
         state.update((ids, sigs))
+        # ALWAYS set the timeout (r6 ADVICE: the old `wm > 0` guard
+        # left first-micro-batch buckets stateful forever).  While the
+        # watermark is still unset (0) the timeout must anchor to the
+        # bucket's own max EVENT time, not to epoch 0 — a 0-anchored
+        # timeout lands decades before the first real watermark and
+        # would evict all first-batch state the moment it advances.
         wm = state.getCurrentWatermarkMs()
-        if wm > 0:
-            state.setTimeoutTimestamp(wm + state_retention_ms)
+        state.setTimeoutTimestamp(max(wm, max_ts_ms) + state_retention_ms)
         yield pd.DataFrame(out, columns=cols)
 
     return (banded.groupBy("band_idx", "key")
