@@ -1557,11 +1557,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.count("*").alias("n")))
 
     def approx_distinct(spark, sf):
-        # HLL sketch — algorithms differ across engines, so this is a
-        # rows-only check; exactness is covered by distinct_agg
-        return (_t(spark, sf, "lineitem").groupBy("l_returnflag")
-                .agg(F.approx_count_distinct("l_partkey")
-                     .alias("approx_parts")))
+        # HLL sketch — algorithms differ across engines, so the raw
+        # estimate can't be hash-compared.  ORACLE-BEARING since r7
+        # (r6 VERDICT task 5): the driver-checkable projection is the
+        # tolerance RELATION — exact count plus a boolean asserting
+        # |approx − exact|/exact ≤ 0.15 (Spark's default rsd is 0.05,
+        # so 0.15 is a 3-sigma bound) — against a literal TRUE oracle.
+        per = (_t(spark, sf, "lineitem").groupBy("l_returnflag")
+               .agg(F.approx_count_distinct("l_partkey")
+                    .alias("approx_parts"),
+                    F.countDistinct("l_partkey").alias("exact_parts")))
+        return per.select(
+            "l_returnflag",
+            F.col("exact_parts").cast("long").alias("exact_parts"),
+            (F.abs(F.col("approx_parts") - F.col("exact_parts"))
+             / F.col("exact_parts") <= 0.15).alias("within_tol"))
 
     def rollup_agg(spark, sf):
         return (_t(spark, sf, "lineitem")
@@ -1837,8 +1847,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": pack_sequences_q,
         "lm_perplexity": lm_perplexity_q,
         "pagerank": pagerank_q,
+        # sketch tolerance relation (oracle-bearing since r7, suite
+        # member — see _SUITES)
+        "approx_distinct": approx_distinct,
         # non-SQL-expressible (NumPy model forwards) -> rows-only checks
-        "approx_distinct": approx_distinct,  # rows-only (HLL differs)
         "ocr_extract": _ocr_extract,
         "multimodal_features": _multimodal_features,
         "multimodal_dhash": _multimodal_dhash,
@@ -1853,7 +1865,154 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_errors_scan": _ocr_errors_scan,
         "png_ocr_extract": _png_ocr_extract,
     }
+    # composite verification suites (r6 VERDICT task 1): each suite
+    # key UNION-ALLs its members' full relations (member tag +
+    # canonical row_repr), so one driver row hash-checks every member
+    # relation.  Members stay in `base` (pytest checks each exactly),
+    # but _rotate() keeps them out of the driver window — the suite is
+    # their driver presence.
+    members_snapshot = dict(base)
+    for sname, ms in _SUITES.items():
+        base[sname] = _make_suite_query(sname, ms, members_snapshot)
     return _rotate(base)
+
+
+# --- composite verification suites (r6 VERDICT task 1) ------------------
+# The 50-key driver window saturated in r6 (107 oracle keys, zero
+# headroom).  Fix: the 24 proven-stable trivial `_ROT_SLOW` keys, plus
+# phrase_lookup + tpch_q18 (pulled from _ROT_ODD, green r5) and
+# approx_distinct (tolerance relation, first oracle this round), fold
+# into FOUR composite suite keys.  Each suite UNION-ALLs its members'
+# complete relations as (member, row_repr) rows, where row_repr is a
+# canonical '|'-joined rendering of the member's columns sorted by
+# name:
+#   * DOUBLE columns  -> CAST(floor(x*10000 + 0.5) AS BIGINT) — floor
+#     and IEEE arithmetic are identical in Spark and DuckDB on
+#     identical input bits (and the contract test proves the member
+#     values ARE bit-identical), so this sidesteps the engines'
+#     different double->string formatting;
+#   * everything else -> CAST(col AS VARCHAR) (integer/boolean/string
+#     renderings agree across engines);
+#   * NULLs           -> '<NULL>' sentinel (concat_ws would silently
+#     drop them).
+# One driver hash per suite therefore certifies every member relation,
+# at a 2-round cadence, using 4 window slots instead of 26.
+# _SUITE_SPECS pins each member's (column, is_double) layout; the
+# Spark wrapper asserts the live schema matches the spec and the
+# oracle wrapper references the same columns, so schema drift in any
+# member fails loudly on both sides.
+_SUITES: dict = {
+    "suite_tpch": [
+        "tpch_q6", "tpch_q14", "tpch_q3_topk", "tpch_q18",
+        "distinct_agg", "rollup_agg", "cube_agg"],
+    "suite_agg_stats": [
+        "percentiles_value", "histogram_value", "pivot_counts",
+        "topk_score", "set_ops", "phrase_lookup", "approx_distinct"],
+    "suite_events": [
+        "funnel_counts", "retention_cohorts", "sessionize",
+        "time_bucket_rollup", "sample_documents",
+        "dedupe_consecutive_lag"],
+    "suite_text_dedup": [
+        "text_normalize", "text_token_count", "filename_munge",
+        "dedup_exact", "dedup_minhash_sig", "filter_minsize",
+        "filter_threshold"],
+}
+_SUITE_MEMBERS = frozenset(m for ms in _SUITES.values() for m in ms)
+# member -> columns sorted by name, with an is_double flag driving the
+# canonical rendering above (generated from DuckDB's result types at
+# sf0.001; tests/test_html.py re-derives and asserts this table)
+_SUITE_SPECS: dict = {
+    "tpch_q6": [("n", 0), ("revenue_k", 1)],
+    "tpch_q14": [("n_items", 0), ("promo_revenue_pct", 1)],
+    "tpch_q3_topk": [("l_orderkey", 0), ("rev_k", 1)],
+    "tpch_q18": [("c_custkey", 0), ("c_name", 0), ("o_orderkey", 0),
+                 ("total_qty", 1)],
+    "distinct_agg": [("l_returnflag", 0), ("n", 0), ("n_parts", 0)],
+    "rollup_agg": [("l_linestatus", 0), ("l_returnflag", 0), ("n", 0),
+                   ("rev_m", 1)],
+    "cube_agg": [("event_type", 0), ("hi", 0), ("n", 0),
+                 ("sum_value_k", 1)],
+    "percentiles_value": [("event_type", 0), ("p25", 1), ("p50", 1),
+                          ("p75", 1), ("p99", 1)],
+    "histogram_value": [("bucket", 0), ("n", 0)],
+    "pivot_counts": [("n_click", 0), ("n_purchase", 0), ("n_view", 0),
+                     ("user_id", 0)],
+    "topk_score": [("event_id", 0), ("score", 1)],
+    "set_ops": [("o_custkey", 0)],
+    "phrase_lookup": [("doc_id", 0), ("term", 0)],
+    "approx_distinct": [("exact_parts", 0), ("l_returnflag", 0),
+                        ("within_tol", 0)],
+    "funnel_counts": [("click_to_buy", 1), ("n_click", 0),
+                      ("n_purchase", 0), ("n_view", 0),
+                      ("view_to_click", 1)],
+    "retention_cohorts": [("cohort_day", 0), ("day_offset", 0),
+                          ("n_users", 0)],
+    "sessionize": [("n_events", 0), ("n_sessions", 0), ("user_id", 0)],
+    "time_bucket_rollup": [("event_type", 0), ("hour_bucket", 0),
+                           ("max_value", 1), ("min_value", 1),
+                           ("n", 0), ("sum_value", 1)],
+    "sample_documents": [("doc_id", 0)],
+    "dedupe_consecutive_lag": [("n_kept", 0), ("user_id", 0)],
+    "text_normalize": [("doc_id", 0), ("norm_hash", 0),
+                       ("norm_text", 0)],
+    "text_token_count": [("bpe_tokens", 0), ("doc_id", 0),
+                         ("subword_est", 0), ("ws_tokens", 0)],
+    "filename_munge": [("doc_id", 0), ("output_file", 0),
+                       ("txt_file", 0)],
+    "dedup_exact": [("doc_id", 0), ("dup_count", 0), ("is_keeper", 0),
+                    ("text_hash", 0)],
+    "dedup_minhash_sig": [("doc_id", 0)] + [(f"mh{i}", 0)
+                                            for i in range(8)],
+    "filter_minsize": [("l_returnflag", 0), ("n", 0)],
+    "filter_threshold": [("event_type", 0), ("n", 0),
+                         ("sum_value_k", 1)],
+}
+
+
+def _suite_wrap(df: DataFrame, member: str) -> DataFrame:
+    """Canonical (member, row_repr) projection of one member relation
+    (rendering rules in the _SUITES comment above)."""
+    spec = _SUITE_SPECS[member]
+    assert sorted(df.columns) == [c for c, _ in spec], \
+        (member, sorted(df.columns), spec)
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    parts = []
+    for col, is_double in spec:
+        c = F.col(col)
+        if is_double:
+            c = F.floor(c * 10000 + F.lit(0.5)).cast("long")
+        elif types[col] in ("double", "float"):
+            # oracle side renders this column as an integer type
+            c = c.cast("long")
+        parts.append(F.coalesce(c.cast("string"), F.lit("<NULL>")))
+    return df.select(F.lit(member).alias("member"),
+                     F.concat_ws("|", *parts).alias("row_repr"))
+
+
+def _make_suite_query(sname: str, members: list, base: dict):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for m in members:
+            w = _suite_wrap(base[m](spark, sf_dir), m)
+            out = w if out is None else out.unionByName(w)
+        return out
+    run.__name__ = sname
+    return run
+
+
+def _suite_oracle(members: list, oracles: dict) -> str:
+    sels = []
+    for m in members:
+        parts = []
+        for col, is_double in _SUITE_SPECS[m]:
+            e = (f"CAST(floor({col} * 10000 + 0.5) AS BIGINT)"
+                 if is_double else col)
+            parts.append(f"coalesce(CAST({e} AS VARCHAR), '<NULL>')")
+        sels.append(
+            f"SELECT '{m}' AS member, "
+            f"concat_ws('|', {', '.join(parts)}) AS row_repr "
+            f"FROM ({oracles[m]}) AS _sub_{m}")
+    return " UNION ALL ".join(sels)
 
 
 # --- driver-verification rotation (VERDICT r3 task 3) -------------------
@@ -1874,71 +2033,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # appear in a given round's CORRECTNESS_r0N.json — nothing is ever
 # unverified.
 _PINNED = ["ocr_extract_parity"]
-# CAPACITY NOTE (r6): the driver window is 50 keys.  The r6 contract
-# carries 107 oracle keys — past what a pure 2-round cadence can fit
-# (1 pinned + 49 + 49 = 99) — so the schedule is check-cadence-
-# proportional-to-risk, three tiers:
-#   * _PINNED (1): the flagship parity key, EVERY round.  salted_join
-#     was demoted from _PINNED to _ROT_EVEN in r6 to free its slot
-#     (green r1–r5; a 2-round cadence is proportionate).
-#   * _ROT_ODD / _ROT_EVEN (41 + 41): every 2 rounds, as before.
-#   * _ROT_SLOW (24): proven-stable trivial keys (each hash-green in
-#     ≥2 prior rounds), _SLOW_PER_ROUND = 8 surfaced per round by a
-#     deterministic round-robin — every slow key is in-window at
-#     least every 3 rounds (3 * 8 >= 24).
-# Window arithmetic, EVERY round: 1 pinned + 8 slow + 41 lead = 50,
-# exact.  New r6 keys fold DIRECTLY into _ROT_EVEN rather than
-# _ROT_DEBUT: round 6 is even so EVEN leads it — membership IS the
-# debut check — while a _ROT_DEBUT entry would also sit at the head
-# of odd round 7 and oversubscribe its window.  The schedule is again
-# SATURATED: the NEXT new oracle key must arrive with a matching
-# rebalance (per the arithmetic above, +n keys forces
-# _SLOW_PER_ROUND = 5 + n and a slow tier of 3*(5+n), demoting
-# 2*(n + ...) proven-stable keys) — do NOT just append to a group;
-# the both-parity window tests (tests/test_html.py) fail loudly.
-# r6 rebalance detail (first pass): the 7 r5-debut keys and the 3
-# _ROT_EVEN keys that trailed into round 5's window (semi_join_keep,
-# broadcast_dim_join, explode_reassemble — all hash-green in
-# CORRECTNESS_r05) moved to _ROT_ODD; tpch_q1 moved EVEN→ODD to
-# balance the groups (one-time r4→r7 gap).
-# r6 rebalance detail (second pass, +3 new keys bm25_topk /
-# stratified_sample / skew_profile): slow tier grew 6→15 with
-# _SLOW_PER_ROUND 2→5.  Demotions, all hash-green ≥2 rounds, with
-# transition gaps ≤ 3: slice r6 (slow positions 0-4) = {tpch_q6,
-# filename_munge (r4→r6), set_ops, pivot_counts, histogram_value
-# (EVEN, r4→r6)}; slice r7 (5-9) = {filter_minsize, distinct_agg
-# (r4→r7), rollup_agg, percentiles_value, retention_cohorts (EVEN,
-# r4→r7)}; slice r8 (10-14) = {tpch_q14, filter_threshold (r5→r8),
-# cube_agg, text_normalize, time_bucket_rollup (ODD, r5→r8)}.
-# r6 rebalance detail (third pass, +1 late key
-# url_canonical_dedup -> _ROT_EVEN): slow tier grew 15->18 with
-# _SLOW_PER_ROUND 5->6 (slices stay aligned: (6*6)%18=0, (7*6)%18=6,
-# (8*6)%18=12).  Demotions, all hash-green >=2 rounds, gaps <= 3:
-# funnel_counts (EVEN, r4 -> slow slice r6, gap 2), topk_score
-# (EVEN, r4 -> slice r7, gap 3), text_token_count (ODD, r5 ->
-# slice r8, gap 3).
-# r6 rebalance detail (fourth pass, +1 late key
-# domain_doc_cap -> _ROT_EVEN): slow tier grew 18 -> 21 with
-# _SLOW_PER_ROUND 6 -> 7 (slices stay aligned: (6*7)%21=0,
-# (7*7)%21=7, (8*7)%21=14; lead groups now 42+42, window
-# 1 + 7 + 42 = 50 exact).  Re-slicing at 7/round only moves
-# existing slow keys EARLIER (old position 6 r7->r6, old 12-13
-# r8->r7), so no carried gap grows.  Demotions, all hash-green
-# >= 2 prior rounds, gaps <= 3: dedupe_consecutive_lag (EVEN,
-# r4 -> slice r6, gap 2), tpch_q3_topk (EVEN, r4 -> slice r7,
-# gap 3), sessionize (ODD, r5 -> slice r8, gap 3).
-# r6 rebalance detail (fifth pass, +1 late key
-# html_outlinks -> _ROT_EVEN): slow tier grew 21 -> 24 with
-# _SLOW_PER_ROUND 7 -> 8 (slices stay aligned: (6*8)%24=0,
-# (7*8)%24=8, (8*8)%24=16; lead groups now 41+41, window
-# 1 + 8 + 41 = 50 exact).  Re-slicing at 8/round only moves
-# existing slow keys EARLIER (old position 7 r7->r6, old
-# positions 14-15 r8->r7), so no carried gap grows; the three
-# new entries are placed so every demotion gap stays <= 3:
-# dedup_exact + dedup_minhash_sig (EVEN, green r4 -> positions
-# 14-15, slice r7, gap 3) and sample_documents (ODD, green r5 ->
-# position 23, slice r8, gap 3).
-# Steady state: slow keys every 3 rounds, everything else every 2.
+# CAPACITY NOTE (r7 restructure — r6 VERDICT task 1): the driver
+# window is 50 keys.  The schedule saturated at exactly 50 in r6
+# (1 pinned + 8 slow + 41 lead, zero headroom; every new key cost a
+# 3-demotion cascade).  r7 buys the headroom back STRUCTURALLY: the
+# whole r6 `_ROT_SLOW` tier (24 proven-stable trivial keys, each
+# hash-green in >=2 prior rounds), plus phrase_lookup + tpch_q18
+# (pulled from _ROT_ODD, green r5) and approx_distinct (first oracle
+# this round — tolerance relation), folds into FOUR composite suite
+# keys (see _SUITES above).  Every member keeps its own queries() /
+# oracle_sql() entry — pytest still checks each exactly, and the
+# driver still could — but its DRIVER presence is the suite: one
+# UNION-ALL relation whose hash certifies all member relations at
+# once.  Member transition gaps: the r6 slow tier's r7/r8 slices
+# (16 keys, last green r4/r5) would have surfaced in r7/r8; their
+# suites ARE in r7's window, so every carried gap stays <= 3 and
+# shrinks to the suite cadence (2) thereafter.
+# Tiers after the restructure:
+#   * _PINNED (1): the flagship parity key, EVERY round.
+#   * _ROT_ODD (43 = 39 singles + 4 suites) / _ROT_EVEN (41): every
+#     2 rounds.  The suites debut in _ROT_ODD (round 7 is odd —
+#     membership IS the debut check, the r6 pattern).
+# Window arithmetic: odd rounds 1 + 43 = 44 (SIX free slots), even
+# rounds 1 + 41 = 42 (EIGHT free slots).  tests/test_html.py asserts
+# >= 5 free slots in BOTH parities (headroom, not just fit), so the
+# next few keys are plain appends — no cascade.  Suite members are
+# excluded from the window by _rotate() and ordered after it;
+# rows-only keys trail last.  Steady state: every oracle key (or its
+# certifying suite) every 2 rounds.
+# (r6 five-pass rebalance history lives in git: 839fee3^ and before.)
 _ROT_ODD = [
     # pack_sequences moved even->odd for r5: its prefix-sum bucketing
     # was rewritten this round (deterministic boundaries, r4 ADVICE
@@ -1949,7 +2072,9 @@ _ROT_ODD = [
     "snapshot_time_travel", "tfidf_topk", "inverted_index",
     "top_ngrams_corpus", "zorder_key", "bpe_top_pairs",
     "quality_classifier", "corpus_mix", "dedup_substring_spans",
-    "phrase_lookup", "tpch_q5", "tpch_q10", "tpch_q18",
+    # phrase_lookup + tpch_q18 folded into suites in the r7
+    # restructure (suite_agg_stats / suite_tpch)
+    "tpch_q5", "tpch_q10",
     "event_outliers", "bloom_custkey", "approx_distinct_hll",
     "text_quality", "text_fingerprint",
     # sessionize demoted to _ROT_SLOW in the r6 fourth-pass rebalance
@@ -1968,6 +2093,10 @@ _ROT_ODD = [
     "semi_join_keep", "broadcast_dim_join", "explode_reassemble",
     # r6 group balance: one-time 3-round gap (see CAPACITY NOTE)
     "tpch_q1",
+    # r7 restructure: the composite suites debut here (round 7 is
+    # odd; one driver hash each certifies 6-7 member relations)
+    "suite_tpch", "suite_agg_stats", "suite_events",
+    "suite_text_dedup",
 ]
 # outside round 3's window -> lead even rounds (incl. this round 4)
 _ROT_EVEN = [
@@ -2005,28 +2134,17 @@ _ROT_EVEN = [
     "layout_reading_order", "pdf_text_extract", "text_repetition",
     "decontam_overlap", "pii_redact", "url_host_filter", "dedup_lines",
 ]
-# low-cadence tier (see CAPACITY NOTE): proven-stable trivial keys,
-# _SLOW_PER_ROUND surfaced per round round-robin — ordered so the r6
-# transition slices keep every gap <= 3 rounds
-_ROT_SLOW = [
-    # r6 slice (positions 0-7; last green r4 -> gap <= 2)
-    "tpch_q6", "filename_munge", "set_ops", "pivot_counts",
-    "histogram_value", "funnel_counts", "dedupe_consecutive_lag",
-    "filter_minsize",
-    # r7 slice (positions 8-15; last green r4 -> gap 3, the bound)
-    "distinct_agg", "rollup_agg",
-    "percentiles_value", "retention_cohorts", "topk_score",
-    "tpch_q3_topk", "dedup_exact", "dedup_minhash_sig",
-    # r8 slice (positions 16-23; last green r5 -> gap 3, the bound)
-    "tpch_q14", "filter_threshold", "cube_agg", "text_normalize",
-    "time_bucket_rollup", "text_token_count", "sessionize",
-    "sample_documents",
-]
-_SLOW_PER_ROUND = 8
+# The r6 low-cadence `_ROT_SLOW` tier is GONE (r7 restructure): all
+# 24 of its keys are now suite members — certified by their suite's
+# driver hash every 2 rounds instead of appearing individually every
+# 3.  See the CAPACITY NOTE and _SUITES.
+_ROT_SLOW: list[str] = []
+_SLOW_PER_ROUND = 0
 # oracle keys debuting THIS round — in neither group, so _rotate()
 # puts them right after the pinned keys; fold into the smaller group
-# next round.  Round 6 budget: ZERO free slots (see CAPACITY NOTE —
-# a new key must arrive with a matching EVEN/ODD -> _ROT_SLOW move).
+# next round.  Round 7 budget: SIX free slots on the odd parity,
+# EIGHT on the even (see CAPACITY NOTE) — plain appends are safe
+# while tests/test_html.py's >=5-headroom assertion stays green.
 _ROT_DEBUT: list[str] = []
 
 
@@ -2056,10 +2174,15 @@ def _rotate(base: dict) -> dict:
     new = [k for k in base
            if k in with_oracle and k not in _PINNED
            and k not in _ROT_ODD and k not in _ROT_EVEN
-           and k not in _ROT_SLOW]
+           and k not in _ROT_SLOW and k not in _SUITE_MEMBERS]
+    # suite members keep queries()/oracle_sql() entries (pytest checks
+    # each exactly) but stay OUT of the driver window — their suite's
+    # hash is their driver presence (CAPACITY NOTE)
+    members = [k for k in base if k in _SUITE_MEMBERS]
     rows_only = [k for k in base if k not in with_oracle]
     order, seen = [], set()
-    for k in _PINNED + new + slow + lead + trail + _ROT_SLOW + rows_only:
+    for k in (_PINNED + new + slow + lead + trail + _ROT_SLOW
+              + members + rows_only):
         if k in base and k not in seen:
             order.append(k)
             seen.add(k)
@@ -2204,7 +2327,7 @@ _HTML_CLEAN_RAW = _html_clean_sql("raw")
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sqls = {
         "filter_threshold": """
             SELECT event_type, count(*) AS n,
                    floor((sum(value) / 1000.0) * 10000 + 0.5) / 10000 AS sum_value_k
@@ -2239,6 +2362,16 @@ def oracle_sql() -> dict[str, str]:
         "distinct_agg": """
             SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
                    count(*) AS n
+            FROM lineitem GROUP BY l_returnflag""",
+        # HLL estimates differ across engines; the checkable
+        # projection is the tolerance relation (r6 VERDICT task 5):
+        # the Spark side emits within_tol = |approx-exact|/exact
+        # <= 0.15, the oracle asserts it is literally TRUE
+        "approx_distinct": """
+            SELECT l_returnflag,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT)
+                     AS exact_parts,
+                   TRUE AS within_tol
             FROM lineitem GROUP BY l_returnflag""",
         "rollup_agg": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
@@ -3571,3 +3704,9 @@ def oracle_sql() -> dict[str, str]:
                          * 10000 + 0.5) / 10000 AS dark_frac
             FROM px GROUP BY k, f, h, w""",
     }
+    # composite suite oracles (r6 VERDICT task 1): UNION ALL of each
+    # member's oracle wrapped in the same canonical (member, row_repr)
+    # projection the Spark side applies — see the _SUITES block
+    for sname, ms in _SUITES.items():
+        sqls[sname] = _suite_oracle(ms, sqls)
+    return sqls

@@ -87,20 +87,31 @@ def test_rotation_schedule_invariants():
     keys = list(q)
     assert keys[:len(E._PINNED)] == E._PINNED
     groups = [set(E._PINNED), set(E._ROT_ODD), set(E._ROT_EVEN),
-              set(E._ROT_SLOW)]
+              set(E._ROT_SLOW), set(E._SUITE_MEMBERS)]
     listed = set().union(*groups)
     # strict partition: every oracle key is pinned, in exactly one
-    # tier, or explicitly declared as debuting this round
+    # tier, a suite member (driver presence = its suite's hash), or
+    # explicitly declared as debuting this round
     assert listed | set(E._ROT_DEBUT) == o, \
         (sorted(o - listed - set(E._ROT_DEBUT)), sorted(listed - o))
     assert not (listed & set(E._ROT_DEBUT))
     assert sum(len(g) for g in groups) == len(listed)  # disjoint
+    # every suite member is in exactly one suite, and every suite key
+    # is itself oracle-bearing and in a rotation group
+    flat = [m for ms in E._SUITES.values() for m in ms]
+    assert len(flat) == len(set(flat))
+    assert set(flat) == set(E._SUITE_MEMBERS)
+    for sname in E._SUITES:
+        assert sname in o
+        assert sname in E._ROT_ODD or sname in E._ROT_EVEN
     # the leading group (+ pinned + debuts + the slow slice) fits
     lead = E._ROT_EVEN if E._round_number() % 2 == 0 else E._ROT_ODD
     new = [k for k in q if k in o and k not in listed]
     assert (len(E._PINNED) + len(new) + E._SLOW_PER_ROUND
             + len(lead)) <= 50
     assert set(E._PINNED + new + lead) <= set(keys[:50])
+    # suite members never occupy window slots
+    assert not set(keys[:50]) & set(E._SUITE_MEMBERS)
     # rows-only keys trail
     n_oracle = len(o)
     assert all(k not in o for k in keys[n_oracle:])
@@ -124,39 +135,71 @@ def test_rotation_window_fits_both_parities(monkeypatch, rnd):
     window = keys[:50]
     assert all(k in o for k in window)
     lead = E._ROT_EVEN if rnd % 2 == 0 else E._ROT_ODD
-    assert (len(E._PINNED) + len(E._ROT_DEBUT) + E._SLOW_PER_ROUND
-            + len(lead)) <= 50, (
-        f"round {rnd} window oversubscribed: "
+    core = (len(E._PINNED) + len(E._ROT_DEBUT) + E._SLOW_PER_ROUND
+            + len(lead))
+    # r6 VERDICT task 1: assert HEADROOM, not just fit — the schedule
+    # must keep >= 5 free slots at BOTH parities so a new oracle key
+    # is a plain append, never a demotion cascade
+    assert core <= 45, (
+        f"round {rnd} window headroom < 5: "
         f"{len(E._PINNED)} pinned + {len(E._ROT_DEBUT)} debut + "
-        f"{E._SLOW_PER_ROUND} slow + {len(lead)} lead > 50")
-    start = (rnd * E._SLOW_PER_ROUND) % len(E._ROT_SLOW)
-    slow = {E._ROT_SLOW[(start + i) % len(E._ROT_SLOW)]
-            for i in range(E._SLOW_PER_ROUND)}
+        f"{E._SLOW_PER_ROUND} slow + {len(lead)} lead > 45")
+    if E._ROT_SLOW:
+        start = (rnd * E._SLOW_PER_ROUND) % len(E._ROT_SLOW)
+        slow = {E._ROT_SLOW[(start + i) % len(E._ROT_SLOW)]
+                for i in range(E._SLOW_PER_ROUND)}
+    else:
+        slow = set()
     assert (set(E._PINNED) | set(E._ROT_DEBUT) | slow
             | set(lead)) <= set(window)
 
 
+def test_suite_specs_match_duckdb_types():
+    """_SUITE_SPECS pins each suite member's (column, is_double)
+    layout; this re-derives the table from DuckDB's actual result
+    types at sf0.001 so schema drift in any member fails loudly
+    before the driver sees a suite hash mismatch."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from tests.conftest import SF_SMALL
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents",
+              "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{SF_SMALL}/{t}.parquet'")
+    oracles = E.oracle_sql()
+    for member in sorted(E._SUITE_MEMBERS):
+        rel = con.sql(f"SELECT * FROM ({oracles[member]}) _m LIMIT 0")
+        derived = sorted(
+            (c, 1 if str(t).upper() in ("DOUBLE", "FLOAT") else 0)
+            for c, t in zip(rel.columns, rel.types))
+        assert derived == sorted(E._SUITE_SPECS[member]), \
+            (member, derived, E._SUITE_SPECS[member])
+
+
 def test_rotation_cadence_bounds(monkeypatch):
-    """Bounded staleness for every tier: the union of rounds 6+7
-    covers every non-slow oracle key (2-round cadence), any 3
-    consecutive rounds cover the whole contract incl. _ROT_SLOW
-    (3-round cadence), and dedup_lines (green-starved since r3)
-    is in the round-6 window."""
+    """Bounded staleness for every tier: any 2 consecutive rounds
+    cover every oracle key either directly or via its certifying
+    suite (2-round cadence for the whole contract after the r7
+    restructure — the old 3-round _ROT_SLOW tier is gone)."""
     import __spark_entry__ as E
 
     o = set(E.oracle_sql())
+    member_suite = {m: s for s, ms in E._SUITES.items() for m in ms}
 
     def window(rnd):
         monkeypatch.setattr(E, "_round_number", lambda r=rnd: r)
         return set(list(E.queries())[:50])
 
-    wins = {rnd: window(rnd) for rnd in range(6, 12)}
-    assert o - set(E._ROT_SLOW) <= wins[6] | wins[7], \
-        sorted(o - set(E._ROT_SLOW) - wins[6] - wins[7])
-    for rnd in range(6, 9):
-        u = wins[rnd] | wins[rnd + 1] | wins[rnd + 2]
-        assert o <= u, (rnd, sorted(o - u))
-    assert "dedup_lines" in wins[6]
+    wins = {rnd: window(rnd) for rnd in range(7, 12)}
+    for rnd in range(7, 11):
+        u = wins[rnd] | wins[rnd + 1]
+        covered = {k for k in o
+                   if k in u or member_suite.get(k) in u}
+        assert o <= covered, (rnd, sorted(o - covered))
 
 
 def test_boilerplate_rules_semantics(spark):
