@@ -22,8 +22,17 @@ Stages (all lazy until the single write):
      (dedup.line_dedup); docs whose every line is a duplicate drop
   6. decontamination: drop documents sharing any word-8-gram with the
      eval stand-in set (decontam_overlap)
-  7. cleaned corpus written partitioned by xxhash64 doc bucket with a
-     _stats summary (rows surviving each stage)
+  7. cleaned corpus written partitioned by xxhash64 doc bucket through
+     the bucketed lineage commit (plans/lineage.run_bucketed_write):
+     committed buckets are skipped on resume, uncommitted ones are
+     atomically dynamic-partition-overwritten, and _lineage/_metrics
+     rows land only after the data write returns — the same
+     idempotent-restart story the OCR extract job has.  The dedup /
+     decontam stages are corpus-global, so the COMPUTE is a
+     deterministic function of the full input (re-derived bucket
+     contents are identical across attempts); only the write/commit
+     is per-bucket.  A _stats summary (rows surviving each stage) is
+     written alongside.
 
 Gates run BEFORE dedup (the RefinedWeb order — dedup would compress
 spam into innocuous-looking short docs).  Every stage is a
@@ -48,13 +57,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 def run(spark, docs, dst: str, max_dup_word_frac: float = 0.6,
         max_top_bigram_frac: float = 0.2, min_words: int = 8,
-        min_quality_score: float = 0.3, buckets: int = 32) -> dict:
+        min_quality_score: float = 0.3, buckets: int = 32,
+        resume: bool = True) -> dict:
     from pyspark.sql import functions as F
 
     from ocr_pytorch_spark.operators import dedup as D
     from ocr_pytorch_spark.operators import html as H
     from ocr_pytorch_spark.operators import text as T
     from ocr_pytorch_spark.operators import web as WB
+    from ocr_pytorch_spark.plans.lineage import (committed_buckets,
+                                                 run_bucketed_write)
+
+    # short-circuit a fully-committed destination before paying any
+    # corpus-global recompute
+    if resume and len(committed_buckets(spark, dst)) >= buckets:
+        return {"docs_in": 0, "after_repetition_gate": 0,
+                "after_quality_gate": 0, "after_line_dedup": 0,
+                "after_decontam": 0, "buckets_total": buckets,
+                "buckets_skipped": buckets, "docs_processed": 0}
 
     n_in = docs.count()
 
@@ -95,15 +115,17 @@ def run(spark, docs, dst: str, max_dup_word_frac: float = 0.6,
     cleaned = deduped.join(contaminated, "doc_id", "left_anti")
     n_clean = cleaned.count()
 
-    out = cleaned.withColumn(
-        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(buckets))
-        .cast("int"))
-    (out.write.mode("overwrite").partitionBy("bucket")
-        .parquet(os.path.join(dst, "web_corpus")))
+    # bucketed lineage commit: committed buckets skipped, pending ones
+    # dynamic-overwritten, _lineage/_metrics appended post-write
+    commit = run_bucketed_write(spark, cleaned, dst, buckets=buckets,
+                                resume=resume, stage="web_corpus",
+                                data_subdir="web_corpus",
+                                payload_col="text")
     stats = {"docs_in": n_in, "after_repetition_gate": n_gated,
              "after_quality_gate": n_quality,
              "after_line_dedup": n_dedup,
              "after_decontam": n_clean}
+    stats.update(commit)
     (spark.createDataFrame([tuple(stats.values())],
                            schema=", ".join(f"{k} long" for k in stats))
         .write.mode("overwrite")
@@ -119,6 +141,8 @@ def main() -> None:
     ap.add_argument("--max-top-bigram-frac", type=float, default=0.2)
     ap.add_argument("--min-words", type=int, default=8)
     ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--no-resume", action="store_true",
+                    help="reprocess every bucket even if committed")
     args = ap.parse_args()
 
     from ocr_pytorch_spark.sources.session import get_spark
@@ -128,7 +152,8 @@ def main() -> None:
         os.path.join(args.documents, "documents.parquet")
         if os.path.isdir(args.documents) else args.documents)
     stats = run(spark, docs, args.dst, args.max_dup_word_frac,
-                args.max_top_bigram_frac, args.min_words, args.buckets)
+                args.max_top_bigram_frac, args.min_words,
+                buckets=args.buckets, resume=not args.no_resume)
     print(json.dumps(stats))
 
 

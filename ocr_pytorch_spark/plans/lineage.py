@@ -60,6 +60,82 @@ def committed_buckets(spark: SparkSession, dst: str) -> set[int]:
             .distinct().collect()}
 
 
+def run_bucketed_write(spark: SparkSession, out: DataFrame, dst: str,
+                       buckets: int = 32, resume: bool = True,
+                       stage: str = "corpus",
+                       data_subdir: str = "data",
+                       key: str = "doc_id",
+                       payload_col: str | None = None) -> dict:
+    """Generic bucketed lineage commit for corpus jobs whose output is
+    a deterministic function of the FULL input (web_corpus's
+    line-dedup/decontam are corpus-global, so unlike the OCR job the
+    compute cannot be pruned to pending buckets — but the WRITE can):
+    assign ``bucket = pmod(xxhash64(key), B)``, skip committed
+    buckets, dynamic-partition-overwrite the pending ones, and append
+    lineage + metrics rows only after the data write returns.  A
+    killed run resumes by rewriting only uncommitted buckets; since
+    the upstream plan is deterministic, re-derived bucket contents are
+    identical, so the resume is idempotent.  ``payload_col``: a column
+    whose total length lands in the metrics n_spans slot (e.g. text
+    chars kept)."""
+    t0 = time.time()
+    done = committed_buckets(spark, dst) if resume else set()
+    out_b = out.withColumn(
+        "bucket", F.pmod(F.xxhash64(key), F.lit(buckets)).cast("int"))
+    if done:
+        out_b = out_b.where(~F.col("bucket").isin(*done))
+    if len(done) >= buckets:
+        return {"buckets_total": buckets, "buckets_skipped": len(done),
+                "docs_processed": 0, "wall_ms": 0}
+    data_dir = os.path.join(dst, data_subdir)
+    from ocr_pytorch_spark.sources.tables import (read_partitioned,
+                                                  write_partitioned)
+    write_partitioned(out_b, data_dir, ["bucket"])
+
+    # commit: lineage + metrics appended only after the data write
+    wall_ms = int((time.time() - t0) * 1000)
+    prev = _read_optional(spark, os.path.join(dst, "_lineage"),
+                          LINEAGE_SCHEMA)
+    prev_attempt = {r["bucket"]: r["max_a"] for r in
+                    prev.groupBy("bucket")
+                    .agg(F.max("attempt").alias("max_a")).collect()}
+    size_agg = (F.sum(F.length(payload_col)) if payload_col
+                else F.lit(0)).alias("n_spans")
+    stats = {int(r["bucket"]): r for r in (
+        read_partitioned(spark, data_dir)
+        .where(~F.col("bucket").isin(*done) if done else F.lit(True))
+        .groupBy("bucket")
+        .agg(F.min(key).alias("doc_id_min"),
+             F.max(key).alias("doc_id_max"),
+             F.count("*").alias("n_docs"), size_agg)
+        .collect())}
+    # commit EVERY pending bucket, including ones the gates emptied —
+    # otherwise an all-filtered bucket would be recomputed on every
+    # resume forever
+    pending = sorted(set(range(buckets)) - done)
+    lineage_rows = [
+        (b,
+         str(stats[b]["doc_id_min"]) if b in stats else "",
+         str(stats[b]["doc_id_max"]) if b in stats else "",
+         int(stats[b]["n_docs"]) if b in stats else 0, "ok",
+         int(prev_attempt.get(b, 0)) + 1, wall_ms)
+        for b in pending]
+    metrics_rows = [
+        (stage, b,
+         int(stats[b]["n_docs"]) if b in stats else 0,
+         int(stats[b]["n_spans"] or 0) if b in stats else 0,
+         int(prev_attempt.get(b, 0)) + 1, wall_ms)
+        for b in pending]
+    spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(os.path.join(dst, "_lineage"))
+    spark.createDataFrame(metrics_rows, METRICS_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(os.path.join(dst, "_metrics"))
+    return {"buckets_total": buckets, "buckets_skipped": len(done),
+            "docs_processed": int(sum(r["n_docs"]
+                                      for r in stats.values())),
+            "wall_ms": wall_ms}
+
+
 def run_extract_job(spark: SparkSession, documents: DataFrame,
                     images: DataFrame, dst: str,
                     cfg: PipelineConfig | None = None,
