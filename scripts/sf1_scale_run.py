@@ -49,6 +49,148 @@ DEDUP_KEYS = ["dedup_exact", "dedup_lines", "dedup_minhash_lsh",
               "dedup_embedding_cosine", "dedup_components"]
 
 
+N_PAGES = int(os.environ.get("SPARK_GRAFT_SF1_PAGES", "3000000"))
+WEB_KEYS = ["url_canonical_dedup", "domain_doc_cap", "html_outlinks",
+            "bm25_topk"]
+
+
+def _task_walls(spark, df):
+    """Per-task wall_ms for the stage that PRODUCES df's rows: pull
+    every row through an iterator timer per partition.  Because a
+    window operator must consume its whole partition before emitting
+    the first row, the pull time includes the sort — this measures the
+    window stage's task walls for exactly the plan under test (plus a
+    shared per-row Python-crossing cost, identical across variants)."""
+    from ocr_pytorch_spark.operators.extract import ocr_timing_accumulator
+
+    acc = ocr_timing_accumulator(spark)
+
+    def f(pid, it):
+        t0 = time.time()
+        n = 0
+        for _ in it:
+            n += 1
+        acc.add([(pid, n, (time.time() - t0) * 1000.0)])
+        yield n
+
+    df.rdd.mapPartitionsWithIndex(f).count()
+    walls = sorted(w for _, _, w in acc.value)
+    med = walls[len(walls) // 2] if walls else 0.0
+    return {"tasks": len(walls), "median_ms": round(med, 1),
+            "max_ms": round(walls[-1], 1) if walls else 0.0,
+            "max_over_median": round(walls[-1] / med, 2) if med else 0.0}
+
+
+def _web_tier(spark, qs, ddir) -> dict:
+    """r6 VERDICT task 2: sf1 evidence for the r6 web-scale family.
+
+    (a) warm walls for the four web keys at the 10x documents tier;
+    (b) a hot-domain whale crawl — ONE domain holding 30% of N_PAGES
+        pages (the power-law head the operators exist for) — driving
+        the per-domain cap three ways on identical input:
+          * naive_stall: single row_number window with Spark's
+            WindowGroupLimit map-side prune disabled
+            (windowGroupLimitThreshold=-1) — the classic pre-3.5
+            formulation whose whale reducer sorts 30% of the corpus;
+          * naive_grouplimit: the same window with the optimizer on
+            (map-side prune bounds the reducer at maps*k rows/key);
+          * salted: the shipped two-phase domain_doc_cap, n_salts
+            derived from the skew_profile diagnostic.
+        Each with end-to-end wall + per-task wall max/median on the
+        window stage, plus a pair-set equality check that all three
+        return the same global top-k."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from bench import _force
+    from ocr_pytorch_spark.operators.indexing import skew_profile
+    from ocr_pytorch_spark.operators.web import domain_doc_cap
+
+    # --- (a) web keys at the 10x tier -------------------------------
+    key_secs = {}
+    for k in WEB_KEYS:
+        _force(qs[k](spark, ddir))  # warm
+        t0 = time.time()
+        _force(qs[k](spark, ddir))
+        key_secs[k] = round(time.time() - t0, 3)
+
+    # --- (b) hot-domain whale ---------------------------------------
+    n_domains = 2000
+    topk = 10
+    pages = (spark.range(N_PAGES).select(
+        F.when(F.col("id") % 10 < 3, F.lit("whale.example.com"))
+        .otherwise(F.concat(F.lit("site-"),
+                            F.pmod(F.xxhash64("id"),
+                                   F.lit(n_domains)).cast("string")))
+        .alias("source"),
+        F.concat(F.lit("page-"), F.col("id")).alias("doc_id"),
+        (F.lit(200) + F.pmod(F.xxhash64("id", F.lit(1)),
+                             F.lit(4000))).cast("int").alias("n_chars")))
+
+    # the pre-salting diagnostic the repo ships: measure the skew,
+    # then size the salt so the hot key's largest salt bucket is about
+    # half a uniform reducer share (2 buckets per share)
+    prof = skew_profile(pages, key="source", k=3).collect()
+    total = N_PAGES
+    p_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    top_cnt = int(prof[0]["cnt"])
+    n_salts = max(4, -(-2 * top_cnt * p_shuffle // total))  # ceil
+
+    order = [F.desc("n_chars"), F.asc("doc_id")]
+
+    def naive():
+        w = Window.partitionBy("source").orderBy(*order)
+        return (pages.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= topk))
+
+    def salted_phase1():
+        # mirrors operators/web.domain_doc_cap phase 1 (the
+        # skew-bearing stage) for task-wall instrumentation; the
+        # end-to-end wall below runs the shipped operator itself
+        w1 = Window.partitionBy("source", "salt").orderBy(*order)
+        return (pages.withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)))
+            .withColumn("rn1", F.row_number().over(w1))
+            .filter(F.col("rn1") <= topk))
+
+    gl_conf = "spark.sql.optimizer.windowGroupLimitThreshold"
+    gl_saved = spark.conf.get(gl_conf)
+    out = {"n_pages": N_PAGES, "n_domains": n_domains + 1, "k": topk,
+           "whale_share_pct": round(100.0 * top_cnt / total, 1),
+           "n_salts": int(n_salts), "shuffle_partitions": p_shuffle,
+           "web_key_secs_10x": key_secs, "variants": {}}
+
+    def measure(label, thunk, stage_thunk):
+        _force(thunk())  # warm
+        t0 = time.time()
+        _force(thunk())
+        wall = time.time() - t0
+        out["variants"][label] = {
+            "wall_sec": round(wall, 2),
+            "window_stage_task_walls": _task_walls(spark,
+                                                   stage_thunk())}
+
+    try:
+        spark.conf.set(gl_conf, "-1")
+        measure("naive_stall", naive, naive)
+        spark.conf.set(gl_conf, gl_saved)
+        measure("naive_grouplimit", naive, naive)
+        measure("salted",
+                lambda: domain_doc_cap(pages, key="source", k=topk,
+                                       n_salts=n_salts),
+                salted_phase1)
+    finally:
+        spark.conf.set(gl_conf, gl_saved)
+
+    # all three formulations must return the same global top-k set
+    a = naive().select("source", "doc_id")
+    b = (domain_doc_cap(pages, key="source", k=topk, n_salts=n_salts)
+         .select("source", "doc_id"))
+    out["salted_equals_naive"] = (
+        a.exceptAll(b).count() + b.exceptAll(a).count()) == 0
+    return out
+
+
 def _whale_docs():
     from ocr_pytorch_spark import datagen
 
@@ -286,6 +428,9 @@ def main() -> None:
            "bench_tier": _ann_tier(_scaled_dir(spark, sf_dir=SF_DIR,
                                                scale=4))}
 
+    # --- hot-domain web-scale leg (r6 VERDICT task 2) ---------------
+    web = _web_tier(spark, qs, ddir)
+
     # --- flagship parity under FINE-TUNED weights (r5 VERDICT task
     # 8): reproduce tests/test_checkpoint_e2e.py's 3-epoch distributed
     # fine-tune, write the tuned .npz, and re-run a whale-doc subset
@@ -405,6 +550,7 @@ def main() -> None:
         "dedup_scale": DEDUP_SCALE,
         "dedup_secs": dedup_secs,
         "ann": ann,
+        "web": web,
         "tuned_parity": {
             "docs": n_tuned_docs,
             "spans": n_tuned_spans,
