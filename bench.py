@@ -35,6 +35,17 @@ OCR_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_OCR_IMAGES", "512"))
 # identical) content so dedup/LSH neighbor structure grows ~linearly.
 SCALE = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "4"))
 
+# per-key query-shape generation (r6 VERDICT task 6): bump a key's
+# entry when the query changes WHAT it computes (png_ocr_extract
+# silently doubled its work in r6 when it became a two-sided parity
+# surface, making r5->r6 totals non-comparable for that key).  Keys
+# absent here are generation 1.  `python bench.py --diff old.json
+# new.json` uses these to separate shape changes from regressions.
+SHAPES = {
+    "png_ocr_extract": 2,  # r6: two-sided parity surface (both-OCR
+    #                        anti-join), ~2x the r5 single-sided work
+}
+
 HEADLINE = [
     "tpch_q1", "tpch_q6", "broadcast_dim_join", "tpch_q3_topk",
     "range_self_join", "window_reading_order", "sessionize",
@@ -185,32 +196,13 @@ def main() -> None:
         spread[name] = {"min": round(min(ts), 3),
                         "max": round(max(ts), 3), "reps": n}
 
-    for name in HEADLINE:
-        _timed(name, lambda: _force(qs[name](spark, run_dir)))
-
-    # dedup_minhash_lsh variance diagnosis (r5 VERDICT task 3): the
-    # r5 in-session spread hit 5.7× with no code change, so the band
-    # bucket-size histogram now lands next to the timing — if a bench
-    # rep is slow because the scaled tier blew a band bucket, max_n
-    # says so; if buckets are tiny and the rep is still slow, the
-    # cause is host/GC, not a hot bucket.
-    from ocr_pytorch_spark.operators import dedup as _D
-    from pyspark.sql import functions as _F
-
-    _bs = _D.minhash_bucket_sizes(
-        spark.read.parquet(os.path.join(run_dir, "documents.parquet")))
-    _brow = (_bs.agg(
-        _F.count("*").alias("n_buckets"),
-        _F.max("n").alias("max_n"),
-        _F.coalesce(_F.sum((_F.col("n") > 64).cast("long")),
-                    _F.lit(0)).alias("n_over_64"),
-        _F.coalesce(_F.sum((_F.col("n") > 2).cast("long")),
-                    _F.lit(0)).alias("n_over_2"))
-        .collect()[0])
-    minhash_diag = {k: int(_brow[k]) for k in
-                    ("n_buckets", "max_n", "n_over_64", "n_over_2")}
-
-    # flagship OCR extraction: docs/sec over a bench-scale interleaved set
+    # flagship OCR extraction FIRST (r6 VERDICT task 7: the full-tier
+    # run degrades the host over its ~9 minutes and the OCR headline
+    # used to run last — r6's first attempt saw a 24% anchor drop by
+    # the time the OCR leg ran.  Running it first, bracketed by its
+    # own post-leg anchor, keeps the docs/sec reading on the
+    # freshest-host window): docs/sec over a bench-scale interleaved
+    # set
     from ocr_pytorch_spark import datagen
     from ocr_pytorch_spark.config import PipelineConfig
     from ocr_pytorch_spark.models import weights as W
@@ -248,6 +240,34 @@ def main() -> None:
            lambda: _force(extract(inter, imgs, file_weights_spec(),
                                   PipelineConfig.fixture())))
     ocr_sec = timings["ocr_extract"]
+    # anchor immediately after the OCR leg: gemm_pre and this bracket
+    # the docs/sec reading within a ~2-minute window
+    gemm_ocr = _gemm_anchor()
+
+    for name in HEADLINE:
+        _timed(name, lambda: _force(qs[name](spark, run_dir)))
+
+    # dedup_minhash_lsh variance diagnosis (r5 VERDICT task 3): the
+    # r5 in-session spread hit 5.7× with no code change, so the band
+    # bucket-size histogram now lands next to the timing — if a bench
+    # rep is slow because the scaled tier blew a band bucket, max_n
+    # says so; if buckets are tiny and the rep is still slow, the
+    # cause is host/GC, not a hot bucket.
+    from ocr_pytorch_spark.operators import dedup as _D
+    from pyspark.sql import functions as _F
+
+    _bs = _D.minhash_bucket_sizes(
+        spark.read.parquet(os.path.join(run_dir, "documents.parquet")))
+    _brow = (_bs.agg(
+        _F.count("*").alias("n_buckets"),
+        _F.max("n").alias("max_n"),
+        _F.coalesce(_F.sum((_F.col("n") > 64).cast("long")),
+                    _F.lit(0)).alias("n_over_64"),
+        _F.coalesce(_F.sum((_F.col("n") > 2).cast("long")),
+                    _F.lit(0)).alias("n_over_2"))
+        .collect()[0])
+    minhash_diag = {k: int(_brow[k]) for k in
+                    ("n_buckets", "max_n", "n_over_64", "n_over_2")}
 
     total = round(sum(timings.values()), 3)
     compact = {
@@ -260,6 +280,8 @@ def main() -> None:
         "cpus": CPUS,
         "ocr_docs_per_sec": round(n_docs / ocr_sec, 2),
         "gemm_gflops_single": gemm_pre,
+        "gemm_gflops_single_ocr": gemm_ocr,
+        "shapes": SHAPES,
         "detail": "BENCH_result.json",
     }
     result = dict(compact)
@@ -286,5 +308,60 @@ def main() -> None:
     print(json.dumps(compact), flush=True)
 
 
+def diff(old_path: str, new_path: str) -> None:
+    """Cross-round bench diff that separates query-shape changes from
+    regressions (r6 VERDICT task 6): a key whose SHAPES generation
+    differs between the two files (or between an old file without
+    shape tags and the current table) is flagged SHAPE-CHANGE and its
+    timing delta is excluded from the regression list."""
+    def _load(path):
+        with open(path) as fh:
+            d = json.load(fh)
+        # driver-recorded BENCH_r{N}.json wraps the bench line under
+        # "parsed" (None when the driver's tail window clipped it);
+        # BENCH_result.json / a raw line is the dict itself
+        if "queries" in d:
+            return d
+        p = d.get("parsed")
+        if p is None:
+            print(f"warning: {path} has no parsed bench line")
+        return p or {}
+
+    old, new = _load(old_path), _load(new_path)
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    # files that predate shape tags count as generation 1 everywhere —
+    # conservative: a key first tagged gen>1 shows as SHAPE-CHANGE (and
+    # is excluded from the regression list) rather than as a regression
+    osh = old.get("shapes", {})
+    nsh = new.get("shapes", SHAPES)
+    rows = []
+    for k in sorted(set(oq) | set(nq)):
+        if k not in oq:
+            rows.append((k, None, nq[k], "ADDED"))
+        elif k not in nq:
+            rows.append((k, oq[k], None, "REMOVED"))
+        elif osh.get(k, 1) != nsh.get(k, 1):
+            rows.append((k, oq[k], nq[k],
+                         f"SHAPE-CHANGE gen{osh.get(k, 1)}"
+                         f"->gen{nsh.get(k, 1)}"))
+        else:
+            r = nq[k] / oq[k] if oq[k] else float("inf")
+            tag = ("REGRESSION" if r > 1.5
+                   else "IMPROVED" if r < 1 / 1.5 else "steady")
+            rows.append((k, oq[k], nq[k], f"{tag} x{r:.2f}"))
+    w = max(len(k) for k, *_ in rows)
+    for k, a, b, tag in rows:
+        fa = "--" if a is None else f"{a:7.2f}"
+        fb = "--" if b is None else f"{b:7.2f}"
+        print(f"{k:<{w}}  {fa} -> {fb}  {tag}")
+    n_reg = sum(1 for *_, t in rows if t.startswith("REGRESSION"))
+    n_shape = sum(1 for *_, t in rows if t.startswith("SHAPE"))
+    print(f"-- {n_reg} regression(s), {n_shape} shape change(s), "
+          f"{len(rows)} keys")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--diff":
+        diff(sys.argv[2], sys.argv[3])
+    else:
+        main()
