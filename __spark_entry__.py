@@ -1758,6 +1758,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "documents")),
         "skew_profile": lambda s, sf: _IX.skew_profile(
             _t(s, sf, "events")),
+        # r7 additions: DSIR importance resampling and the corpus-pair
+        # MinHash overlap diagnostic
+        "dsir_topk": lambda s, sf: _TXT.dsir_topk(
+            _t(s, sf, "documents")),
+        "corpus_overlap_minhash": lambda s, sf:
+            _DDP.corpus_overlap_minhash(_t(s, sf, "documents")),
         "tpch_q5": tpch_q5,
         "tpch_q10": tpch_q10,
         "tpch_q14": tpch_q14,
@@ -2114,6 +2120,11 @@ _ROT_EVEN = [
     "url_canonical_dedup", "domain_doc_cap", "html_outlinks",
     # r6 debuts (new operators land in the round-6 leading group):
     "bm25_topk", "stratified_sample", "skew_profile",
+    # r7 debuts: with round 7 already odd-led and the odd window at
+    # its 44-key target, these land in EVEN (driver-checked r8; the
+    # contract pytest checks them against DuckDB from day one).
+    # Even window: 1 + 43 = 44, headroom 6 >= 5.
+    "dsir_topk", "corpus_overlap_minhash",
     # round-4 debuts, folded straight into the even group: round 4's
     # window still covers them (2 pinned + 37 even + 11 odd = 50) and
     # round 5's leading group (2 + 48 odd) then fits exactly
@@ -2995,6 +3006,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _IX.bm25_topk_oracle_sql(),
         "skew_profile": _IX.skew_profile_oracle_sql(),
         "stratified_sample": _TXT.stratified_sample_oracle_sql(),
+        "dsir_topk": _TXT.dsir_topk_oracle_sql(),
+        "corpus_overlap_minhash":
+            _DDP.corpus_overlap_minhash_oracle_sql(),
         "zorder_key": f"""
             SELECT doc_id,
                    {_IX.zorder_key_sql('doc_id', 'n_chars')} AS z

@@ -579,3 +579,95 @@ def repeated_substring_spans_oracle_sql(k: int = 30) -> str:
                       / CAST(length(d.text) AS DOUBLE))
                      * 10000 + 0.5) / 10000 AS frac_removed
         FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+
+
+# --- corpus-pair overlap estimation (r7) -----------------------------------
+
+def corpus_overlap_minhash(documents: DataFrame, n_seeds: int = 16,
+                           shingle_n: int = 3,
+                           key: str = "source") -> DataFrame:
+    """Corpus-pair overlap estimate: per-corpus MinHash signatures
+    over the word-shingle SET of everything a corpus (``key`` slice)
+    contains, compared pairwise — the standard pre-merge diagnostic
+    before ingesting a new crawl/dump next to an existing corpus
+    (estimated Jaccard of shingle sets ~= fraction of seeds whose
+    corpus-level minimum hash agrees).
+
+    Scale shape (100 TB story): the shingle stream is built map-side
+    (``word_ngrams``'s zero-shuffle transform) and collapses through
+    ONE exchange keyed by corpus with map-side partial MIN per seed —
+    the ``n_seeds`` mins are SEPARATE AGG COLUMNS of one groupBy, not
+    an n_seeds-way stream explosion — so |corpora| rows come out of
+    the shuffle however big the corpora are.  The pair matrix is a
+    broadcast self-join of that signature table (|corpora|^2 tiny
+    rows).  MinHash over a multiset equals MinHash over the set, so
+    no distinct is needed anywhere.
+
+    Engine parity: signatures are md5 hex strings compared by string
+    MIN (lexicographic == numeric for fixed-width hex — the
+    ``fingerprint`` convention); the estimate is exact-integer
+    micro-units.  Output: source_a, source_b, n_equal,
+    jaccard_est_micro (bigint, est * 1e6)."""
+    from ocr_pytorch_spark.functions import fan_out, words
+
+    ws = words(F.col("text"))
+    grams = F.transform(
+        ws, lambda x, i: F.concat_ws(" ", F.slice(ws, i + 1, shingle_n)))
+    grams = F.slice(grams, 1,
+                    F.greatest(F.size(ws) - shingle_n + 1, F.lit(0)))
+    gstream = fan_out(documents).select(
+        key, F.explode(grams).alias("gram"))
+    sigs = gstream.groupBy(key).agg(*[
+        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("gram"))))
+        .alias(f"mh{i}") for i in range(n_seeds)])
+    a = sigs.select(F.col(key).alias("source_a"),
+                    *[F.col(f"mh{i}").alias(f"a{i}")
+                      for i in range(n_seeds)])
+    b = sigs.select(F.col(key).alias("source_b"),
+                    *[F.col(f"mh{i}").alias(f"b{i}")
+                      for i in range(n_seeds)])
+    n_equal = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("long")
+        for i in range(n_seeds))
+    return (a.join(F.broadcast(b),
+                   F.col("source_a") < F.col("source_b"))
+            .select("source_a", "source_b",
+                    n_equal.alias("n_equal"))
+            .withColumn(
+                "jaccard_est_micro",
+                F.floor(F.col("n_equal") * F.lit(1000000.0)
+                        / F.lit(n_seeds)).cast("long")))
+
+
+def corpus_overlap_minhash_oracle_sql(n_seeds: int = 16,
+                                      key: str = "source") -> str:
+    """DuckDB oracle for corpus_overlap_minhash — same seeded md5
+    string-min signatures and exact-integer estimate."""
+    mins = ", ".join(
+        f"min(md5('{i}:' || gram)) AS mh{i}" for i in range(n_seeds))
+    eq = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(n_seeds))
+    return f"""
+        WITH w AS (
+          SELECT doc_id, {key},
+                 unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents
+        ), g3 AS (
+          SELECT a.{key} AS src,
+                 a.word || ' ' || b.word || ' ' || c.word AS gram
+          FROM w a
+          JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        ), sigs AS (
+          SELECT src, {mins} FROM g3 GROUP BY src
+        ), pairs AS (
+          SELECT a.src AS source_a, b.src AS source_b,
+                 CAST({eq} AS BIGINT) AS n_equal
+          FROM sigs a JOIN sigs b ON a.src < b.src
+        )
+        SELECT source_a, source_b, n_equal,
+               CAST(floor(n_equal * 1000000.0 / {n_seeds}) AS BIGINT)
+                 AS jaccard_est_micro
+        FROM pairs"""

@@ -740,3 +740,139 @@ def stratified_sample_oracle_sql(c: float = 8.0) -> str:
                           CAST(floor({float(c) * _H_SPAN!r}
                                / sqrt(CAST(counts.n_lang AS DOUBLE)))
                                AS BIGINT))"""
+
+
+# --- DSIR data selection (r7) ---------------------------------------------
+
+def _md5_int8(col):
+    """First 8 hex digits of md5 as a bigint — the engine-portable
+    hash this repo standardizes on (DuckDB replays it with an
+    instr-digit chain; Spark's conv is exact at 8 hex digits)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def dsir_topk(documents: DataFrame, k: int = 50,
+              n_buckets: int = 4096,
+              target_frac_hex: int | None = None) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et
+    al. 2023, arXiv:2302.03169): score every raw document by the
+    log-likelihood ratio of a hashed-bigram bag-of-features model
+    between a target-domain sample and the raw corpus, and keep the
+    top-``k``.  The target stands in for "quality domain" data and is
+    the same deterministic md5-prefix 10% doc sample
+    ``decontam_overlap`` uses as its eval set, so the key is
+    input-driven at every scale factor.
+
+    Scale shape (100 TB story): the bigram stream is built map-side
+    (zero-shuffle transform+slice+explode, see ``word_ngrams``), and
+    the target flag is an expression of doc_id — no join touches the
+    gram stream.  The feature distributions are ONE shuffle keyed by
+    hashed bucket with map-side combine (4096 rows out); totals are a
+    1-row agg; the per-bucket log-ratio table broadcasts back, so
+    per-doc scoring is a map-side join plus one (doc_id, bucket)
+    combine and one skinny per-doc sum.  The global top-k is
+    TakeOrderedAndProject (no full sort).
+
+    Engine parity: bucket log-ratios are rounded HALF-UP to integer
+    micro-units BEFORE the per-doc sum (the ``bm25_topk`` trick), so
+    every aggregation is order-independent bigint addition.
+    Output: rank, doc_id, weight_micro (bigint, log-ratio * 1e6)."""
+    from pyspark.sql import Window
+
+    cut = target_frac_hex if target_frac_hex is not None \
+        else int(0.1 * 16 ** 8)
+    grams = word_ngrams(documents.select("doc_id", "text"), 2)
+    g = grams.select(
+        "doc_id",
+        F.pmod(_md5_int8(F.col("gram")), F.lit(n_buckets))
+        .alias("bucket"),
+        (_md5_int8(F.col("doc_id").cast("string")) < cut)
+        .alias("is_tgt"))
+    buckets = (g.groupBy("bucket")
+               .agg(F.sum(F.when(F.col("is_tgt"), 1).otherwise(0))
+                    .alias("t_cnt"),
+                    F.sum(F.when(F.col("is_tgt"), 0).otherwise(1))
+                    .alias("r_cnt")))
+    totals = buckets.agg(F.sum("t_cnt").alias("t_tot"),
+                         F.sum("r_cnt").alias("r_tot"))
+    lw = (F.log((F.col("t_cnt") + F.lit(1)).cast("double")
+                / (F.col("t_tot") + F.lit(n_buckets)).cast("double"))
+          - F.log((F.col("r_cnt") + F.lit(1)).cast("double")
+                  / (F.col("r_tot") + F.lit(n_buckets)).cast("double")))
+    weights = (buckets.crossJoin(F.broadcast(totals))
+               .select("bucket",
+                       F.floor(lw * F.lit(1000000.0) + F.lit(0.5))
+                       .cast("long").alias("lw_micro")))
+    per_doc = (g.where(~F.col("is_tgt"))
+               .groupBy("doc_id", "bucket")
+               .agg(F.count("*").alias("cnt"))
+               .join(F.broadcast(weights), "bucket")
+               .groupBy("doc_id")
+               .agg(F.sum(F.col("cnt") * F.col("lw_micro"))
+                    .alias("weight_micro")))
+    top = (per_doc.orderBy(F.col("weight_micro").desc(), "doc_id")
+           .limit(k))
+    rw = Window.orderBy(F.col("weight_micro").desc(), "doc_id")
+    return (top.withColumn("rank",
+                           F.row_number().over(rw).cast("long"))
+            .select("rank", "doc_id", "weight_micro"))
+
+
+def dsir_topk_oracle_sql(k: int = 50, n_buckets: int = 4096,
+                         target_frac_hex: int | None = None) -> str:
+    """DuckDB oracle for dsir_topk — identical hashing (md5 8-hex-digit
+    prefix via the instr digit chain), bucket counts, micro-rounded
+    log-ratios, and bigint per-doc sums."""
+    cut = target_frac_hex if target_frac_hex is not None \
+        else int(0.1 * 16 ** 8)
+
+    def h8(expr: str) -> str:
+        return " + ".join(
+            f"(instr('0123456789abcdef', substr(md5({expr}), "
+            f"{i + 1}, 1)) - 1) * {16 ** (7 - i)}" for i in range(8))
+
+    return f"""
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents
+        ), g2 AS (
+          SELECT a.doc_id, a.word || ' ' || b.word AS gram
+          FROM w a JOIN w b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ), g AS (
+          SELECT doc_id,
+                 ({h8('gram')}) % {n_buckets} AS bucket,
+                 ({h8('CAST(doc_id AS VARCHAR)')}) < {cut} AS is_tgt
+          FROM g2
+        ), buckets AS (
+          SELECT bucket,
+                 sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS t_cnt,
+                 sum(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS r_cnt
+          FROM g GROUP BY bucket
+        ), totals AS (
+          SELECT sum(t_cnt) AS t_tot, sum(r_cnt) AS r_tot FROM buckets
+        ), weights AS (
+          SELECT bucket,
+                 CAST(floor((ln(CAST(t_cnt + 1 AS DOUBLE)
+                                / CAST(t_tot + {n_buckets} AS DOUBLE))
+                             - ln(CAST(r_cnt + 1 AS DOUBLE)
+                                  / CAST(r_tot + {n_buckets}
+                                         AS DOUBLE)))
+                            * 1000000.0 + 0.5) AS BIGINT) AS lw_micro
+          FROM buckets CROSS JOIN totals
+        ), per AS (
+          SELECT doc_id, bucket, count(*) AS cnt
+          FROM g WHERE NOT is_tgt GROUP BY doc_id, bucket
+        ), scored AS (
+          SELECT doc_id,
+                 CAST(sum(cnt * lw_micro) AS BIGINT) AS weight_micro
+          FROM per JOIN weights USING (bucket) GROUP BY doc_id
+        ), top AS (
+          SELECT * FROM scored
+          ORDER BY weight_micro DESC, doc_id LIMIT {k}
+        )
+        SELECT CAST(row_number() OVER (ORDER BY weight_micro DESC,
+                                       doc_id) AS BIGINT) AS rank,
+               doc_id, weight_micro
+        FROM top"""

@@ -32,7 +32,10 @@ import ocr_pytorch_spark  # noqa: E402,F401  (sets OPENBLAS_CORETYPE pre-numpy)
 FIXTURE_DIR = os.environ.get("SPARK_GRAFT_SCALE_FIXTURE",
                              "/tmp/ocr_scaling_fixture")
 N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "400"))
-LEVELS = (2, 4, 8, 16, 32)
+# override e.g. SPARK_GRAFT_SCALE_LEVELS=8,32 for a quick N-vs-4N
+# refresh of the north-rule efficiency number without the full ladder
+LEVELS = tuple(int(x) for x in os.environ.get(
+    "SPARK_GRAFT_SCALE_LEVELS", "2,4,8,16,32").split(","))
 
 
 def ensure_fixture() -> None:
@@ -270,8 +273,19 @@ def orchestrate() -> None:
     ]
     os.makedirs(os.path.join(REPO_ROOT, "BENCH"), exist_ok=True)
     path = os.path.join(REPO_ROOT, "BENCH", "BASELINE.md")
+    # manual per-round sections appended below the marker survive
+    # regeneration (r7: a rerun used to clobber them wholesale)
+    marker = ("<!-- manual sections below: preserved across "
+              "scaling_bench regenerations -->")
+    manual = ""
+    if os.path.exists(path):
+        txt = open(path).read()
+        if marker in txt:
+            manual = txt.split(marker, 1)[1]
     with open(path, "w") as f:
         f.write("\n".join(lines))
+        f.write(marker + "\n")
+        f.write(manual)
     effs = "; ".join(f"eff({lo}->{hi})={eff(lo, hi)}"
                      for lo, hi in pairs)
     print(f"wrote {path}; {effs}")

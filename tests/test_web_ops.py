@@ -243,3 +243,65 @@ def test_domain_doc_cap_salted_prune_is_lossless(spark):
     for src, *_ in got:
         by_src[src] = by_src.get(src, 0) + 1
     assert by_src == {"hot.example": 10, "cold.example": 3}
+
+
+def test_dsir_topk_prefers_target_like_docs(spark):
+    """DSIR semantics: raw docs sharing the target sample's bigram
+    vocabulary must outrank raw docs with disjoint vocabulary, and
+    target docs themselves never appear in the output."""
+    from pyspark.sql import functions as F
+
+    from ocr_pytorch_spark.operators.text import dsir_topk
+
+    # md5-prefix-derived target flag is a pure function of doc_id:
+    # find ids on both sides of the 10% cut deterministically
+    import hashlib
+
+    def is_tgt(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8],
+                   16) < int(0.1 * 16 ** 8)
+
+    ids = list(range(400))
+    tgt = [i for i in ids if is_tgt(i)][:8]
+    raw = [i for i in ids if not is_tgt(i)]
+    like, unlike = raw[:10], raw[10:20]
+    target_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = ([(i, target_text) for i in tgt]
+            + [(i, target_text) for i in like]
+            + [(i, "one two three four five six seven eight")
+               for i in unlike])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dsir_topk(docs, k=len(raw[:20])).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert not any(i in got for i in tgt)  # targets never selected
+    w_like = [got[i]["weight_micro"] for i in like if i in got]
+    w_unlike = [got[i]["weight_micro"] for i in unlike if i in got]
+    assert w_like and min(w_like) > max(w_unlike or [-10**18])
+    # ranks are 1..n, dense, ordered by weight desc then doc_id
+    ranks = sorted(r["rank"] for r in out)
+    assert ranks == list(range(1, len(out) + 1))
+
+
+def test_corpus_overlap_minhash_orders_by_true_overlap(spark):
+    """Corpus-pair MinHash overlap: an identical corpus pair must
+    estimate ~1, a disjoint pair ~0, and a half-overlapping pair in
+    between — and the estimate is symmetric by construction (a<b
+    pairs only)."""
+    from ocr_pytorch_spark.operators.dedup import corpus_overlap_minhash
+
+    base = [f"w{i:03d} x{i:03d} y{i:03d} z{i:03d}" for i in range(40)]
+    other = [f"q{i:03d} r{i:03d} s{i:03d} t{i:03d}" for i in range(40)]
+    half = base[:20] + other[:20]
+    rows = ([(i, t, "srcA") for i, t in enumerate(base)]
+            + [(100 + i, t, "srcB") for i, t in enumerate(base)]
+            + [(200 + i, t, "srcC") for i, t in enumerate(other)]
+            + [(300 + i, t, "srcD") for i, t in enumerate(half)])
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    out = {(r["source_a"], r["source_b"]): r["jaccard_est_micro"]
+           for r in corpus_overlap_minhash(docs).collect()}
+    assert len(out) == 6  # C(4,2) unordered pairs
+    assert out[("srcA", "srcB")] == 1000000  # identical corpora
+    assert out[("srcA", "srcC")] == 0        # disjoint shingle sets
+    # the half-overlap pair sits strictly between
+    assert 0 < out[("srcA", "srcD")] < 1000000
