@@ -75,10 +75,17 @@ def _task_walls(spark, df):
 
     df.rdd.mapPartitionsWithIndex(f).count()
     walls = sorted(w for _, _, w in acc.value)
+    rows = sorted(n for _, n, _ in acc.value)
     med = walls[len(walls) // 2] if walls else 0.0
+    rmed = rows[len(rows) // 2] if rows else 0
     return {"tasks": len(walls), "median_ms": round(med, 1),
             "max_ms": round(walls[-1], 1) if walls else 0.0,
-            "max_over_median": round(walls[-1] / med, 2) if med else 0.0}
+            "max_over_median": round(walls[-1] / med, 2) if med else 0.0,
+            # rows per task: the noise-free load-balance evidence —
+            # wall ratios on sub-100ms tasks are host-scheduler noise
+            "rows_median": rmed, "rows_max": rows[-1] if rows else 0,
+            "rows_max_over_median": round(rows[-1] / rmed, 2)
+            if rmed else 0.0}
 
 
 def _web_tier(spark, qs, ddir) -> dict:
@@ -128,13 +135,19 @@ def _web_tier(spark, qs, ddir) -> dict:
                              F.lit(4000))).cast("int").alias("n_chars")))
 
     # the pre-salting diagnostic the repo ships: measure the skew,
-    # then size the salt so the hot key's largest salt bucket is about
-    # half a uniform reducer share (2 buckets per share)
+    # then size the salt.  Two constraints: (a) the hot key's largest
+    # salt bucket <= about half a uniform reducer share (2 buckets per
+    # share), and (b) n_salts >= 4x the reducer count — with fewer
+    # groups than ~4P, balls-into-bins collisions concentrate several
+    # whale buckets on one reducer (measured: n_salts=20 over P=32 put
+    # 3 whale buckets = 201k rows on one reducer, ratio 2.9; 4P spreads
+    # the whale's mass over every reducer)
     prof = skew_profile(pages, key="source", k=3).collect()
     total = N_PAGES
     p_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     top_cnt = int(prof[0]["cnt"])
-    n_salts = max(4, -(-2 * top_cnt * p_shuffle // total))  # ceil
+    n_salts = max(4 * p_shuffle,
+                  -(-2 * top_cnt * p_shuffle // total))  # ceil
 
     order = [F.desc("n_chars"), F.asc("doc_id")]
 
@@ -155,10 +168,32 @@ def _web_tier(spark, qs, ddir) -> dict:
 
     gl_conf = "spark.sql.optimizer.windowGroupLimitThreshold"
     gl_saved = spark.conf.get(gl_conf)
+
+    def reducer_rows(*cols):
+        # EXACT per-reducer input volume for a shuffle keyed on cols:
+        # replicate HashPartitioning with pmod(hash(keys), P) (same
+        # Murmur3 the exchange uses) and sum rows per partition —
+        # the noise-free structural straggler number
+        per = (pages.groupBy(
+            F.pmod(F.hash(*cols), F.lit(p_shuffle)).alias("part"))
+            .agg(F.count("*").alias("n"))
+            .orderBy("n").collect())
+        ns = [int(r["n"]) for r in per]
+        med = ns[len(ns) // 2]
+        return {"reducers": len(ns), "rows_median": med,
+                "rows_max": ns[-1],
+                "rows_max_over_median": round(ns[-1] / med, 2)}
+
     out = {"n_pages": N_PAGES, "n_domains": n_domains + 1, "k": topk,
            "whale_share_pct": round(100.0 * top_cnt / total, 1),
            "n_salts": int(n_salts), "shuffle_partitions": p_shuffle,
-           "web_key_secs_10x": key_secs, "variants": {}}
+           "web_key_secs_10x": key_secs,
+           "reducer_input_rows": {
+               "naive_by_domain": reducer_rows(F.col("source")),
+               "salted_by_domain_salt": reducer_rows(
+                   F.col("source"),
+                   F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)))},
+           "variants": {}}
 
     def measure(label, thunk, stage_thunk):
         _force(thunk())  # warm
@@ -173,6 +208,13 @@ def _web_tier(spark, qs, ddir) -> dict:
     try:
         spark.conf.set(gl_conf, "-1")
         measure("naive_stall", naive, naive)
+        # salting ALONE (map-side prune off, as on pre-3.5 engines):
+        # the whale spreads over n_salts reducers, so even with every
+        # row shuffled the window tasks stay near-uniform — this is
+        # the variant whose task-wall max/median the <=1.5 salting
+        # claim is about (the grouplimit variants' tasks are too small
+        # for wall ratios to beat host-scheduler noise)
+        measure("salted_stall", salted_phase1, salted_phase1)
         spark.conf.set(gl_conf, gl_saved)
         measure("naive_grouplimit", naive, naive)
         measure("salted",
