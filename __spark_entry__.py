@@ -1764,6 +1764,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "documents")),
         "corpus_overlap_minhash": lambda s, sf:
             _DDP.corpus_overlap_minhash(_t(s, sf, "documents")),
+        # r7 additions: eval-metrics family (gate calibration +
+        # leakage-safe split accounting)
+        "classifier_auc": lambda s, sf: _TXT.classifier_auc(
+            _t(s, sf, "documents")),
+        "dataset_split": lambda s, sf: _TXT.dataset_split(
+            _t(s, sf, "documents")),
         "tpch_q5": tpch_q5,
         "tpch_q10": tpch_q10,
         "tpch_q14": tpch_q14,
@@ -2103,6 +2109,10 @@ _ROT_ODD = [
     # odd; one driver hash each certifies 6-7 member relations)
     "suite_tpch", "suite_agg_stats", "suite_events",
     "suite_text_dedup",
+    # r7 debut (round 7 is odd, membership IS the debut check);
+    # odd window now 1 + 44 = 45, headroom exactly 5 — the parity's
+    # add budget for this round is spent
+    "classifier_auc",
 ]
 # outside round 3's window -> lead even rounds (incl. this round 4)
 _ROT_EVEN = [
@@ -2123,8 +2133,9 @@ _ROT_EVEN = [
     # r7 debuts: with round 7 already odd-led and the odd window at
     # its 44-key target, these land in EVEN (driver-checked r8; the
     # contract pytest checks them against DuckDB from day one).
-    # Even window: 1 + 43 = 44, headroom 6 >= 5.
-    "dsir_topk", "corpus_overlap_minhash",
+    # Even window: 1 + 44 = 45, headroom exactly 5 — the parity's
+    # add budget for this round is spent.
+    "dsir_topk", "corpus_overlap_minhash", "dataset_split",
     # round-4 debuts, folded straight into the even group: round 4's
     # window still covers them (2 pinned + 37 even + 11 odd = 50) and
     # round 5's leading group (2 + 48 odd) then fits exactly
@@ -3009,6 +3020,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_topk": _TXT.dsir_topk_oracle_sql(),
         "corpus_overlap_minhash":
             _DDP.corpus_overlap_minhash_oracle_sql(),
+        "classifier_auc": _TXT.classifier_auc_oracle_sql(),
+        "dataset_split": _TXT.dataset_split_oracle_sql(),
         "zorder_key": f"""
             SELECT doc_id,
                    {_IX.zorder_key_sql('doc_id', 'n_chars')} AS z

@@ -876,3 +876,136 @@ def dsir_topk_oracle_sql(k: int = 50, n_buckets: int = 4096,
                                        doc_id) AS BIGINT) AS rank,
                doc_id, weight_micro
         FROM top"""
+
+
+# --- eval-metrics family (r7) ----------------------------------------------
+
+def classifier_auc(documents: DataFrame) -> DataFrame:
+    """Exact ROC-AUC of the fixed-weight quality classifier against
+    the lang=='en' label — the calibration measurement a pipeline runs
+    before trusting a model-based gate (is the quality score actually
+    ranking in-language docs higher?).  Mann-Whitney U with average
+    ranks for ties, computed entirely in integers: for each distinct
+    quantized score s with p_s positives and n_s negatives,
+    2U = sum_s (2 * p_s * negs_below(s) + p_s * n_s), so every
+    aggregation is order-independent bigint addition and the only
+    float op is the final ratio (exact-int inputs, identical IEEE
+    division in both engines).
+
+    Scale shape: one (score-histogram) shuffle with map-side combine —
+    the window that accumulates negs_below runs over the DISTINCT
+    QUANTIZED SCORES, a relation bounded at 10^4+1 rows at any corpus
+    size (the 4dp quantizer's range), so the single-partition window
+    is a constant-size reduction, not a data-volume sort.
+    Output: one row (n_pos, n_neg, u2, auc_micro)."""
+    from pyspark.sql import Window
+
+    scored = quality_classifier(documents).select("doc_id", "score")
+    lab = documents.select("doc_id",
+                           (F.col("lang") == "en").alias("pos"))
+    j = (scored.join(lab, "doc_id")
+         .select(F.floor(F.col("score") * 10000 + F.lit(0.5))
+                 .cast("long").alias("s4"), "pos"))
+    per = (j.groupBy("s4")
+           .agg(F.sum(F.when(F.col("pos"), 1).otherwise(0))
+                .alias("p"),
+                F.sum(F.when(F.col("pos"), 0).otherwise(1))
+                .alias("n")))
+    w = (Window.orderBy("s4")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    per = per.withColumn(
+        "neg_below", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    agg = per.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("n").cast("long").alias("n_neg"),
+        F.sum(F.lit(2) * F.col("p") * F.col("neg_below")
+              + F.col("p") * F.col("n")).cast("long").alias("u2"))
+    return agg.select(
+        "n_pos", "n_neg", "u2",
+        F.floor(F.col("u2") * F.lit(1000000.0)
+                / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")))
+        .cast("long").alias("auc_micro"))
+
+
+def classifier_auc_oracle_sql() -> str:
+    """DuckDB oracle for classifier_auc — the same integer
+    Mann-Whitney over the same quantized-score histogram."""
+    return f"""
+        WITH scored AS (
+          SELECT doc_id,
+                 CAST(floor(score * 10000 + 0.5) AS BIGINT) AS s4,
+                 lang = 'en' AS pos
+          FROM ({quality_classifier_oracle_sql()}) q
+          JOIN documents USING (doc_id)
+        ), per AS (
+          SELECT s4,
+                 sum(CASE WHEN pos THEN 1 ELSE 0 END) AS p,
+                 sum(CASE WHEN pos THEN 0 ELSE 1 END) AS n
+          FROM scored GROUP BY s4
+        ), below AS (
+          SELECT s4, p, n,
+                 coalesce(sum(n) OVER (ORDER BY s4
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS neg_below
+          FROM per
+        ), agg AS (
+          SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+                 CAST(sum(n) AS BIGINT) AS n_neg,
+                 CAST(sum(2 * p * neg_below + p * n) AS BIGINT) AS u2
+          FROM below
+        )
+        SELECT n_pos, n_neg, u2,
+               CAST(floor(u2 * 1000000.0 / (2.0 * n_pos * n_neg))
+                    AS BIGINT) AS auc_micro
+        FROM agg"""
+
+
+_SPLIT_SPAN = 16 ** 8
+
+
+def dataset_split(documents: DataFrame,
+                  train_frac: float = 0.8,
+                  val_frac: float = 0.1) -> DataFrame:
+    """Deterministic train/val/test assignment by document-id hash —
+    the standard leakage-safe split (a doc's split never depends on
+    corpus order, partitioning, or reprocessing; re-runs and late
+    arrivals land in the same split forever).  Map-only expression +
+    one 3-group rollup with map-side combine.
+    Output: split, n_docs, total_chars, doc_id_min, doc_id_max."""
+    c1 = int(train_frac * _SPLIT_SPAN)
+    c2 = int((train_frac + val_frac) * _SPLIT_SPAN)
+    h = _md5_int8(F.col("doc_id").cast("string"))
+    split = (F.when(h < c1, F.lit("train"))
+             .when(h < c2, F.lit("val"))
+             .otherwise(F.lit("test")))
+    return (documents
+            .select(split.alias("split"), "doc_id", "n_chars")
+            .groupBy("split")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.min("doc_id").alias("doc_id_min"),
+                 F.max("doc_id").alias("doc_id_max")))
+
+
+def dataset_split_oracle_sql(train_frac: float = 0.8,
+                             val_frac: float = 0.1) -> str:
+    """DuckDB oracle for dataset_split — same md5-prefix hash and
+    cutoffs."""
+    c1 = int(train_frac * _SPLIT_SPAN)
+    c2 = int((train_frac + val_frac) * _SPLIT_SPAN)
+    h = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5("
+        f"CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}" for i in range(8))
+    return f"""
+        WITH h AS (
+          SELECT doc_id, n_chars,
+                 CASE WHEN ({h}) < {c1} THEN 'train'
+                      WHEN ({h}) < {c2} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents
+        )
+        SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               min(doc_id) AS doc_id_min, max(doc_id) AS doc_id_max
+        FROM h GROUP BY split"""

@@ -305,3 +305,57 @@ def test_corpus_overlap_minhash_orders_by_true_overlap(spark):
     assert out[("srcA", "srcC")] == 0        # disjoint shingle sets
     # the half-overlap pair sits strictly between
     assert 0 < out[("srcA", "srcD")] < 1000000
+
+
+def test_classifier_auc_exact_tiny_case(spark):
+    """Hand-computed Mann-Whitney with ties: docs engineered so the
+    quantized quality score ties inside and across classes, checked
+    against a pure-Python average-rank AUC."""
+    from ocr_pytorch_spark.operators.text import (classifier_auc,
+                                                  quality_classifier)
+
+    rows = []
+    texts = ["aa bb", "aa bb", "the of and to a word here now",
+             "one two three four five six seven eight nine ten",
+             "the the the of of and a to a the",
+             "zz yy xx ww vv uu tt ss"]
+    for i, t in enumerate(texts):
+        rows.append((i, t, "en" if i % 2 == 0 else "de"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string")
+    got = classifier_auc(docs).collect()[0]
+
+    scored = {r["doc_id"]: r["score"]
+              for r in quality_classifier(docs).collect()}
+    import math
+    pairs = [(round(scored[i] * 10000), lang == "en")
+             for i, (t, lang) in enumerate(
+                 [(t, "en" if i % 2 == 0 else "de")
+                  for i, t in enumerate(texts)])]
+    pos = [s for s, p in pairs if p]
+    neg = [s for s, p in pairs if not p]
+    u = sum((1.0 if sp > sn else 0.5 if sp == sn else 0.0)
+            for sp in pos for sn in neg)
+    want = math.floor(u * 1000000.0 / (len(pos) * len(neg)))
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert got["auc_micro"] == want
+
+
+def test_dataset_split_deterministic_and_disjoint(spark):
+    """Split assignment is a pure function of doc_id: fractions land
+    near 80/10/10, re-running (and reordering) changes nothing."""
+    from pyspark.sql import functions as F
+
+    from ocr_pytorch_spark.operators.text import dataset_split
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.lit(10).alias("n_chars"))
+    out = {r["split"]: r["n_docs"]
+           for r in dataset_split(docs).collect()}
+    assert sum(out.values()) == 2000
+    assert 0.75 <= out["train"] / 2000 <= 0.85
+    assert 0.05 <= out["val"] / 2000 <= 0.15
+    out2 = {r["split"]: r["n_docs"] for r in dataset_split(
+        docs.orderBy(F.col("doc_id").desc())).collect()}
+    assert out == out2
