@@ -1928,6 +1928,17 @@ _SUITES: dict = {
         "text_normalize", "text_token_count", "filename_munge",
         "dedup_exact", "dedup_minhash_sig", "filter_minsize",
         "filter_threshold"],
+    # r7 second consolidation pass (banking headroom for r8+): ODD
+    # veterans green since r5 or earlier ...
+    "suite_joins_tpch": [
+        "semi_join_keep", "broadcast_dim_join", "explode_reassemble",
+        "window_reading_order", "group_line_stats", "tpch_q1",
+        "tpch_q5", "tpch_q10"],
+    # ... and EVEN veterans green r4+r6 (suite checked r8, gap 2)
+    "suite_web_hygiene": [
+        "pii_redact", "url_host_filter", "text_lang_id",
+        "text_repetition", "decontam_overlap", "corpus_filter",
+        "text_winnow_fp"],
 }
 _SUITE_MEMBERS = frozenset(m for ms in _SUITES.values() for m in ms)
 # member -> columns sorted by name, with an is_double flag driving the
@@ -1978,6 +1989,34 @@ _SUITE_SPECS: dict = {
     "filter_minsize": [("l_returnflag", 0), ("n", 0)],
     "filter_threshold": [("event_type", 0), ("n", 0),
                          ("sum_value_k", 1)],
+    "semi_join_keep": [("l_returnflag", 0), ("n", 0)],
+    "broadcast_dim_join": [("n", 0), ("p_brand", 0),
+                           ("revenue_m", 1)],
+    "explode_reassemble": [("doc_id", 0), ("n_words", 0),
+                           ("w_max", 0), ("w_min", 0)],
+    "window_reading_order": [("event_id", 0), ("rn", 0),
+                             ("user_id", 0)],
+    "group_line_stats": [("avg_v", 1), ("mn", 1), ("mx", 1),
+                         ("n", 0), ("user_id", 0)],
+    "tpch_q1": [("avg_disc", 1), ("l_linestatus", 0),
+                ("l_returnflag", 0), ("n", 0), ("sum_price_m", 1),
+                ("sum_qty_k", 1)],
+    "tpch_q5": [("n", 0), ("n_name", 0), ("revenue_k", 1)],
+    "tpch_q10": [("c_custkey", 0), ("c_name", 0), ("n_name", 0),
+                 ("revenue_k", 1)],
+    "pii_redact": [("doc_id", 0), ("n_email", 0), ("n_ip", 0),
+                   ("n_phone", 0), ("redacted", 0)],
+    "url_host_filter": [("domain", 0), ("first_doc", 0), ("host", 0),
+                        ("n_docs", 0), ("total_chars", 0)],
+    "text_lang_id": [("doc_id", 0), ("lang_pred", 0),
+                     ("n_tokens", 0), ("stop_hits", 0)],
+    "text_repetition": [("doc_id", 0), ("dup_word_frac", 1),
+                        ("n_words", 0), ("top_bigram_frac", 1)],
+    "decontam_overlap": [("doc_id", 0), ("n_shared", 0)],
+    "corpus_filter": [("doc_id", 0), ("lang_pred", 0),
+                      ("n_tokens", 0), ("quality", 1)],
+    "text_winnow_fp": [("doc_id", 0), ("fp_max", 0), ("fp_min", 0),
+                       ("n_fps", 0)],
 }
 
 
@@ -2061,18 +2100,22 @@ _PINNED = ["ocr_extract_parity"]
 # (16 keys, last green r4/r5) would have surfaced in r7/r8; their
 # suites ARE in r7's window, so every carried gap stays <= 3 and
 # shrinks to the suite cadence (2) thereafter.
-# Tiers after the restructure:
+# Tiers after the restructure (numbers include the r7 SECOND pass,
+# which folded 8 ODD veterans into suite_joins_tpch and 7 EVEN
+# veterans into suite_web_hygiene — 42 members across 6 suites):
 #   * _PINNED (1): the flagship parity key, EVERY round.
-#   * _ROT_ODD (43 = 39 singles + 4 suites) / _ROT_EVEN (41): every
-#     2 rounds.  The suites debut in _ROT_ODD (round 7 is odd —
-#     membership IS the debut check, the r6 pattern).
-# Window arithmetic: odd rounds 1 + 43 = 44 (SIX free slots), even
-# rounds 1 + 41 = 42 (EIGHT free slots).  tests/test_html.py asserts
-# >= 5 free slots in BOTH parities (headroom, not just fit), so the
-# next few keys are plain appends — no cascade.  Suite members are
-# excluded from the window by _rotate() and ordered after it;
-# rows-only keys trail last.  Steady state: every oracle key (or its
-# certifying suite) every 2 rounds.
+#   * _ROT_ODD (37 = 32 singles + 5 suites) / _ROT_EVEN (38 = 37
+#     singles + suite_web_hygiene): every 2 rounds.  Suites debut in
+#     the parity leading their landing round (membership IS the debut
+#     check, the r6 pattern); suite_web_hygiene's members were last
+#     green r6, its first check is r8 — gap 2, within cadence.
+# Window arithmetic: odd rounds 1 + 37 = 38 (TWELVE free slots), even
+# rounds 1 + 38 = 39 (ELEVEN free slots).  tests/test_html.py asserts
+# >= 5 free slots in BOTH parities (headroom, not just fit), so new
+# keys for the next several rounds are plain appends — no cascade.
+# Suite members are excluded from the window by _rotate() and ordered
+# after it; rows-only keys trail last.  Steady state: every oracle
+# key (or its certifying suite) every 2 rounds.
 # (r6 five-pass rebalance history lives in git: 839fee3^ and before.)
 _ROT_ODD = [
     # pack_sequences moved even->odd for r5: its prefix-sum bucketing
@@ -2085,8 +2128,8 @@ _ROT_ODD = [
     "top_ngrams_corpus", "zorder_key", "bpe_top_pairs",
     "quality_classifier", "corpus_mix", "dedup_substring_spans",
     # phrase_lookup + tpch_q18 folded into suites in the r7
-    # restructure (suite_agg_stats / suite_tpch)
-    "tpch_q5", "tpch_q10",
+    # restructure (suite_agg_stats / suite_tpch); tpch_q5 + tpch_q10
+    # into suite_joins_tpch in the second pass
     "event_outliers", "bloom_custkey", "approx_distinct_hll",
     "text_quality", "text_fingerprint",
     # sessionize demoted to _ROT_SLOW in the r6 fourth-pass rebalance
@@ -2095,23 +2138,21 @@ _ROT_ODD = [
     "window_moving_avg", "session_window_agg", "dedup_keeper_policy",
     # sample_documents demoted to _ROT_SLOW in the r6 fifth-pass
     # rebalance (html_outlinks landing)
-    "data_quality_checks", "window_reading_order", "group_line_stats",
+    # window_reading_order + group_line_stats folded into
+    # suite_joins_tpch (r7 second pass)
+    "data_quality_checks",
     "group_linefit_regr", "range_self_join",
     # r6 rebalance: r5 debuts fold here (checked r5 as debuts -> r7)
     "multimodal_features", "multimodal_audio", "multimodal_video",
     "semdedup", "boilerplate_blocks", "ocr_errors_scan",
     "multimodal_dhash",
-    # r6 rebalance: trailed into round 5's window (green r05) -> r7
-    "semi_join_keep", "broadcast_dim_join", "explode_reassemble",
-    # r6 group balance: one-time 3-round gap (see CAPACITY NOTE)
-    "tpch_q1",
+    # semi_join_keep / broadcast_dim_join / explode_reassemble /
+    # tpch_q1 folded into suite_joins_tpch (r7 second pass)
     # r7 restructure: the composite suites debut here (round 7 is
     # odd; one driver hash each certifies 6-7 member relations)
     "suite_tpch", "suite_agg_stats", "suite_events",
-    "suite_text_dedup",
-    # r7 debut (round 7 is odd, membership IS the debut check);
-    # odd window now 1 + 44 = 45, headroom exactly 5 — the parity's
-    # add budget for this round is spent
+    "suite_text_dedup", "suite_joins_tpch",
+    # r7 debut (round 7 is odd, membership IS the debut check)
     "classifier_auc",
 ]
 # outside round 3's window -> lead even rounds (incl. this round 4)
@@ -2122,7 +2163,7 @@ _ROT_EVEN = [
     "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_components", "dedup_embedding_cosine",
     "sim_topk_cosine", "sim_lsh_buckets",
-    "sim_lsh_topk", "sim_ivf_cells", "sim_ivf_topk", "text_lang_id",
+    "sim_lsh_topk", "sim_ivf_cells", "sim_ivf_topk",
     # r6 late additions (debut-by-membership, round 6 is even; the
     # matching rebalances demoted funnel_counts/topk_score/
     # text_token_count, then dedupe_consecutive_lag/tpch_q3_topk/
@@ -2130,11 +2171,11 @@ _ROT_EVEN = [
     "url_canonical_dedup", "domain_doc_cap", "html_outlinks",
     # r6 debuts (new operators land in the round-6 leading group):
     "bm25_topk", "stratified_sample", "skew_profile",
-    # r7 debuts: with round 7 already odd-led and the odd window at
-    # its 44-key target, these land in EVEN (driver-checked r8; the
-    # contract pytest checks them against DuckDB from day one).
-    # Even window: 1 + 44 = 45, headroom exactly 5 — the parity's
-    # add budget for this round is spent.
+    # r7 second consolidation pass: 7 veterans (green r4+r6) fold
+    # into suite_web_hygiene, checked from r8 (gap 2)
+    "suite_web_hygiene",
+    # r7 debuts (driver-checked r8; the contract pytest checks them
+    # against DuckDB from day one)
     "dsir_topk", "corpus_overlap_minhash", "dataset_split",
     # round-4 debuts, folded straight into the even group: round 4's
     # window still covers them (2 pinned + 37 even + 11 odd = 50) and
@@ -2149,12 +2190,13 @@ _ROT_EVEN = [
     "bpe_encode_tokens",
     # demoted from _PINNED in r6 (see CAPACITY NOTE above):
     "salted_join",
-    # moved from _ROT_ODD in the r5 rebalance (see comment above):
-    # these trailed into round 4's (even) window, so even-round
-    # membership keeps their every-2-rounds cadence unbroken
-    "corpus_filter", "text_winnow_fp", "html_strip", "html_main_block",
-    "layout_reading_order", "pdf_text_extract", "text_repetition",
-    "decontam_overlap", "pii_redact", "url_host_filter", "dedup_lines",
+    # moved from _ROT_ODD in the r5 rebalance; corpus_filter /
+    # text_winnow_fp / text_repetition / decontam_overlap /
+    # pii_redact / url_host_filter (+ text_lang_id above) folded into
+    # suite_web_hygiene in the r7 second pass
+    "html_strip", "html_main_block",
+    "layout_reading_order", "pdf_text_extract",
+    "dedup_lines",
 ]
 # The r6 low-cadence `_ROT_SLOW` tier is GONE (r7 restructure): all
 # 24 of its keys are now suite members — certified by their suite's

@@ -219,3 +219,74 @@ def stream_interval_join(impressions: DataFrame, clicks: DataFrame,
                f"AND clk_ts >= imp_ts "
                f"AND clk_ts <= imp_ts + interval {max_delay}"))
         .select("user_id", "imp_item", "imp_ts", "clk_ts"))
+
+
+DOMAIN_CAP_SCHEMA = "doc_id string, source string, admit_rank int"
+DOMAIN_CAP_STATE_SCHEMA = "cnt long, ids array<string>"
+
+
+def stream_domain_cap(docs: DataFrame, k: int = 10,
+                      watermark: str = "10 minutes",
+                      state_retention_ms: int = 30 * 60 * 1000
+                      ) -> DataFrame:
+    """Streaming per-domain admission cap — the crawl-ingest version
+    of operators/web.domain_doc_cap: admit at most ``k`` documents per
+    ``source`` in event-time arrival order, emitting
+    (doc_id, source, admit_rank) for admitted docs only.  Where the
+    batch operator can rank by quality (it sees everything), an
+    ingest stream must decide per arrival — first-k-by-event-time is
+    the online policy (RefinedWeb-style hot-domain throttling at the
+    crawl frontier, before expensive downstream stages run).
+
+    Scale contract: state per domain is ONE counter plus the <= k
+    admitted ids (kept only to make at-least-once replays idempotent —
+    a replayed admitted doc is recognized and not re-admitted or
+    double-counted; a replayed rejected doc stays rejected because the
+    counter never moved for it).  EventTimeTimeout ages idle domains
+    out ``state_retention_ms`` past the watermark, so total state is
+    O(active domains x k), never O(stream).  Within a micro-batch,
+    rows are processed in (ts, doc_id) order so admission is
+    batching-independent whenever files arrive in event-time order."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "source", "admit_rank"]
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=cols)
+            return
+        cnt, ids = (0, []) if not state.exists else state.get
+        cnt, ids = int(cnt), list(ids)
+        source = str(key[0])
+        out = []
+        max_ts_ms = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            max_ts_ms = max(max_ts_ms,
+                            int(pdf["ts"].max().timestamp() * 1000))
+            pdf = pdf.sort_values(["ts", "doc_id"])
+            for doc_id in pdf["doc_id"]:
+                did = str(doc_id)
+                if did in ids:      # at-least-once replay of an admit
+                    continue
+                if cnt < k:
+                    cnt += 1
+                    ids.append(did)
+                    out.append((did, source, cnt))
+        state.update((cnt, ids))
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(wm, max_ts_ms)
+                                  + state_retention_ms)
+        yield pd.DataFrame(out, columns=cols)
+
+    return (docs
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", watermark)
+            .groupBy("source")
+            .applyInPandasWithState(
+                update,
+                outputStructType=DOMAIN_CAP_SCHEMA,
+                stateStructType=DOMAIN_CAP_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

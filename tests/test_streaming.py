@@ -317,3 +317,74 @@ def test_stream_minhash_neardup_matches_batch(spark, tmp_path_factory):
            for r in spark.sql("select * from nd_out").collect()}
     q.stop()
     assert got == want
+
+
+def test_stream_domain_cap_matches_batch_prefix(spark,
+                                                tmp_path_factory):
+    """Streaming per-domain admission == the batch first-k-by-ts rank:
+    a hot domain (60% of rows) and several small ones arrive across 3
+    event-time-ordered micro-batches; the admitted set must equal
+    row_number() over (partition by source order by ts, doc_id) <= k,
+    a second replayed delivery of an already-admitted file must admit
+    nothing new, and per-domain admits never exceed k."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ocr_pytorch_spark.streaming.windows import stream_domain_cap
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    for i in range(100):
+        src = "whale.com" if i % 5 < 3 else f"site-{i % 4}.com"
+        rows.append((f"d{i:04d}", src, t0 + dt.timedelta(seconds=i)))
+    schema = "doc_id string, source string, ts timestamp"
+    src_dir = str(tmp_path_factory.mktemp("dc_src"))
+    # 3 sequential ts-contiguous chunks -> the file source (oldest
+    # first) replays exactly the event-time order
+    for c, (lo, hi) in enumerate(((0, 33), (33, 66), (66, 100))):
+        spark.createDataFrame(rows[lo:hi], schema).coalesce(1) \
+            .write.parquet(os.path.join(src_dir, f"chunk={c}"))
+
+    k = 7
+    batch = spark.read.parquet(os.path.join(src_dir, "*"))
+    w = Window.partitionBy("source").orderBy("ts", "doc_id")
+    want = {(r["doc_id"], r["source"], r["rk"]) for r in
+            (batch.withColumn("rk", F.row_number().over(w))
+             .where(F.col("rk") <= k)
+             .select("doc_id", "source", "rk").collect())}
+
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(os.path.join(src_dir, "*")))
+    ckpt = str(tmp_path_factory.mktemp("dc_ckpt"))
+    q = (stream_domain_cap(stream, k=k)
+         .writeStream.format("memory").queryName("dc_out")
+         .outputMode("update")
+         .option("checkpointLocation", ckpt).start())
+    q.processAllAvailable()
+    got = {(r["doc_id"], r["source"], r["admit_rank"])
+           for r in spark.sql("select * from dc_out").collect()}
+    q.stop()
+    assert got == want
+    per_src = {}
+    for _, s, _ in got:
+        per_src[s] = per_src.get(s, 0) + 1
+    assert max(per_src.values()) <= k
+    assert per_src["whale.com"] == k  # the hot domain IS capped
+
+    # at-least-once replay: re-deliver chunk 0 as a new file; no doc
+    # may be admitted twice and no rejected doc may sneak in
+    spark.createDataFrame(rows[0:33], schema).coalesce(1) \
+        .write.mode("append").parquet(os.path.join(src_dir, "chunk=3"))
+    q2 = (stream_domain_cap(stream, k=k)
+          .writeStream.format("memory").queryName("dc_out2")
+          .outputMode("update")
+          .option("checkpointLocation", ckpt).start())
+    q2.processAllAvailable()
+    got2 = {(r["doc_id"], r["source"], r["admit_rank"])
+            for r in spark.sql("select * from dc_out2").collect()}
+    q2.stop()
+    assert got2 - got == set()  # replay admitted nothing new
