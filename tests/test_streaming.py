@@ -356,6 +356,12 @@ def test_stream_domain_cap_matches_batch_prefix(spark,
              .where(F.col("rk") <= k)
              .select("doc_id", "source", "rk").collect())}
 
+    # at-least-once replay baked into the stream itself: chunk 0 is
+    # re-delivered as a 4th file after everything else — no doc may be
+    # admitted twice and no previously-rejected doc may sneak in
+    spark.createDataFrame(rows[0:33], schema).coalesce(1) \
+        .write.parquet(os.path.join(src_dir, "chunk=3"))
+
     stream = (spark.readStream.schema(batch.schema)
               .option("maxFilesPerTrigger", "1")
               .parquet(os.path.join(src_dir, "*")))
@@ -365,26 +371,14 @@ def test_stream_domain_cap_matches_batch_prefix(spark,
          .outputMode("update")
          .option("checkpointLocation", ckpt).start())
     q.processAllAvailable()
+    rows_out = spark.sql("select * from dc_out").collect()
     got = {(r["doc_id"], r["source"], r["admit_rank"])
-           for r in spark.sql("select * from dc_out").collect()}
+           for r in rows_out}
     q.stop()
+    assert len(rows_out) == len(got)  # replay emitted no duplicates
     assert got == want
     per_src = {}
     for _, s, _ in got:
         per_src[s] = per_src.get(s, 0) + 1
     assert max(per_src.values()) <= k
     assert per_src["whale.com"] == k  # the hot domain IS capped
-
-    # at-least-once replay: re-deliver chunk 0 as a new file; no doc
-    # may be admitted twice and no rejected doc may sneak in
-    spark.createDataFrame(rows[0:33], schema).coalesce(1) \
-        .write.mode("append").parquet(os.path.join(src_dir, "chunk=3"))
-    q2 = (stream_domain_cap(stream, k=k)
-          .writeStream.format("memory").queryName("dc_out2")
-          .outputMode("update")
-          .option("checkpointLocation", ckpt).start())
-    q2.processAllAvailable()
-    got2 = {(r["doc_id"], r["source"], r["admit_rank"])
-            for r in spark.sql("select * from dc_out2").collect()}
-    q2.stop()
-    assert got2 - got == set()  # replay admitted nothing new
