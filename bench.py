@@ -59,6 +59,8 @@ HEADLINE = [
     "bm25_topk", "stratified_sample", "skew_profile",
     "url_canonical_dedup", "domain_doc_cap", "html_outlinks",
     "doc_chunks", "pack_sequences", "lm_perplexity",
+    "dsir_topk", "corpus_overlap_minhash", "classifier_auc",
+    "dataset_split",
     "semdedup", "boilerplate_blocks",
     "multimodal_audio", "multimodal_video",
     "png_ocr_extract",
