@@ -1770,6 +1770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "documents")),
         "dataset_split": lambda s, sf: _TXT.dataset_split(
             _t(s, sf, "documents")),
+        "gate_ablation": lambda s, sf: _TXT.gate_ablation(
+            _t(s, sf, "documents")),
         "tpch_q5": tpch_q5,
         "tpch_q10": tpch_q10,
         "tpch_q14": tpch_q14,
@@ -2152,8 +2154,8 @@ _ROT_ODD = [
     # odd; one driver hash each certifies 6-7 member relations)
     "suite_tpch", "suite_agg_stats", "suite_events",
     "suite_text_dedup", "suite_joins_tpch",
-    # r7 debut (round 7 is odd, membership IS the debut check)
-    "classifier_auc",
+    # r7 debuts (round 7 is odd, membership IS the debut check)
+    "classifier_auc", "gate_ablation",
 ]
 # outside round 3's window -> lead even rounds (incl. this round 4)
 _ROT_EVEN = [
@@ -3773,6 +3775,24 @@ def oracle_sql() -> dict[str, str]:
                          * 10000 + 0.5) / 10000 AS dark_frac
             FROM px GROUP BY k, f, h, w""",
     }
+    # gate-ablation Venn composes three member oracles as subqueries
+    sqls["gate_ablation"] = f"""
+        WITH rep AS ({sqls['text_repetition']}),
+             qc AS ({sqls['quality_classifier']}),
+             li AS ({sqls['text_lang_id']}),
+             flags AS (
+               SELECT r.doc_id,
+                      (r.n_words < 8 OR r.dup_word_frac > 0.6
+                       OR r.top_bigram_frac > 0.2) AS fail_rep,
+                      (q.score < 0.3) AS fail_quality,
+                      (l.lang_pred <> 'en') AS fail_lang
+               FROM rep r JOIN qc q ON r.doc_id = q.doc_id
+                          JOIN li l ON r.doc_id = l.doc_id)
+        SELECT fail_rep, fail_quality, fail_lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               (NOT fail_rep AND NOT fail_quality AND NOT fail_lang)
+                 AS kept
+        FROM flags GROUP BY fail_rep, fail_quality, fail_lang"""
     # composite suite oracles (r6 VERDICT task 1): UNION ALL of each
     # member's oracle wrapped in the same canonical (member, row_repr)
     # projection the Spark side applies — see the _SUITES block

@@ -1009,3 +1009,39 @@ def dataset_split_oracle_sql(train_frac: float = 0.8,
                CAST(sum(n_chars) AS BIGINT) AS total_chars,
                min(doc_id) AS doc_id_min, max(doc_id) AS doc_id_max
         FROM h GROUP BY split"""
+
+
+def gate_ablation(documents: DataFrame, min_words: int = 8,
+                  max_dup: float = 0.6, max_bigram: float = 0.2,
+                  min_quality: float = 0.3,
+                  lang: str = "en") -> DataFrame:
+    """Gate-ablation Venn: for the three standard corpus gates
+    (repetition, model quality, language), how many documents fail
+    each COMBINATION — the diagnostic a pipeline owner reads before
+    tuning thresholds (a gate that only ever fails docs other gates
+    already fail is free to tighten; one that uniquely kills volume
+    is the one to calibrate).  Composes the same expressions the
+    oracle-proven text_repetition / quality_classifier / text_lang_id
+    keys use.
+
+    Scale shape: three skinny per-doc signal relations join on doc_id
+    (Catalyst collapses the shared documents scan; each signal's own
+    shuffle carries (doc_id, counters) rows only), then an 8-group
+    rollup with map-side combine.
+    Output: fail_rep, fail_quality, fail_lang, n_docs, kept."""
+    rep = repetition_signals(documents)
+    qc = quality_classifier(documents).select("doc_id", "score")
+    li = lang_id(documents).select("doc_id", "lang_pred")
+    flags = (rep.join(qc, "doc_id").join(li, "doc_id")
+             .select(((F.col("n_words") < min_words)
+                      | (F.col("dup_word_frac") > max_dup)
+                      | (F.col("top_bigram_frac") > max_bigram))
+                     .alias("fail_rep"),
+                     (F.col("score") < min_quality)
+                     .alias("fail_quality"),
+                     (F.col("lang_pred") != lang).alias("fail_lang")))
+    return (flags.groupBy("fail_rep", "fail_quality", "fail_lang")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .withColumn("kept", ~F.col("fail_rep")
+                        & ~F.col("fail_quality")
+                        & ~F.col("fail_lang")))
