@@ -90,7 +90,13 @@ FLOAT_STRESS_KEYS = ["group_line_stats", "text_quality", "tpch_q1",
                      "ohem_topk_sum", "html_strip", "html_main_block",
                      "text_repetition", "tfidf_topk",
                      "quality_classifier", "approx_distinct_hll",
-                     "tpch_q5", "tpch_q10", "tpch_q14"]
+                     "tpch_q5", "tpch_q10", "tpch_q14",
+                     # r7 keys whose parity rests on ln()/floor micro
+                     # rounding or threshold comparisons at quantized
+                     # boundaries — the class this sf0.1 stress exists
+                     # for
+                     "dsir_topk", "classifier_auc", "gate_ablation",
+                     "corpus_overlap_minhash"]
 
 
 @pytest.mark.parametrize("key", FLOAT_STRESS_KEYS)
