@@ -1772,6 +1772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "documents")),
         "gate_ablation": lambda s, sf: _TXT.gate_ablation(
             _t(s, sf, "documents")),
+        "robots_filter": lambda s, sf: _WEB.robots_filter(
+            _t(s, sf, "documents")),
         "tpch_q5": tpch_q5,
         "tpch_q10": tpch_q10,
         "tpch_q14": tpch_q14,
@@ -2179,6 +2181,7 @@ _ROT_EVEN = [
     # r7 debuts (driver-checked r8; the contract pytest checks them
     # against DuckDB from day one)
     "dsir_topk", "corpus_overlap_minhash", "dataset_split",
+    "robots_filter",
     # round-4 debuts, folded straight into the even group: round 4's
     # window still covers them (2 pinned + 37 even + 11 odd = 50) and
     # round 5's leading group (2 + 48 odd) then fits exactly
@@ -3066,6 +3069,7 @@ def oracle_sql() -> dict[str, str]:
             _DDP.corpus_overlap_minhash_oracle_sql(),
         "classifier_auc": _TXT.classifier_auc_oracle_sql(),
         "dataset_split": _TXT.dataset_split_oracle_sql(),
+        "robots_filter": _WEB.robots_filter_oracle_sql(),
         "zorder_key": f"""
             SELECT doc_id,
                    {_IX.zorder_key_sql('doc_id', 'n_chars')} AS z

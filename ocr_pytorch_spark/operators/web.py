@@ -336,3 +336,82 @@ def domain_doc_cap(documents: DataFrame, key: str = "source",
             .withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k)
             .select(key, "doc_id", "n_chars", "rank"))
+
+
+# --- robots.txt politeness filter (r7) -------------------------------------
+
+def _md5_int8_w(col):
+    """8-hex-digit md5 prefix as bigint (portable: DuckDB replays it
+    with the instr digit chain)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def robots_filter(documents: DataFrame) -> DataFrame:
+    """robots.txt politeness filter with the REP longest-match rule
+    (RFC 9309: the most specific matching rule wins, so an Allow that
+    is a longer prefix overrides a shorter Disallow).  The crawl-side
+    gate that runs before fetching/ingesting a page at all.  Hosts and
+    paths come from the same deterministic URL fabric the
+    url_canonical_dedup key uses; each host's rule set derives from
+    the host name (md5), so the key is input-driven at every scale
+    factor:
+
+      * hosts with even md5: ``Disallow: /articles/`` plus
+        ``Allow: /articles/<k>`` where k = md5(host) %% 7 — pages
+        whose path starts with the longer Allow prefix survive
+        (literal prefix semantics, exactly as REP matches them: the
+        Allow for ``/articles/1`` also covers ``/articles/12``);
+      * hosts with odd md5: no rules — everything allowed.
+
+    Pure whole-stage-codegen string/CASE logic, map-only (the 100 TB
+    shape: this filter fuses into the URL scan and drops rows before
+    any fetch or shuffle happens).
+    Output: doc_id, host, path, blocked, rule."""
+    grp_n = F.floor(F.col("doc_id") / 4).cast("long")
+    host = F.concat(F.lit("www.example-"), (grp_n % 8).cast("string"),
+                    F.lit(".com"))
+    path = F.concat(F.lit("/articles/"), grp_n.cast("string"))
+    h = _md5_int8_w(host)
+    has_rules = (h % 2) == 0
+    allow_prefix = F.concat(F.lit("/articles/"),
+                            (h % 7).cast("string"))
+    rule = (F.when(~has_rules, F.lit("default"))
+            .when(path.startswith(allow_prefix),
+                  F.concat(F.lit("allow:"), allow_prefix))
+            .otherwise(F.lit("disallow:/articles/")))
+    blocked = has_rules & ~path.startswith(allow_prefix)
+    return documents.select(
+        "doc_id", host.alias("host"), path.alias("path"),
+        blocked.alias("blocked"), rule.alias("rule"))
+
+
+def robots_filter_oracle_sql() -> str:
+    """DuckDB oracle for robots_filter — same host/path fabric, same
+    md5 rule derivation, same longest-match CASE."""
+    h = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(host), {i + 1}, 1))"
+        f" - 1) * {16 ** (7 - i)}" for i in range(8))
+    return f"""
+        WITH g AS (
+          SELECT doc_id,
+                 'www.example-'
+                   || CAST(CAST(floor(doc_id / 4) AS BIGINT) % 8
+                           AS VARCHAR) || '.com' AS host,
+                 '/articles/'
+                   || CAST(CAST(floor(doc_id / 4) AS BIGINT)
+                           AS VARCHAR) AS path
+          FROM documents
+        ), rules AS (
+          SELECT doc_id, host, path, ({h}) AS hh FROM g
+        )
+        SELECT doc_id, host, path,
+               (hh % 2 = 0 AND NOT starts_with(path,
+                  '/articles/' || CAST(hh % 7 AS VARCHAR)))
+                 AS blocked,
+               CASE WHEN hh % 2 <> 0 THEN 'default'
+                    WHEN starts_with(path,
+                         '/articles/' || CAST(hh % 7 AS VARCHAR))
+                      THEN 'allow:/articles/'
+                           || CAST(hh % 7 AS VARCHAR)
+                    ELSE 'disallow:/articles/' END AS rule
+        FROM rules"""
