@@ -60,7 +60,7 @@ HEADLINE = [
     "url_canonical_dedup", "domain_doc_cap", "html_outlinks",
     "doc_chunks", "pack_sequences", "lm_perplexity",
     "dsir_topk", "corpus_overlap_minhash", "classifier_auc",
-    "dataset_split",
+    "dataset_split", "gate_ablation", "robots_filter",
     "semdedup", "boilerplate_blocks",
     "multimodal_audio", "multimodal_video",
     "png_ocr_extract",

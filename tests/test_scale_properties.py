@@ -187,3 +187,52 @@ def test_minhash_pair_generation_single_lineage(spark):
         ._jdf.queryExecution().executedPlan().toString()
     # one scan of the documents table, not two
     assert plan.count("documents.parquet") == 1
+
+
+def test_r7_operator_plan_shapes(spark):
+    """Lock in the round-7 operators' scale-critical plan shapes:
+    dsir's top-k is TakeOrderedAndProject (never a full sort) with the
+    bucket-weight table broadcast; the corpus-overlap pair matrix's
+    only nested-loop join is over tiny per-corpus signatures; the AUC
+    window runs single-partition only ABOVE the bounded score
+    histogram; dataset_split and robots_filter stay exchange-free
+    map-side (robots: fully fused into the scan)."""
+    from tests.conftest import SF_SMALL
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
+
+    dsir = _plan_of(qs["dsir_topk"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in dsir
+    assert "BroadcastHashJoin" in dsir
+    assert "CartesianProduct" not in dsir
+
+    ovl = _plan_of(qs["corpus_overlap_minhash"](spark, SF_SMALL))
+    # the a<b pair matrix joins the 20-row signature aggregates — a
+    # nested-loop over aggregates is fine; over raw grams it is not
+    assert "BroadcastNestedLoopJoin" in ovl
+    n_aggs = sum(ovl.count(a) for a in
+                 ("HashAggregate", "SortAggregate",
+                  "ObjectHashAggregate"))
+    assert n_aggs >= 2  # partial+final signature aggregates
+
+    auc = _plan_of(qs["classifier_auc"](spark, SF_SMALL))
+    i_single = auc.find("SinglePartition")
+    assert i_single != -1
+    # the histogram aggregate appears before (below) the single-
+    # partition exchange in the formatted tree's operator list
+    assert "HashAggregate" in auc[:auc.find("Arguments: SinglePartition")] \
+        or auc.count("HashAggregate") >= 2
+
+    import re as _re
+
+    split = _plan_of(qs["dataset_split"](spark, SF_SMALL))
+    # exactly one exchange NODE (the rollup shuffle); the formatted
+    # dump names each node twice (tree + detail), so count node ids
+    assert len(_re.findall(r"^\(\d+\) Exchange", split,
+                           _re.MULTILINE)) == 1
+
+    robots = _plan_of(qs["robots_filter"](spark, SF_SMALL))
+    assert "Exchange" not in robots  # pure map-side, fused into scan
+    assert "* Project" in robots  # '*' = whole-stage-codegen marker
