@@ -199,3 +199,48 @@ def test_winnow_fingerprint_shift_overlap(spark):
     fp = {r["doc_id"]: r for r in winnow_fingerprint(docs).collect()}
     assert fp[0]["n_fps"] == len(sets[0])
     assert fp[0]["fp_min"] == min(sets[0])
+
+
+@given(st.lists(st.tuples(st.integers(0, 10000),
+                          st.booleans()), min_size=2, max_size=60))
+@settings(max_examples=40, deadline=None)
+def test_auc_integer_formula_matches_average_rank(pairs):
+    """The integer Mann-Whitney used by classifier_auc
+    (2U = sum_s 2*p_s*negs_below + p_s*n_s over the score histogram)
+    must equal the classic average-rank AUC on ANY score/label
+    multiset with ties — pure-Python cross-check of the formula the
+    Spark/DuckDB sides both implement."""
+    pos = [s for s, p in pairs if p]
+    neg = [s for s, p in pairs if not p]
+    if not pos or not neg:
+        return
+    # histogram formula (the distributed one)
+    from collections import Counter
+
+    hp, hn = Counter(pos), Counter(neg)
+    scores = sorted(set(hp) | set(hn))
+    u2, below = 0, 0
+    for s in scores:
+        u2 += 2 * hp[s] * below + hp[s] * hn[s]
+        below += hn[s]
+    # reference: pairwise with 0.5 for ties
+    u_ref = sum((1.0 if sp > sn else 0.5 if sp == sn else 0.0)
+                for sp in pos for sn in neg)
+    assert u2 == round(2 * u_ref)
+
+
+@given(st.integers(1, 500), st.integers(2, 64))
+@settings(max_examples=25, deadline=None)
+def test_dataset_split_cutoffs_partition_hash_space(n, seed):
+    """Split assignment is a total function of the md5 hash: the
+    three cutoff ranges partition [0, 16^8) with no gaps/overlap for
+    any (train, val) fraction pair the API allows."""
+    from ocr_pytorch_spark.operators.text import _SPLIT_SPAN
+
+    tf = (seed % 9 + 1) / 10.0       # 0.1 .. 0.9
+    vf = min((seed % 3 + 1) / 10.0, (1.0 - tf) / 2)
+    c1, c2 = int(tf * _SPLIT_SPAN), int((tf + vf) * _SPLIT_SPAN)
+    assert 0 <= c1 <= c2 <= _SPLIT_SPAN
+    h = n * 8191 % _SPLIT_SPAN
+    split = ("train" if h < c1 else "val" if h < c2 else "test")
+    assert split in ("train", "val", "test")
