@@ -1818,6 +1818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "documents")),
         "dedup_minhash_lsh": lambda s, sf: D.minhash_lsh_pairs(
             _t(s, sf, "documents")),
+        "dedup_incremental": lambda s, sf: D.incremental_neardup(
+            _t(s, sf, "documents")),
         "dedup_simhash": lambda s, sf: D.simhash(_t(s, sf, "documents")),
         "dedup_ngram_jaccard": lambda s, sf: D.ngram_jaccard_pairs(
             _t(s, sf, "documents")),
@@ -2181,7 +2183,7 @@ _ROT_EVEN = [
     # r7 debuts (driver-checked r8; the contract pytest checks them
     # against DuckDB from day one)
     "dsir_topk", "corpus_overlap_minhash", "dataset_split",
-    "robots_filter",
+    "robots_filter", "dedup_incremental",
     # round-4 debuts, folded straight into the even group: round 4's
     # window still covers them (2 pinned + 37 even + 11 odd = 50) and
     # round 5's leading group (2 + 48 odd) then fits exactly
@@ -2291,6 +2293,9 @@ _SIMHASH_BITS = ", ".join(
 _SIMHASH_VAL = " + ".join(
     f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(16))
 
+# portable md5-prefix bigint of doc_id (the history/batch split
+# hash used by dedup_incremental)
+_H8_DOC = "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 268435456 + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16777216 + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 1048576 + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 65536 + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) - 1) * 1"
 _MH = ", ".join(
     f"min(substr(md5('{i // 4}:' || gram), {(i % 4) * 8 + 1}, 8))"
     f" AS mh{i}" for i in range(8))
@@ -3314,6 +3319,29 @@ def oracle_sql() -> dict[str, str]:
               ON a.band_idx = b.band_idx AND a.key = b.key
              AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id""",
+        # batch-vs-history incremental near-dup: candidates cross the
+        # md5-half split only (never history x history or batch x
+        # batch)
+        "dedup_incremental": _GRAMS_CTE + f""", sig AS (
+              SELECT doc_id, {_MH} FROM grams GROUP BY doc_id
+            ), banded AS (
+              SELECT doc_id, {_BANDS} FROM sig
+            ), stacked AS (
+              SELECT doc_id, 0 AS band_idx, band0 AS key FROM banded
+              UNION ALL SELECT doc_id, 1, band1 FROM banded
+              UNION ALL SELECT doc_id, 2, band2 FROM banded
+              UNION ALL SELECT doc_id, 3, band3 FROM banded
+            ), flagged AS (
+              SELECT doc_id, band_idx, key,
+                     ({_H8_DOC}) < 2147483648 AS is_hist
+              FROM stacked
+            )
+            SELECT b.doc_id AS doc_id, h.doc_id AS dup_of,
+                   CAST(count(*) AS BIGINT) AS n_bands
+            FROM flagged b JOIN flagged h
+              ON b.band_idx = h.band_idx AND b.key = h.key
+            WHERE NOT b.is_hist AND h.is_hist
+            GROUP BY b.doc_id, h.doc_id""",
         "dedup_simhash": _W_CTE + f""", c AS (
               SELECT doc_id, {_SIMHASH_CODE} AS code FROM w
             ), bits AS (

@@ -671,3 +671,48 @@ def corpus_overlap_minhash_oracle_sql(n_seeds: int = 16,
                CAST(floor(n_equal * 1000000.0 / {n_seeds}) AS BIGINT)
                  AS jaccard_est_micro
         FROM pairs"""
+
+
+# --- incremental near-dup vs a historical corpus (r7) -----------------------
+
+def incremental_neardup(documents: DataFrame, k: int = 8,
+                        bands: int = 4,
+                        history_frac_hex: int | None = None,
+                        bucket_cap: int | None = None) -> DataFrame:
+    """Incremental near-dup: flag NEW-batch documents that share any
+    MinHash band with the HISTORICAL corpus — the shape a production
+    pipeline actually runs every day (today's crawl vs everything
+    already ingested), as opposed to the corpus-global
+    ``minhash_lsh_pairs`` pass.  History = the deterministic
+    md5-prefix 50% doc sample (standing in for the corpus whose
+    banded index is already persisted); batch = the rest.
+
+    Scale shape: candidates are generated ONLY across batch x history
+    band buckets — never history x history (the index side was
+    deduped when it was ingested) and never batch x batch (that is
+    the separate intra-batch pass).  At 10^12 historical docs the
+    (band_idx, key, doc_id) index is a persisted table; the join is
+    one shuffle keyed (band_idx, key) where the batch side is orders
+    of magnitude smaller, and ``bucket_cap`` bounds how many history
+    entries any one bucket may contribute (dropped buckets observable
+    via ``minhash_bucket_sizes`` exactly as in the batch pass).
+    Output: doc_id (batch), dup_of (history), n_bands."""
+    cut = history_frac_hex if history_frac_hex is not None \
+        else int(0.5 * 16 ** 8)
+    stacked = _minhash_band_rows(documents, k, bands)
+    is_hist = (F.conv(F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") < cut)
+    s = stacked.withColumn("is_hist", is_hist)
+    hist = (s.where(F.col("is_hist"))
+            .select("band_idx", "key",
+                    F.col("doc_id").alias("dup_of")))
+    if bucket_cap is not None:
+        w = Window.partitionBy("band_idx", "key")
+        hist = (hist.withColumn("_n", F.count("*").over(w))
+                .where(F.col("_n") <= bucket_cap).drop("_n"))
+    batch = (s.where(~F.col("is_hist"))
+             .select("band_idx", "key", "doc_id"))
+    return (batch.join(hist, ["band_idx", "key"])
+            .groupBy("doc_id", "dup_of")
+            .agg(F.count("*").cast("long").alias("n_bands")))

@@ -359,3 +359,40 @@ def test_dataset_split_deterministic_and_disjoint(spark):
     out2 = {r["split"]: r["n_docs"] for r in dataset_split(
         docs.orderBy(F.col("doc_id").desc())).collect()}
     assert out == out2
+
+
+def test_incremental_neardup_batch_vs_history_only(spark):
+    """Incremental dedup: a batch doc that copies a history doc is
+    flagged against it; identical docs on the SAME side of the split
+    never pair (history x history and batch x batch are out of
+    scope by construction)."""
+    import hashlib
+
+    from ocr_pytorch_spark.operators.dedup import incremental_neardup
+
+    cut = int(0.5 * 16 ** 8)
+
+    def is_hist(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8],
+                   16) < cut
+
+    ids = list(range(200))
+    hist = [i for i in ids if is_hist(i)]
+    batch = [i for i in ids if not is_hist(i)]
+    text_a = " ".join(f"alpha{j}" for j in range(30))
+    text_b = " ".join(f"beta{j}" for j in range(30))
+    text_c = " ".join(f"gamma{j}" for j in range(30))
+    rows = [
+        (hist[0], text_a),           # history original
+        (batch[0], text_a),          # batch copy -> must be flagged
+        (hist[1], text_b), (hist[2], text_b),   # hist x hist twins
+        (batch[1], text_c), (batch[2], text_c),  # batch x batch twins
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["dup_of"])
+           for r in incremental_neardup(docs).collect()}
+    assert (batch[0], hist[0]) in got
+    flat = {i for pair in got for i in pair}
+    # same-side twins never appear unless they also match across
+    for i in (hist[1], hist[2], batch[1], batch[2]):
+        assert i not in flat
