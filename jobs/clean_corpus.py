@@ -55,9 +55,22 @@ def run(spark, docs, dst: str, min_quality: float = 0.5,
     # short-circuit a fully-committed destination before paying any
     # corpus-global recompute
     if resume and len(committed_buckets(spark, dst)) >= buckets:
-        return {"input": 0, "dedup+filter": 0,
+        # Fully committed: return the SAME key set as the normal path
+        # (r7 ADVICE) — input/dedup counts come from the committed
+        # run's _stats when readable so callers don't mistake the
+        # short-circuit for an empty corpus; wall_ms: 0 marks it.
+        prior: dict = {}
+        try:
+            row = spark.read.parquet(
+                os.path.join(dst, "_stats")).first()
+            if row is not None:
+                prior = row.asDict()
+        except Exception:
+            pass
+        return {"input": int(prior.get("input", 0)),
+                "dedup+filter": int(prior.get("dedup+filter", 0)),
                 "buckets_total": buckets, "buckets_skipped": buckets,
-                "docs_processed": 0}
+                "docs_processed": 0, "wall_ms": 0}
 
     n_in = docs.count()
 

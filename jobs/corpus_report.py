@@ -68,9 +68,14 @@ def run(spark, docs) -> dict:
         for r in T.gate_ablation(docs).collect()]
 
     auc = T.classifier_auc(docs).first()
+    # Single-class corpora (zero en or zero non-en docs) make the
+    # Mann-Whitney denominator 0 -> auc_micro NULL; report null
+    # instead of dying on None / 1e6 (r7 ADVICE).
     report["gate_auc"] = {"n_pos": int(auc["n_pos"]),
                           "n_neg": int(auc["n_neg"]),
-                          "auc": auc["auc_micro"] / 1e6}
+                          "auc": (auc["auc_micro"] / 1e6
+                                  if auc["auc_micro"] is not None
+                                  else None)}
 
     report["source_skew"] = [
         {"source": r["source"], "docs": int(r["cnt"]),

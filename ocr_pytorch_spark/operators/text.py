@@ -920,11 +920,15 @@ def classifier_auc(documents: DataFrame) -> DataFrame:
         F.sum("n").cast("long").alias("n_neg"),
         F.sum(F.lit(2) * F.col("p") * F.col("neg_below")
               + F.col("p") * F.col("n")).cast("long").alias("u2"))
+    # single-class corpus (n_pos or n_neg == 0): no Mann-Whitney
+    # denominator -> NULL, not an ANSI DIVIDE_BY_ZERO (r7 ADVICE)
+    ratio = (F.floor(F.col("u2") * F.lit(1000000.0)
+                     / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")))
+             .cast("long"))
     return agg.select(
         "n_pos", "n_neg", "u2",
-        F.floor(F.col("u2") * F.lit(1000000.0)
-                / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")))
-        .cast("long").alias("auc_micro"))
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), ratio)
+        .otherwise(F.lit(None).cast("long")).alias("auc_micro"))
 
 
 def classifier_auc_oracle_sql() -> str:
@@ -955,8 +959,10 @@ def classifier_auc_oracle_sql() -> str:
           FROM below
         )
         SELECT n_pos, n_neg, u2,
-               CAST(floor(u2 * 1000000.0 / (2.0 * n_pos * n_neg))
-                    AS BIGINT) AS auc_micro
+               CASE WHEN n_pos > 0 AND n_neg > 0
+                    THEN CAST(floor(u2 * 1000000.0
+                                    / (2.0 * n_pos * n_neg)) AS BIGINT)
+                    ELSE NULL END AS auc_micro
         FROM agg"""
 
 

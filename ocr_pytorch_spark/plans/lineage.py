@@ -101,8 +101,18 @@ def run_bucketed_write(spark: SparkSession, out: DataFrame, dst: str,
                     .agg(F.max("attempt").alias("max_a")).collect()}
     size_agg = (F.sum(F.length(payload_col)) if payload_col
                 else F.lit(0)).alias("n_spans")
+    try:
+        readback = read_partitioned(spark, data_dir)
+    except Exception:
+        # A fully-filtered corpus writes ZERO parquet files, so the
+        # readback has no schema to infer (UNABLE_TO_INFER_SCHEMA).
+        # Fall back to an empty frame with the writer's schema so the
+        # commit-empty-buckets path below still appends zero-doc
+        # lineage/metrics rows — otherwise resume recomputes and
+        # crashes forever (r7 ADVICE medium).
+        readback = spark.createDataFrame([], out_b.schema)
     stats = {int(r["bucket"]): r for r in (
-        read_partitioned(spark, data_dir)
+        readback
         .where(~F.col("bucket").isin(*done) if done else F.lit(True))
         .groupBy("bucket")
         .agg(F.min(key).alias("doc_id_min"),

@@ -260,11 +260,13 @@ def stream_domain_cap(docs: DataFrame, k: int = 10,
         source = str(key[0])
         out = []
         max_ts_ms = 0
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            max_ts_ms = max(max_ts_ms,
-                            int(pdf["ts"].max().timestamp() * 1000))
+        # Concatenate ALL Arrow chunks before sorting: large (hot-
+        # domain) groups arrive as multiple chunks, and per-chunk
+        # sorting would make admission depend on chunking (r7 ADVICE).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            max_ts_ms = int(pdf["ts"].max().timestamp() * 1000)
             pdf = pdf.sort_values(["ts", "doc_id"])
             for doc_id in pdf["doc_id"]:
                 did = str(doc_id)

@@ -35,3 +35,21 @@ def test_corpus_report_sections(spark):
     assert all(0.0 <= o["jaccard_est"] <= 1.0
                for o in rep["source_overlap_top"])
     assert rep["exact_dup"]["docs"] == n
+
+
+def test_corpus_report_single_class_auc_null(spark):
+    """ADVICE r7: a single-class corpus (every doc the same lang) has
+    no Mann-Whitney denominator — the report must emit auc: None, not
+    die on None / 1e6."""
+    from jobs.corpus_report import run
+    from tests.conftest import SF_MED
+
+    docs = (spark.read.parquet(os.path.join(SF_MED,
+                                            "documents.parquet"))
+            .limit(40))
+    # force single-class: classifier_auc labels on the lang column
+    from pyspark.sql import functions as F
+    docs = docs.withColumn("lang", F.lit("en"))
+    rep = run(spark, docs)
+    assert rep["gate_auc"]["n_neg"] == 0
+    assert rep["gate_auc"]["auc"] is None

@@ -143,3 +143,27 @@ def test_resume_preserves_committed_under_static_overwrite(
     # every committed doc survived the resume, full input now present
     assert before <= after
     assert len(after) == N_DOCS
+
+
+def test_bucketed_write_empty_output_commits(spark, tmp_path_factory):
+    """ADVICE r7 (medium): a fully-filtered corpus (zero output rows)
+    must still commit every pending bucket — previously the stats
+    readback threw UNABLE_TO_INFER_SCHEMA (no parquet files written)
+    and resume recomputed-and-crashed forever."""
+    dst = str(tmp_path_factory.mktemp("emptyout"))
+    empty = spark.createDataFrame([], "doc_id string, text string")
+
+    stats = L.run_bucketed_write(spark, empty, dst, buckets=4,
+                                 stage="clean_corpus",
+                                 payload_col="text")
+    assert stats["docs_processed"] == 0
+    assert stats["buckets_skipped"] == 0
+    # all 4 zero-doc buckets committed -> lineage rows exist
+    assert L.committed_buckets(spark, dst) == {0, 1, 2, 3}
+
+    # resume short-circuits instead of recomputing (and crashing)
+    stats2 = L.run_bucketed_write(spark, empty, dst, buckets=4,
+                                  stage="clean_corpus",
+                                  payload_col="text")
+    assert stats2["buckets_skipped"] == 4
+    assert stats2["docs_processed"] == 0
