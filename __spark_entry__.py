@@ -2229,6 +2229,26 @@ def _round_number() -> int:
     return max(ns) + 1 if ns else 1
 
 
+def _driver_checked_keys() -> set:
+    """Keys with at least one row in any existing CORRECTNESS_r*.json
+    — i.e. keys the driver has EVER verified.  Used by _rotate() to
+    mechanically promote never-checked keys to the front of the next
+    window regardless of group placement (r7 VERDICT task 1: five r7
+    debuts were filed mid-group and missed their debut window; the
+    comment-only debut rule was not enough)."""
+    import glob as _glob
+    import json as _json
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: set = set()
+    for p in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(p) as f:
+                seen |= set(_json.load(f))
+        except Exception:
+            pass
+    return seen
+
+
 def _rotate(base: dict) -> dict:
     with_oracle = set(oracle_sql().keys())
     rnd = _round_number()
@@ -2242,10 +2262,15 @@ def _rotate(base: dict) -> dict:
                 for i in range(min(_SLOW_PER_ROUND, len(_ROT_SLOW)))]
     else:
         slow = []
+    # debut-first is MECHANICAL, not placement-dependent: every
+    # oracle key (grouped or not) with zero driver rows across all
+    # recorded rounds sorts right after the pinned keys.  Suite
+    # members are exempt — their driver presence is their suite's
+    # hash, and the suite key itself is subject to this same rule.
+    checked = _driver_checked_keys()
     new = [k for k in base
            if k in with_oracle and k not in _PINNED
-           and k not in _ROT_ODD and k not in _ROT_EVEN
-           and k not in _ROT_SLOW and k not in _SUITE_MEMBERS]
+           and k not in _SUITE_MEMBERS and k not in checked]
     # suite members keep queries()/oracle_sql() entries (pytest checks
     # each exactly) but stay OUT of the driver window — their suite's
     # hash is their driver presence (CAPACITY NOTE)

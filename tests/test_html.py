@@ -75,6 +75,39 @@ def test_query_ordering_keeps_oracle_bearing_first():
     assert set(o) <= set(q)
 
 
+def test_never_driver_checked_keys_sort_into_next_window():
+    """r7 VERDICT task 1: five r7 debut keys were filed mid-group and
+    shipped with ZERO driver rows.  The debut rule is now mechanical
+    (_rotate promotes from _driver_checked_keys()), and this test is
+    the red-if-reverted guard: every oracle key with no row in ANY
+    existing CORRECTNESS_r*.json — and no certifying suite with a
+    row — must appear in the next driver window (first 50 keys),
+    regardless of group placement."""
+    import __spark_entry__ as E
+
+    checked = E._driver_checked_keys()
+    member_suite = {m: s for s, ms in E._SUITES.items() for m in ms}
+    o = set(E.oracle_sql())
+    never = {k for k in o
+             if k not in checked
+             and member_suite.get(k) not in checked}
+    window = set(list(E.queries())[:50])
+    missing = {k for k in never
+               if k not in window
+               and member_suite.get(k) not in window}
+    assert not missing, (
+        f"oracle keys never driver-checked AND outside the next "
+        f"window: {sorted(missing)}")
+    # the promotion hook itself: never-checked non-member keys sit
+    # immediately after the pinned keys, ahead of every veteran
+    keys = list(E.queries())
+    n_pin = len(E._PINNED)
+    promoted = {k for k in never if k not in E._SUITE_MEMBERS}
+    if promoted:
+        head = set(keys[n_pin:n_pin + len(promoted)])
+        assert head == promoted, (sorted(head), sorted(promoted))
+
+
 def test_rotation_schedule_invariants():
     """The deterministic driver-verification rotation
     (__spark_entry__._rotate): pinned flagships lead every round, the
