@@ -1774,6 +1774,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "documents")),
         "robots_filter": lambda s, sf: _WEB.robots_filter(
             _t(s, sf, "documents")),
+        # r8: real RFC 9309 surface — parse (host, robots_txt) blobs
+        # into rule rows, then broadcast-gate the URL stream with
+        # */$ wildcards + longest-match (VERDICT r7 task 3)
+        "robots_parse": lambda s, sf: _WEB.robots_parse(
+            _WEB.robots_corpus(_t(s, sf, "documents"))),
+        "robots_match": lambda s, sf: _WEB.robots_match(
+            _WEB.robots_urls(_t(s, sf, "documents")),
+            _WEB.robots_parse(
+                _WEB.robots_corpus(_t(s, sf, "documents"))),
+            agent="ccbot"),
         "tpch_q5": tpch_q5,
         "tpch_q10": tpch_q10,
         "tpch_q14": tpch_q14,
@@ -2213,10 +2223,12 @@ _ROT_SLOW: list[str] = []
 _SLOW_PER_ROUND = 0
 # oracle keys debuting THIS round — in neither group, so _rotate()
 # puts them right after the pinned keys; fold into the smaller group
-# next round.  Round 7 budget: SIX free slots on the odd parity,
-# EIGHT on the even (see CAPACITY NOTE) — plain appends are safe
-# while tests/test_html.py's >=5-headroom assertion stays green.
-_ROT_DEBUT: list[str] = []
+# next round.  Since r8 the debut ordering is also MECHANICAL:
+# _rotate() promotes every oracle key absent from all recorded
+# CORRECTNESS_r*.json rounds, so a misplaced key cannot skip its
+# debut window again (r7 VERDICT task 1).  This list remains the
+# declared intent (the partition test checks it).
+_ROT_DEBUT: list[str] = ["robots_parse", "robots_match"]
 
 
 def _round_number() -> int:
@@ -3100,6 +3112,8 @@ def oracle_sql() -> dict[str, str]:
         "classifier_auc": _TXT.classifier_auc_oracle_sql(),
         "dataset_split": _TXT.dataset_split_oracle_sql(),
         "robots_filter": _WEB.robots_filter_oracle_sql(),
+        "robots_parse": _WEB.robots_parse_oracle_sql(),
+        "robots_match": _WEB.robots_match_oracle_sql(),
         "zorder_key": f"""
             SELECT doc_id,
                    {_IX.zorder_key_sql('doc_id', 'n_chars')} AS z

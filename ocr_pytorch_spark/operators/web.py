@@ -415,3 +415,361 @@ def robots_filter_oracle_sql() -> str:
                            || CAST(hh % 7 AS VARCHAR)
                     ELSE 'disallow:/articles/' END AS rule
         FROM rules"""
+
+
+# --- RFC 9309 robots.txt parser + matcher (r8) ------------------------
+#
+# r7 VERDICT task 3: robots_filter above demonstrates the longest-
+# match GATE shape but synthesizes its rules from md5(host).  A real
+# crawl pipeline parses fetched (host, robots_txt) blobs FIRST:
+#   parse -> (host, grp, agent, rule) table -> broadcast-join the URL
+#   stream -> longest-match verdict, with RFC 9309 section 2.2.2
+#   `*` / `$` wildcard support.
+
+_ROBOTS_FIELDS = ("user-agent", "allow", "disallow")
+
+
+def robots_parse(robots: DataFrame, host_col: str = "host",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """Parse a (host, robots_txt) table into per-rule rows with
+    RFC 9309 section 2.2 group structure:
+
+      * lines are ``field: value`` records; ``#`` starts a comment;
+        unknown fields (sitemap, crawl-delay, ...) and blank lines
+        are skipped (2.2.4);
+      * a ``user-agent`` line starts a new GROUP unless the previous
+        valid line was also ``user-agent`` — consecutive UA lines
+        share one group (2.2.1);
+      * ``allow`` / ``disallow`` lines attach to the current group;
+        rules before any group are invalid and dropped;
+      * field names and agent product tokens are case-insensitive
+        (lowercased); rule VALUES — path patterns, incl. ``*``/``$``
+        wildcards (2.2.2) — keep their case: matching happens in
+        :func:`robots_match`.
+
+    Output: (host, grp, agent, rule_idx, pattern, is_allow) — one row
+    per (agent x rule) within a group; ``rule_idx`` is the 1-based
+    line number (the stable tiebreak for longest-match precedence).
+
+    Scale shape: robots.txt blobs are tiny and one-per-host, so the
+    per-host window orders a few dozen lines over an ~|hosts|-row
+    table — one narrow shuffle on host; the parsed output is the
+    BROADCAST side of robots_match's join against the URL stream."""
+    from pyspark.sql.window import Window
+
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(txt_col), "\n"))
+        .alias("pos", "raw"))
+    clean = F.trim(F.regexp_replace(F.col("raw"), "#.*", ""))
+    field = F.lower(F.regexp_extract(clean, r"^([A-Za-z\-]+)\s*:", 1))
+    value = F.trim(F.regexp_extract(clean, r"^[A-Za-z\-]+\s*:(.*)$", 1))
+    df = (lines
+          .select("host", (F.col("pos") + 1).alias("line_no"),
+                  field.alias("field"), value.alias("value"))
+          .where(F.col("field").isin(*_ROBOTS_FIELDS)))
+    w = Window.partitionBy("host").orderBy("line_no")
+    is_ua = F.col("field") == "user-agent"
+    new_grp = is_ua & (F.coalesce(F.lag("field").over(w),
+                                  F.lit("")) != "user-agent")
+    df = df.withColumn("grp", F.sum(new_grp.cast("long")).over(w))
+    agents = (df.where(is_ua)
+              .select("host", "grp",
+                      F.lower(F.col("value")).alias("agent")))
+    rules = (df.where(~is_ua)
+             .select("host", "grp",
+                     F.col("line_no").cast("long").alias("rule_idx"),
+                     F.col("value").alias("pattern"),
+                     (F.col("field") == "allow").alias("is_allow")))
+    return (agents.join(rules, ["host", "grp"])
+            .select("host", "grp", "agent", "rule_idx", "pattern",
+                    "is_allow"))
+
+
+def _with_pattern_re(rules: DataFrame) -> DataFrame:
+    """Add ``pattern_re``: the RFC 9309 2.2.2 pattern compiled to an
+    anchored regex — ``*`` matches any char sequence, a TRAILING
+    ``$`` anchors the end, every other char (incl. mid-pattern ``$``)
+    is literal.  Applied only to the tiny parsed-rules table."""
+    anchored = F.col("pattern").endswith("$")
+    core = F.when(anchored,
+                  F.substring(F.col("pattern"), F.lit(1),
+                              F.length("pattern") - 1)) \
+            .otherwise(F.col("pattern"))
+    esc = F.regexp_replace(
+        core, r"([\\.\+\?\(\)\[\]\{\}\|\^\$])", r"\\$1")
+    rex = F.regexp_replace(esc, r"\*", ".*")
+    return rules.withColumn(
+        "pattern_re",
+        F.concat(F.lit("^"), rex,
+                 F.when(anchored, F.lit("$")).otherwise(F.lit(""))))
+
+
+def robots_match(urls: DataFrame, parsed: DataFrame,
+                 agent: str = "*") -> DataFrame:
+    """Gate a URL stream (doc_id, host, path) against
+    :func:`robots_parse` output for one crawler ``agent``:
+
+      * group selection (RFC 9309 2.2.1): if a host has any group
+        naming this agent, ONLY those groups apply; otherwise its
+        ``*`` groups do;
+      * precedence (2.2.2): among matching rules the longest raw
+        pattern wins, Allow wins length ties, lowest line number
+        breaks exact ties; empty patterns match nothing; no matching
+        rule -> allowed.
+
+    Scale shape: the per-agent rule tier is O(hosts x rules) — tiny
+    vs the URL stream — so it is F.broadcast()'d and the match is a
+    map-side stage fused into the URL scan; the winner-per-URL is a
+    groupBy max_by whose map-side partial agg collapses each URL's
+    handful of candidate rules before the exchange, so the shuffle
+    is exactly |urls| skinny verdict rows.
+    Output: (doc_id, host, path, blocked, rule_pattern, rule_kind)
+    — rule_pattern is NULL and rule_kind ('allow'/'disallow') is NULL
+    when no rule matched (string, not nullable-boolean: a NULL
+    boolean round-trips as NaN through Arrow/pandas and breaks the
+    driver's value hash)."""
+    a = agent.lower()
+    spec = (parsed.groupBy("host")
+            .agg(F.max(F.when(F.col("agent") == a, 1).otherwise(0))
+                 .alias("has_spec")))
+    tier = (parsed.join(spec, "host")
+            .where(((F.col("has_spec") == 1)
+                    & (F.col("agent") == a))
+                   | ((F.col("has_spec") == 0)
+                      & (F.col("agent") == "*")))
+            .where(F.length("pattern") > 0))
+    rules = _with_pattern_re(tier).select(
+        "host", "rule_idx", "pattern", "pattern_re", "is_allow")
+    j = urls.join(F.broadcast(rules), "host", "left")
+    hit = F.when(F.col("pattern_re").isNull(), F.lit(False)) \
+           .otherwise(F.expr("path rlike pattern_re"))
+    scored = j.withColumn("hit", hit)
+    rank = F.struct(
+        F.col("hit").cast("int"),
+        F.coalesce(F.length("pattern"), F.lit(-1)),
+        F.coalesce(F.col("is_allow").cast("int"), F.lit(-1)),
+        F.coalesce(-F.col("rule_idx"), F.lit(0)))
+    win = F.max_by(
+        F.struct(F.col("hit"),
+                 F.col("pattern").alias("rule_pattern"),
+                 F.col("is_allow").alias("rule_is_allow")),
+        rank).alias("w")
+    return (scored.groupBy("doc_id", "host", "path").agg(win)
+            .select("doc_id", "host", "path",
+                    F.coalesce(F.col("w.hit")
+                               & ~F.col("w.rule_is_allow"),
+                               F.lit(False)).alias("blocked"),
+                    F.when(F.col("w.hit"), F.col("w.rule_pattern"))
+                    .alias("rule_pattern"),
+                    F.when(F.col("w.hit"),
+                           F.when(F.col("w.rule_is_allow"),
+                                  F.lit("allow"))
+                           .otherwise(F.lit("disallow")))
+                    .alias("rule_kind")))
+
+
+def robots_corpus(documents: DataFrame) -> DataFrame:
+    """Deterministic (host, robots_txt) fabric for the driver keys —
+    the same 8-host fabric robots_filter uses, each host's blob
+    derived from md5(host) so the parse input is input-driven:
+    comments, a dangling pre-group rule, mixed-case field names, an
+    empty Disallow, ``*``/``$`` wildcard rules, and (even-md5 hosts
+    only) a second multi-agent group with a derived agent token."""
+    grp_n = F.floor(F.col("doc_id") / 4).cast("long")
+    host = F.concat(F.lit("www.example-"),
+                    (grp_n % 8).cast("string"), F.lit(".com"))
+    hosts = documents.select(host.alias("host")).distinct()
+    h = _md5_int8_w(F.col("host"))
+    base = F.concat_ws(
+        "\n",
+        F.concat(F.lit("# robots for "), F.col("host")),
+        F.lit("Disallow: /orphan/"),      # before any group: dropped
+        F.lit(""),
+        F.lit("User-Agent: *"),           # mixed-case field name
+        F.lit("Disallow: /private/"),
+        F.lit("Allow: /private/pub*"),    # * wildcard
+        F.lit("Disallow: /tmp/*.html$"),  # wildcard + end anchor
+        F.lit("Disallow:"))               # empty: matches nothing
+    grp2 = F.concat_ws(
+        "\n",
+        F.lit(""),
+        F.concat(F.lit("User-agent: bot-"), (h % 3).cast("string")),
+        F.lit("User-agent: ccbot"),       # multi-UA group
+        F.lit("Disallow: /"),
+        # * AND $ in one rule, and it actually FIRES on the URL
+        # fabric: articles whose number ends in the derived digit
+        F.concat(F.lit("Allow: /articles/*"), (h % 10).cast("string"),
+                 F.lit("$")))
+    txt = (F.when((h % 2) == 0, F.concat(base, F.lit("\n"), grp2))
+           .otherwise(base))
+    return hosts.select("host", txt.alias("robots_txt"))
+
+
+def robots_urls(documents: DataFrame) -> DataFrame:
+    """Deterministic URL stream (doc_id, host, path) over the same
+    host fabric, with path shapes that exercise every wildcard rule
+    in :func:`robots_corpus`."""
+    grp_n = F.floor(F.col("doc_id") / 4).cast("long")
+    host = F.concat(F.lit("www.example-"),
+                    (grp_n % 8).cast("string"), F.lit(".com"))
+    g = grp_n.cast("string")
+    m = F.col("doc_id") % 4
+    path = (F.when(m == 0, F.concat(F.lit("/articles/"), g))
+            .when(m == 1, F.concat(F.lit("/private/pub"), g))
+            .when(m == 2, F.concat(F.lit("/tmp/page"), g,
+                                   F.lit(".html")))
+            .otherwise(F.lit("/private/secret")))
+    return documents.select("doc_id", host.alias("host"),
+                            path.alias("path"))
+
+
+def _robots_fabric_sql() -> str:
+    """DuckDB replica of robots_corpus() — same host fabric, same
+    md5-derived blob."""
+    h = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(host), {i + 1}, 1))"
+        f" - 1) * {16 ** (7 - i)}" for i in range(8))
+    return f"""
+        WITH hosts AS (
+          SELECT DISTINCT
+            'www.example-'
+              || CAST(CAST(floor(doc_id / 4) AS BIGINT) % 8
+                      AS VARCHAR) || '.com' AS host
+          FROM documents
+        ), hh AS (SELECT host, ({h}) AS h FROM hosts)
+        SELECT host,
+          '# robots for ' || host || chr(10)
+          || 'Disallow: /orphan/' || chr(10) || chr(10)
+          || 'User-Agent: *' || chr(10)
+          || 'Disallow: /private/' || chr(10)
+          || 'Allow: /private/pub*' || chr(10)
+          || 'Disallow: /tmp/*.html$' || chr(10)
+          || 'Disallow:'
+          || CASE WHEN h % 2 = 0 THEN chr(10) || chr(10)
+               || 'User-agent: bot-' || CAST(h % 3 AS VARCHAR)
+               || chr(10) || 'User-agent: ccbot' || chr(10)
+               || 'Disallow: /' || chr(10)
+               || 'Allow: /articles/*' || CAST(h % 10 AS VARCHAR)
+               || '$'
+             ELSE '' END AS robots_txt
+        FROM hh"""
+
+
+def _robots_parse_body_sql() -> str:
+    """The parse pipeline as chained CTE bodies (shared by both
+    oracle queries) — identical line/field/group semantics to
+    robots_parse()."""
+    return rf"""
+        lines AS (
+          SELECT host,
+                 generate_subscripts(string_split(robots_txt,
+                                                  chr(10)), 1)
+                   AS line_no,
+                 unnest(string_split(robots_txt, chr(10))) AS raw
+          FROM rt
+        ), fields AS (
+          SELECT host, line_no,
+            lower(regexp_extract(trim(regexp_replace(raw, '#.*', '',
+                'g')), '^([A-Za-z\-]+)\s*:', 1)) AS field,
+            trim(regexp_extract(trim(regexp_replace(raw, '#.*', '',
+                'g')), '^[A-Za-z\-]+\s*:(.*)$', 1)) AS value
+          FROM lines
+        ), valid AS (
+          SELECT * FROM fields
+          WHERE field IN ('user-agent', 'allow', 'disallow')
+        ), marks AS (
+          SELECT *, CASE WHEN field = 'user-agent'
+                     AND coalesce(lag(field) OVER (PARTITION BY host
+                         ORDER BY line_no), '') <> 'user-agent'
+                     THEN 1 ELSE 0 END AS ng
+          FROM valid
+        ), grps AS (
+          SELECT *, CAST(sum(ng) OVER (PARTITION BY host
+                         ORDER BY line_no) AS BIGINT) AS grp
+          FROM marks
+        ), agents AS (
+          SELECT host, grp, lower(value) AS agent
+          FROM grps WHERE field = 'user-agent'
+        ), rrules AS (
+          SELECT host, grp, CAST(line_no AS BIGINT) AS rule_idx,
+                 value AS pattern, field = 'allow' AS is_allow
+          FROM grps WHERE field <> 'user-agent'
+        ), parsed AS (
+          SELECT a.host, a.grp, a.agent, r.rule_idx, r.pattern,
+                 r.is_allow
+          FROM agents a JOIN rrules r USING (host, grp)
+        )"""
+
+
+def robots_parse_oracle_sql() -> str:
+    """DuckDB oracle for the robots_parse driver key."""
+    return (f"WITH rt AS ({_robots_fabric_sql()}),"
+            f"{_robots_parse_body_sql()} "
+            "SELECT host, grp, agent, rule_idx, pattern, is_allow "
+            "FROM parsed")
+
+
+def robots_match_oracle_sql(agent: str = "ccbot") -> str:
+    """DuckDB oracle for the robots_match driver key — same group
+    selection, wildcard compilation, and longest-match precedence."""
+    return rf"""
+        WITH rt AS ({_robots_fabric_sql()}),
+        {_robots_parse_body_sql()},
+        urls AS (
+          SELECT doc_id,
+            'www.example-'
+              || CAST(CAST(floor(doc_id / 4) AS BIGINT) % 8
+                      AS VARCHAR) || '.com' AS host,
+            CASE CAST(doc_id % 4 AS BIGINT)
+              WHEN 0 THEN '/articles/'
+                || CAST(CAST(floor(doc_id / 4) AS BIGINT) AS VARCHAR)
+              WHEN 1 THEN '/private/pub'
+                || CAST(CAST(floor(doc_id / 4) AS BIGINT) AS VARCHAR)
+              WHEN 2 THEN '/tmp/page'
+                || CAST(CAST(floor(doc_id / 4) AS BIGINT) AS VARCHAR)
+                || '.html'
+              ELSE '/private/secret' END AS path
+          FROM documents
+        ), spec AS (
+          SELECT host,
+                 max(CASE WHEN agent = '{agent}' THEN 1 ELSE 0 END)
+                   AS has_spec
+          FROM parsed GROUP BY host
+        ), tier AS (
+          SELECT p.* FROM parsed p JOIN spec s USING (host)
+          WHERE ((s.has_spec = 1 AND p.agent = '{agent}')
+                 OR (s.has_spec = 0 AND p.agent = '*'))
+            AND length(p.pattern) > 0
+        ), rex AS (
+          SELECT host, rule_idx, pattern, is_allow,
+            '^' || replace(regexp_replace(
+                CASE WHEN pattern LIKE '%$'
+                     THEN substr(pattern, 1, length(pattern) - 1)
+                     ELSE pattern END,
+                '([\\.\+\?\(\)\[\]\{{\}}\|\^\$])', '\\\1', 'g'),
+                '*', '.*')
+              || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END
+              AS pattern_re
+          FROM tier
+        ), joined AS (
+          SELECT u.doc_id, u.host, u.path, r.rule_idx, r.pattern,
+                 r.is_allow,
+                 coalesce(regexp_matches(u.path, r.pattern_re),
+                          FALSE) AS hit
+          FROM urls u LEFT JOIN rex r USING (host)
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY hit DESC,
+                     coalesce(length(pattern), -1) DESC,
+                     coalesce(CAST(is_allow AS INT), -1) DESC,
+                     coalesce(rule_idx, 0) ASC) AS rn
+          FROM joined
+        )
+        SELECT doc_id, host, path,
+               coalesce(hit AND NOT is_allow, FALSE) AS blocked,
+               CASE WHEN hit THEN pattern END AS rule_pattern,
+               CASE WHEN hit THEN (CASE WHEN is_allow THEN 'allow'
+                                   ELSE 'disallow' END)
+               END AS rule_kind
+        FROM ranked WHERE rn = 1"""

@@ -396,3 +396,134 @@ def test_incremental_neardup_batch_vs_history_only(spark):
     # same-side twins never appear unless they also match across
     for i in (hist[1], hist[2], batch[1], batch[2]):
         assert i not in flat
+
+
+# --- RFC 9309 robots.txt parser + matcher (r8) --------------------------
+
+def _robots_df(spark, txt, host="h.example"):
+    return spark.createDataFrame([(host, txt)],
+                                 "host string, robots_txt string")
+
+
+def _match_map(spark, txt, paths, agent="*"):
+    from ocr_pytorch_spark.operators.web import robots_match, \
+        robots_parse
+    parsed = robots_parse(_robots_df(spark, txt))
+    urls = spark.createDataFrame(
+        [(i, "h.example", p) for i, p in enumerate(paths)],
+        "doc_id long, host string, path string")
+    return {r["path"]: (r["blocked"], r["rule_pattern"])
+            for r in robots_match(urls, parsed, agent=agent).collect()}
+
+
+def test_robots_parse_rfc_group_structure(spark):
+    """RFC 9309 2.2.1: consecutive UA lines share a group; a UA line
+    after rules starts a new one; rules before any group, comments,
+    blank lines and unknown fields (sitemap, crawl-delay) are
+    skipped; field names are case-insensitive; agents lowercase."""
+    from ocr_pytorch_spark.operators.web import robots_parse
+
+    txt = "\n".join([
+        "Disallow: /dangling/",       # before any group -> dropped
+        "# a comment",
+        "USER-AGENT: GoogleBot",
+        "User-Agent: BingBot",        # same group as googlebot
+        "Crawl-delay: 10",            # unknown field -> skipped
+        "Disallow: /a/",
+        "",
+        "Sitemap: https://h.example/sm.xml",   # skipped
+        "User-agent: *",              # new group (rules intervened)
+        "Allow: /b/",
+    ])
+    rows = {(r["grp"], r["agent"], r["pattern"], r["is_allow"])
+            for r in robots_parse(_robots_df(spark, txt)).collect()}
+    assert rows == {
+        (1, "googlebot", "/a/", False),
+        (1, "bingbot", "/a/", False),
+        (2, "*", "/b/", True),
+    }
+
+
+def test_robots_match_wildcards_rfc_9309(spark):
+    """RFC 9309 2.2.2 wildcard semantics: * spans any sequence, $
+    anchors the end, plain rules are prefixes."""
+    txt = "\n".join([
+        "User-agent: *",
+        "Disallow: /*.php$",
+        "Disallow: /fish*.bak",
+        "Disallow: /p",
+    ])
+    got = _match_map(spark, txt, [
+        "/filename.php",          # $-anchored wildcard hits
+        "/filename.php?params",   # not at end -> $ rejects
+        "/fish.bak",              # * matches empty
+        "/fishheads/catfish.bak", # * spans path segments
+        "/page",                  # prefix rule
+        "/x.html",                # nothing matches
+    ])
+    assert got["/filename.php"] == (True, "/*.php$")
+    assert got["/filename.php?params"][0] is False
+    assert got["/fish.bak"] == (True, "/fish*.bak")
+    assert got["/fishheads/catfish.bak"] == (True, "/fish*.bak")
+    assert got["/page"] == (True, "/p")
+    assert got["/x.html"] == (False, None)
+
+
+def test_robots_match_longest_match_allow_wins(spark):
+    """RFC 9309 2.2.2: the most specific (longest) match wins;
+    Allow wins exact-length ties; empty Disallow matches nothing."""
+    txt = "\n".join([
+        "User-agent: *",
+        "Disallow: /",
+        "Allow: /$",              # classic: only the root is allowed
+        "Allow: /public/",
+        "Disallow: /public/private/",
+        "Disallow:",              # empty pattern -> no effect
+    ])
+    got = _match_map(spark, txt, [
+        "/", "/about", "/public/x", "/public/private/x",
+    ])
+    assert got["/"] == (False, "/$")           # allow len 2 beats /
+    assert got["/about"][0] is True
+    assert got["/public/x"] == (False, "/public/")
+    assert got["/public/private/x"][0] is True  # longest disallow
+
+
+def test_robots_match_agent_group_selection(spark):
+    """RFC 9309 2.2.1: if any group names the crawler, ONLY those
+    groups apply; otherwise the * groups do; tokens are
+    case-insensitive."""
+    txt = "\n".join([
+        "User-agent: *",
+        "Disallow: /everyone/",
+        "",
+        "User-agent: CCBot",
+        "Disallow: /ccbot-only/",
+    ])
+    cc = _match_map(spark, txt, ["/everyone/x", "/ccbot-only/x"],
+                    agent="ccBot")
+    other = _match_map(spark, txt, ["/everyone/x", "/ccbot-only/x"],
+                       agent="randombot")
+    # ccbot: its own group replaces *, so /everyone/ is NOT blocked
+    assert cc["/everyone/x"][0] is False
+    assert cc["/ccbot-only/x"][0] is True
+    # unknown agent: the * group applies
+    assert other["/everyone/x"][0] is True
+    assert other["/ccbot-only/x"][0] is False
+
+
+def test_robots_match_no_rules_host_allows_all(spark):
+    """A URL whose host has no parsed rules (or no applicable group)
+    is allowed — the left join must not invent verdicts."""
+    from ocr_pytorch_spark.operators.web import robots_match, \
+        robots_parse
+
+    parsed = robots_parse(_robots_df(
+        spark, "User-agent: *\nDisallow: /x/", host="a.example"))
+    urls = spark.createDataFrame(
+        [(1, "b.example", "/x/1")],   # different host entirely
+        "doc_id long, host string, path string")
+    rows = robots_match(urls, parsed).collect()
+    assert len(rows) == 1
+    assert rows[0]["blocked"] is False
+    assert rows[0]["rule_pattern"] is None
