@@ -1828,8 +1828,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "documents")),
         "dedup_minhash_lsh": lambda s, sf: D.minhash_lsh_pairs(
             _t(s, sf, "documents")),
+        # capped: broadcast anti-join of oversized history buckets —
+        # cap=1 because fixture buckets are tiny (max 2 at sf0.01);
+        # production sizes the cap off the persisted bucket-size table
         "dedup_incremental": lambda s, sf: D.incremental_neardup(
-            _t(s, sf, "documents")),
+            _t(s, sf, "documents"), bucket_cap=1),
         "dedup_simhash": lambda s, sf: D.simhash(_t(s, sf, "documents")),
         "dedup_ngram_jaccard": lambda s, sf: D.ngram_jaccard_pairs(
             _t(s, sf, "documents")),
@@ -3374,12 +3377,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, band_idx, key,
                      ({_H8_DOC}) < 2147483648 AS is_hist
               FROM stacked
+            ), hsz AS (
+              SELECT band_idx, key, count(*) AS n
+              FROM flagged WHERE is_hist GROUP BY band_idx, key
             )
             SELECT b.doc_id AS doc_id, h.doc_id AS dup_of,
                    CAST(count(*) AS BIGINT) AS n_bands
             FROM flagged b JOIN flagged h
               ON b.band_idx = h.band_idx AND b.key = h.key
-            WHERE NOT b.is_hist AND h.is_hist
+            JOIN hsz z
+              ON z.band_idx = h.band_idx AND z.key = h.key
+            WHERE NOT b.is_hist AND h.is_hist AND z.n <= 1
             GROUP BY b.doc_id, h.doc_id""",
         "dedup_simhash": _W_CTE + f""", c AS (
               SELECT doc_id, {_SIMHASH_CODE} AS code FROM w

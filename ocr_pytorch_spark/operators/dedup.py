@@ -678,7 +678,9 @@ def corpus_overlap_minhash_oracle_sql(n_seeds: int = 16,
 def incremental_neardup(documents: DataFrame, k: int = 8,
                         bands: int = 4,
                         history_frac_hex: int | None = None,
-                        bucket_cap: int | None = None) -> DataFrame:
+                        bucket_cap: int | None = None,
+                        bucket_sizes: DataFrame | None = None
+                        ) -> DataFrame:
     """Incremental near-dup: flag NEW-batch documents that share any
     MinHash band with the HISTORICAL corpus — the shape a production
     pipeline actually runs every day (today's crawl vs everything
@@ -693,9 +695,21 @@ def incremental_neardup(documents: DataFrame, k: int = 8,
     the separate intra-batch pass).  At 10^12 historical docs the
     (band_idx, key, doc_id) index is a persisted table; the join is
     one shuffle keyed (band_idx, key) where the batch side is orders
-    of magnitude smaller, and ``bucket_cap`` bounds how many history
-    entries any one bucket may contribute (dropped buckets observable
-    via ``minhash_bucket_sizes`` exactly as in the batch pass).
+    of magnitude smaller.
+
+    ``bucket_cap`` bounds how many history entries any one bucket may
+    contribute, and it is enforced WITHOUT touching the history rows
+    twice: bucket sizes come from ``bucket_sizes`` — the per-bucket
+    count table a production index persists alongside itself (the
+    ``minhash_bucket_sizes`` relation, maintained at ingest) — or,
+    when not supplied, from one map-side-partial groupBy count.  The
+    oversized-bucket list (buckets with > cap members — a handful of
+    viral keys by construction) is then BROADCAST and anti-joined
+    against the index, so the plan has NO window over the history: a
+    ``count(*) OVER (band, key)`` recount would re-shuffle all 10^12
+    index rows per daily run just to rediscover sizes the index
+    already knows.  Dropped buckets stay observable: the oversized
+    list is exactly ``minhash_bucket_sizes(...).where(n > cap)``.
     Output: doc_id (batch), dup_of (history), n_bands."""
     cut = history_frac_hex if history_frac_hex is not None \
         else int(0.5 * 16 ** 8)
@@ -708,9 +722,12 @@ def incremental_neardup(documents: DataFrame, k: int = 8,
             .select("band_idx", "key",
                     F.col("doc_id").alias("dup_of")))
     if bucket_cap is not None:
-        w = Window.partitionBy("band_idx", "key")
-        hist = (hist.withColumn("_n", F.count("*").over(w))
-                .where(F.col("_n") <= bucket_cap).drop("_n"))
+        sizes = bucket_sizes if bucket_sizes is not None else \
+            hist.groupBy("band_idx", "key").agg(F.count("*").alias("n"))
+        oversized = (sizes.where(F.col("n") > bucket_cap)
+                     .select("band_idx", "key"))
+        hist = hist.join(F.broadcast(oversized),
+                         ["band_idx", "key"], "left_anti")
     batch = (s.where(~F.col("is_hist"))
              .select("band_idx", "key", "doc_id"))
     return (batch.join(hist, ["band_idx", "key"])

@@ -398,6 +398,61 @@ def test_incremental_neardup_batch_vs_history_only(spark):
         assert i not in flat
 
 
+def test_incremental_neardup_cap_drops_viral_bucket_no_window(spark):
+    """The bucket_cap path must (a) drop every candidate that rides a
+    history bucket with > cap members — the viral-key guard — while
+    keeping small-bucket matches, (b) accept a PERSISTED bucket-size
+    table and produce identical output, and (c) compile to a plan
+    with NO Window over the history index: a count(*) OVER recount
+    re-shuffles the full 10^12-row index per daily run, which is the
+    exact scale failure the cap exists to prevent (r7 verdict)."""
+    import hashlib
+
+    from ocr_pytorch_spark.operators.dedup import incremental_neardup
+
+    cut = int(0.5 * 16 ** 8)
+
+    def is_hist(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8],
+                   16) < cut
+
+    ids = list(range(300))
+    hist = [i for i in ids if is_hist(i)]
+    batch = [i for i in ids if not is_hist(i)]
+    viral = " ".join(f"viral{j}" for j in range(30))
+    quiet = " ".join(f"quiet{j}" for j in range(30))
+    rows = ([(h, viral) for h in hist[:5]]       # 5-member buckets
+            + [(hist[5], quiet)]                 # 1-member buckets
+            + [(batch[0], viral), (batch[1], quiet)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = incremental_neardup(docs, bucket_cap=2)
+    got = {(r["doc_id"], r["dup_of"]) for r in capped.collect()}
+    assert got == {(batch[1], hist[5])}          # viral cluster gone
+    uncapped = {(r["doc_id"], r["dup_of"])
+                for r in incremental_neardup(docs).collect()}
+    assert {(batch[0], h) for h in hist[:5]} <= uncapped
+
+    # persisted-size path: same answer through the bucket_sizes arg
+    from ocr_pytorch_spark.operators.dedup import (
+        _minhash_band_rows)
+    import pyspark.sql.functions as F
+    st = _minhash_band_rows(docs, 8, 4)
+    sizes = (st.where(F.conv(F.substring(
+                 F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+                 .cast("long") < cut)
+             .groupBy("band_idx", "key").agg(F.count("*").alias("n")))
+    via_table = incremental_neardup(docs, bucket_cap=2,
+                                    bucket_sizes=sizes)
+    assert {(r["doc_id"], r["dup_of"])
+            for r in via_table.collect()} == got
+
+    # plan shape: no Window anywhere; oversized list is broadcast
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
 # --- RFC 9309 robots.txt parser + matcher (r8) --------------------------
 
 def _robots_df(spark, txt, host="h.example"):
