@@ -1838,8 +1838,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "documents")),
         "dedup_components": lambda s, sf: D.dup_components(
             _t(s, sf, "documents")),
+        # IVF-preclustered scale path (r8): band buckets pair only
+        # within a vector's 3 nearest of 16 cells — production sizes
+        # n_cells ~ corpus/128 (see BENCH/EMB_COSINE.json ivf curve)
         "dedup_embedding_cosine": lambda s, sf: D.embedding_neardup_pairs(
-            _t(s, sf, "embeddings")),
+            _t(s, sf, "embeddings"), n_cells=16),
         "filename_munge": filename_munge,
         "sim_topk_cosine": lambda s, sf: S.cosine_topk(
             _t(s, sf, "embeddings")),
@@ -3463,12 +3466,31 @@ def oracle_sql() -> dict[str, str]:
                                 || '.png', '/')[-1], '.')[1]
                      || '.txt' AS txt_file
             FROM documents""",
-        "dedup_embedding_cosine": _EMB_LSH_CTE + f""", cand AS (
+        # IVF-preclustered (n_cells=16, n_cell_probe=3): band buckets
+        # pair only when the two vectors share one of their 3 nearest
+        # cells
+        "dedup_embedding_cosine": _EMB_LSH_CTE + f""", cents AS (
+              SELECT vec_id AS cell, vec AS cv, nrm AS cn
+              FROM vn WHERE vec_id < 16
+            ), assign AS (
+              SELECT vec_id, cell FROM (
+                SELECT v.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY
+                           {quant4_sql("list_dot_product(v.vec, c.cv)"
+                                       " / (v.nrm * c.cn)")} DESC,
+                           c.cell) AS rk
+                FROM vn v CROSS JOIN cents c)
+              WHERE rk <= 3
+            ), cand AS (
               SELECT DISTINCT least(p.vec_id, s.vec_id) AS vec_a,
                               greatest(p.vec_id, s.vec_id) AS vec_b
               FROM probes p JOIN bands s
                 ON p.band_idx = s.band_idx AND p.bucket = s.bucket
                AND p.vec_id <> s.vec_id
+              JOIN assign pa ON pa.vec_id = p.vec_id
+              JOIN assign sa ON sa.vec_id = s.vec_id
+               AND sa.cell = pa.cell
             )
             SELECT vec_a, vec_b, cos FROM (
               SELECT c.vec_a, c.vec_b, {_PAIR_COS} AS cos

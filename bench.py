@@ -61,9 +61,15 @@ HEADLINE = [
     "doc_chunks", "pack_sequences", "lm_perplexity",
     "dsir_topk", "corpus_overlap_minhash", "classifier_auc",
     "dataset_split", "gate_ablation", "robots_filter",
+    "robots_parse", "robots_match",
     "semdedup", "boilerplate_blocks",
     "multimodal_audio", "multimodal_video",
-    "png_ocr_extract",
+    # png_ocr_extract retired from the bench in r8 (r7 VERDICT task
+    # 8): the bench was timing THREE overlapping full-OCR forwards per
+    # round (ocr_extract leg + png_ocr_extract + the pinned rotation
+    # parity key).  ocr_extract stays as the ONE bench OCR leg (it
+    # feeds ocr_docs_per_sec); png_ocr_extract and ocr_extract_parity
+    # remain correctness keys in the rotation, just untimed here.
 ]
 
 
@@ -91,6 +97,39 @@ def _gemm_anchor(seconds: float = 1.5) -> float:
         n += 1
     dt = time.perf_counter() - t0
     return round(2 * 512 * 4608 * 576 * n / dt / 1e9, 2)
+
+
+def _contention_anchor(seconds: float = 2.0) -> dict:
+    """32-way contention anchor (r7 VERDICT task 4): the single-
+    thread GEMM anchor provably cannot see 32-way memory-system
+    contention (r7's anchors were HIGHER than r6's while docs/s was
+    20% lower), so the bench now brackets the run with one short
+    multi-process burst at K=8 and K=32 — the same children
+    scripts/gemm_contention_bench.py spawns — and reports
+    r32_over_r8 = per-core GFLOP/s ratio.  A docs/s dip with a
+    steady single-thread anchor but a depressed r32_over_r8 is
+    external 32-way load, not a plan regression."""
+    import subprocess
+
+    script = os.path.join(REPO_ROOT, "scripts",
+                          "gemm_contention_bench.py")
+    env = dict(os.environ,
+               SPARK_GRAFT_GEMM_SECONDS=str(seconds),
+               OPENBLAS_NUM_THREADS="1", OMP_NUM_THREADS="1")
+    out = {}
+    for k in (8, 32):
+        procs = [subprocess.Popen(
+            [sys.executable, script, "--child", "gemm"],
+            stdout=subprocess.PIPE, text=True, env=env)
+            for _ in range(k)]
+        vals = []
+        for p in procs:
+            o, _ = p.communicate()
+            vals.append(json.loads(o.strip().splitlines()[-1])["gflops"])
+        out[f"per_core_gflops_k{k}"] = round(sum(vals) / len(vals), 2)
+    out["r32_over_r8"] = round(out["per_core_gflops_k32"]
+                               / out["per_core_gflops_k8"], 3)
+    return out
 
 
 def _scaled_dir(spark, sf_dir: str | None = None,
@@ -164,6 +203,7 @@ def main() -> None:
     from ocr_pytorch_spark.sources.session import get_spark
 
     gemm_pre = _gemm_anchor()
+    contention_pre = _contention_anchor()
     spark = get_spark(app="ocr_pytorch_spark-bench", cpus=CPUS)
     qs = E.queries()
     timings: dict[str, float] = {}
@@ -283,6 +323,7 @@ def main() -> None:
         "ocr_docs_per_sec": round(n_docs / ocr_sec, 2),
         "gemm_gflops_single": gemm_pre,
         "gemm_gflops_single_ocr": gemm_ocr,
+        "contention_pre": contention_pre,
         "shapes": SHAPES,
         "detail": "BENCH_result.json",
     }
@@ -302,8 +343,11 @@ def main() -> None:
     # the post-run GEMM anchor, then print the compact line LAST.
     spark.stop()
     post = _gemm_anchor()
+    contention_post = _contention_anchor()
     compact["gemm_gflops_single_post"] = post
     result["gemm_gflops_single_post"] = post
+    compact["contention_post"] = contention_post
+    result["contention_post"] = contention_post
     with open(os.path.join(REPO_ROOT, "BENCH_result.json"), "w") as fh:
         fh.write(json.dumps(result) + "\n")
     sys.stdout.flush()

@@ -189,18 +189,19 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
 
 
-def embedding_neardup_pairs(embeddings: DataFrame,
-                            threshold: float = 0.35,
-                            n_planes: int | None = None,
-                            bands: int | None = None,
-                            dim: int | None = None,
-                            bucket_cap: int | None = None) -> DataFrame:
-    """Embedding-cosine near-dup detection: candidates = vector pairs
-    sharing any banded sign-random-projection key within Hamming<=1
-    (multi-probe), verified by exact array-native cosine — one row per
-    candidate pair end to end; the all-pairs product never
-    materializes and nothing explodes to per-component rows.
-    Output: vec_a, vec_b (vec_a < vec_b), cos >= threshold."""
+def embedding_neardup_candidates(embeddings: DataFrame,
+                                 n_planes: int | None = None,
+                                 bands: int | None = None,
+                                 dim: int | None = None,
+                                 bucket_cap: int | None = None,
+                                 n_cells: int | None = None,
+                                 n_cell_probe: int = 3) -> DataFrame:
+    """The candidate stage of :func:`embedding_neardup_pairs` —
+    distinct (vec_a, vec_b) pairs sharing a banded sign-projection
+    key within Hamming<=1 multi-probe, optionally restricted to pairs
+    sharing one of their ``n_cell_probe`` nearest IVF cells
+    (``n_cells``).  Split out so scale measurement
+    (scripts/emb_cosine_scale.py) times exactly the shipped stage."""
     from ocr_pytorch_spark.operators import similarity as S
 
     n_planes = n_planes or S.N_PLANES
@@ -208,18 +209,69 @@ def embedding_neardup_pairs(embeddings: DataFrame,
     dim = dim or S.DIM
     keys = S.cap_buckets(
         S.lsh_band_keys(embeddings, n_planes, bands, dim), bucket_cap)
+    if n_cells is not None:
+        assign = S.ivf_cells(embeddings, n_cells, n_assign=n_cell_probe)
+        keys = keys.join(assign, "vec_id")
+        join_key = ["cell", "band_idx", "bucket"]
+    else:
+        join_key = ["band_idx", "bucket"]
     # materialize the shared projection lineage through one exchange on
     # the join key: both consumers (probe explode + join right side)
     # reuse it (ReusedExchange), so the n_planes dot products run once —
     # and it is the partitioning the band join needs anyway
-    keys = keys.repartition("band_idx", "bucket")
-    probe = S.probe_keys(keys, n_planes, bands)
-    p = probe.select(F.col("vec_id").alias("pv"), "band_idx", "bucket")
-    cand = (p.join(keys, ["band_idx", "bucket"])
+    keys = keys.repartition(*join_key)
+    r = n_planes // bands
+    probes = F.array(F.col("bucket"),
+                     *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                       for j in range(r)])
+    p = keys.select(F.col("vec_id").alias("pv"),
+                    *[c for c in join_key if c != "bucket"],
+                    F.explode(probes).alias("bucket"))
+    return (p.join(keys, join_key)
             .where(F.col("pv") != F.col("vec_id"))
             .select(F.least("pv", "vec_id").alias("vec_a"),
                     F.greatest("pv", "vec_id").alias("vec_b"))
             .distinct())
+
+
+def embedding_neardup_pairs(embeddings: DataFrame,
+                            threshold: float = 0.35,
+                            n_planes: int | None = None,
+                            bands: int | None = None,
+                            dim: int | None = None,
+                            bucket_cap: int | None = None,
+                            n_cells: int | None = None,
+                            n_cell_probe: int = 3) -> DataFrame:
+    """Embedding-cosine near-dup detection: candidates = vector pairs
+    sharing any banded sign-random-projection key within Hamming<=1
+    (multi-probe), verified by exact array-native cosine — one row per
+    candidate pair end to end; the all-pairs product never
+    materializes and nothing explodes to per-component rows.
+
+    ``n_cells`` is the SCALE path (r7 verdict): sign-projection bands
+    alone have a fixed 2^r keyspace per band, so on clustered corpora
+    bucket population — and with it candidate volume — grows
+    quadratically in corpus size (measured exponent 2.0 in
+    BENCH/EMB_COSINE.json before this change).  With ``n_cells`` set,
+    every vector is first assigned to its ``n_cell_probe`` nearest IVF
+    cells (SemDeDup's precluster stage, ``similarity.ivf_cells``) and
+    band buckets only pair WITHIN a cell, so sizing n_cells ~ n/128
+    keeps cell population — and per-bucket crowding — constant as the
+    corpus grows: candidates become linear-in-corpus plus the true
+    near-dup pairs themselves.  Multi-assignment (n_cell_probe=3)
+    keeps boundary pairs recalled: a pair is lost only if the two
+    vectors share NO cell among their three nearest (measured on the
+    clustered 20k fixture: recall 0.92 at 2 probes, 0.98 at 3, at
+    candidates still 12x below pure banding).  ``bucket_cap`` remains the last-resort viral-bucket
+    fuse, NOT the scaling plan — it trades recall for cost wherever
+    it fires (measured: recall 0.43 at cap64 on the clustered
+    fixture), where the cell precluster trades nothing material.
+    Output: vec_a, vec_b (vec_a < vec_b), cos >= threshold."""
+    from ocr_pytorch_spark.operators import similarity as S
+
+    cand = embedding_neardup_candidates(
+        embeddings, n_planes, bands, dim, bucket_cap, n_cells,
+        n_cell_probe)
     # explicit fan-out for the verify stage: candidate rows are tiny but
     # each carries a dim-length dot product, and AQE would coalesce the
     # low-byte shuffle to 1 task (REPARTITION_BY_NUM is exempt)

@@ -150,14 +150,18 @@ def bucket_sizes(keys: DataFrame) -> DataFrame:
 
 
 def ivf_cells(embeddings: DataFrame,
-              n_centroids: int = 16) -> DataFrame:
+              n_centroids: int = 16,
+              n_assign: int = 1) -> DataFrame:
     """IVF coarse quantization: assign every vector to its
-    nearest-by-cosine centroid.  Centroids here are a deterministic
-    sample (vec_id < n_centroids) — a real deployment trains k-means
+    ``n_assign`` nearest-by-cosine centroids (1 = classic hard
+    assignment; 2+ = the multi-assignment used by the near-dup
+    precluster so a pair sitting on a cell boundary still shares a
+    cell).  Centroids here are a deterministic sample
+    (vec_id < n_centroids) — a real deployment trains k-means
     offline and broadcasts the trained codebook; the assignment plan
     (broadcast the k centroids against one linear scan, array-native
-    cosine, argmax per row) is identical either way and is the part
-    that must scale.  Output: vec_id, cell."""
+    cosine, rank per row) is identical either way and is the part
+    that must scale.  Output: vec_id, cell (n_assign rows per vec)."""
     vt = vectors_with_norm(embeddings)
     cents = (vt.where(F.col("vec_id") < n_centroids)
              .select(F.col("vec_id").alias("cell"),
@@ -170,7 +174,7 @@ def ivf_cells(embeddings: DataFrame,
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(),
                                              "cell")
     return (cos.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1).select("vec_id", "cell"))
+            .where(F.col("rk") <= n_assign).select("vec_id", "cell"))
 
 
 def ivf_cosine_topk(embeddings: DataFrame, n_queries: int = 5,

@@ -42,7 +42,7 @@ import ocr_pytorch_spark  # noqa: E402,F401  (sets OPENBLAS_CORETYPE pre-numpy)
 
 LEVELS = tuple(int(v) for v in os.environ.get(
     "SPARK_GRAFT_CONTENTION_LEVELS", "1,2,4,8,16,32").split(","))
-GEMM_SECONDS = 4.0
+GEMM_SECONDS = float(os.environ.get("SPARK_GRAFT_GEMM_SECONDS", "4.0"))
 OCR_IMAGES = 6
 ACT_MB = float(os.environ.get("SPARK_GRAFT_ACT_MB", "7.4"))
 

@@ -53,6 +53,9 @@ N_PAGES = int(os.environ.get("SPARK_GRAFT_SF1_PAGES", "3000000"))
 WEB_KEYS = ["url_canonical_dedup", "domain_doc_cap", "html_outlinks",
             "bm25_topk"]
 
+ING_DOCS = int(os.environ.get("SPARK_GRAFT_SF1_ING_DOCS", "400000"))
+ING_CAP = int(os.environ.get("SPARK_GRAFT_SF1_ING_CAP", "64"))
+
 
 def _task_walls(spark, df):
     """Per-task wall_ms for the stage that PRODUCES df's rows: pull
@@ -230,6 +233,127 @@ def _web_tier(spark, qs, ddir) -> dict:
          .select("source", "doc_id"))
     out["salted_equals_naive"] = (
         a.exceptAll(b).count() + b.exceptAll(a).count()) == 0
+    return out
+
+
+def _ingest_tier(spark, qs, ddir) -> dict:
+    """r7 VERDICT task 5: sf1 evidence for the r7 ingest family.
+
+    (a) warm walls for dsir_topk / corpus_overlap_minhash at the 10x
+        documents tier;
+    (b) dedup_incremental at a realistic ~100:1 history:batch ratio
+        (history_frac_hex dialled to 99% of md5 space) over ING_DOCS
+        synthetic docs with ONE viral text duplicated across ~0.5% of
+        the corpus — four band buckets each holding every viral doc,
+        the hot-bucket failure the cap exists for — plus 2-member
+        "quiet" duplicate clusters standing in for genuine daily
+        near-dups.  Measured, uncapped vs capped (the r8 broadcast
+        anti-join of oversized buckets):
+          * EXACT reducer-input rows for the (band_idx, key) history
+            index shuffle — the structural straggler number, same
+            method as the web leg;
+          * end-to-end walls;
+          * output pairs (the uncapped viral batch x history
+            cross-product vs the capped bounded set), with the
+            invariant that capping drops ONLY viral pairs (quiet-pair
+            sets identical)."""
+    from pyspark.sql import functions as F
+
+    from bench import _force
+    from ocr_pytorch_spark.operators.dedup import (_minhash_band_rows,
+                                                   incremental_neardup)
+
+    # --- (a) ingest keys at the 10x tier ------------------------------
+    key_secs = {}
+    for k in ("dsir_topk", "corpus_overlap_minhash"):
+        _force(qs[k](spark, ddir))  # warm
+        t0 = time.time()
+        _force(qs[k](spark, ddir))
+        key_secs[k] = round(time.time() - t0, 3)
+
+    # --- (b) incremental near-dup with a hot band bucket --------------
+    n_docs = ING_DOCS
+    viral_n = max(200, n_docs // 200)        # ~0.5% of the corpus
+    quiet_n = viral_n                        # 2-member quiet clusters
+    cut = int(0.99 * 16 ** 8)                # history:batch ~ 99:1
+    viral_text = " ".join(f"viral{j}" for j in range(12))
+    quiet_c = ((F.col("id") - viral_n) / 2).cast("long")
+    quiet_text = F.concat_ws(" ", *[
+        F.concat(F.lit(f"qt{j}c"), quiet_c.cast("string"))
+        for j in range(12)])
+    uniq_text = F.concat_ws(" ", *[
+        F.concat(F.lit("t"),
+                 F.pmod(F.xxhash64("id", F.lit(j)),
+                        F.lit(1 << 40)).cast("string"))
+        for j in range(12)])
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < viral_n, F.lit(viral_text))
+        .when(F.col("id") < viral_n + 2 * quiet_n, quiet_text)
+        .otherwise(uniq_text).alias("text"))
+    docs = docs.localCheckpoint()            # fixture, not plan-under-test
+
+    is_hist = (F.conv(F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") < cut)
+    n_hist = docs.where(is_hist).count()
+    n_batch = n_docs - n_hist
+
+    p_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    stacked = _minhash_band_rows(docs, 8, 4).withColumn("ih", is_hist)
+    hist = stacked.where(F.col("ih"))
+    sizes = hist.groupBy("band_idx", "key").agg(
+        F.count("*").alias("n"))
+    oversized = sizes.where(F.col("n") > ING_CAP) \
+        .select("band_idx", "key")
+    hist_capped = hist.join(F.broadcast(oversized),
+                            ["band_idx", "key"], "left_anti")
+
+    def reducer_rows(idx) -> dict:
+        # replicate HashPartitioning with pmod(hash(keys), P) — the
+        # exact per-reducer input volume of the candidate join's
+        # history side (same method as the web leg)
+        per = (idx.groupBy(
+            F.pmod(F.hash("band_idx", "key"), F.lit(p_shuffle))
+            .alias("part"))
+            .agg(F.count("*").alias("n")).orderBy("n").collect())
+        ns = [int(r["n"]) for r in per]
+        med = ns[len(ns) // 2]
+        return {"reducers": len(ns), "rows_median": med,
+                "rows_max": ns[-1],
+                "rows_max_over_median": round(ns[-1] / med, 2)}
+
+    out = {"n_docs": n_docs, "history_rows": n_hist,
+           "batch_rows": n_batch,
+           "history_to_batch": round(n_hist / max(n_batch, 1), 1),
+           "viral_docs": viral_n, "bucket_cap": ING_CAP,
+           "n_oversized_buckets": oversized.count(),
+           "ingest_key_secs_10x": key_secs,
+           "reducer_input_rows": {
+               "uncapped": reducer_rows(hist),
+               "capped": reducer_rows(hist_capped)},
+           "variants": {}}
+
+    pair_sets = {}
+    for label, cap in (("uncapped", None), ("capped", ING_CAP)):
+        thunk = lambda: incremental_neardup(  # noqa: E731
+            docs, history_frac_hex=cut, bucket_cap=cap)
+        _force(thunk())  # warm
+        t0 = time.time()
+        n_pairs = thunk().count()
+        out["variants"][label] = {
+            "wall_sec": round(time.time() - t0, 2),
+            "output_pairs": n_pairs}
+        pair_sets[label] = thunk().select("doc_id", "dup_of")
+
+    # capping must drop ONLY viral pairs: quiet/unique pair sets equal
+    nonviral = (F.col("doc_id") >= viral_n) | (F.col("dup_of") >= viral_n)
+    a = pair_sets["uncapped"].where(nonviral)
+    b = pair_sets["capped"].where(nonviral)
+    out["capped_keeps_all_nonviral_pairs"] = (
+        a.exceptAll(b).count() + b.exceptAll(a).count()) == 0
+    out["capped_viral_pairs"] = (
+        pair_sets["capped"].where(~nonviral).count())
     return out
 
 
@@ -473,6 +597,9 @@ def main() -> None:
     # --- hot-domain web-scale leg (r6 VERDICT task 2) ---------------
     web = _web_tier(spark, qs, ddir)
 
+    # --- incremental-ingest leg (r7 VERDICT task 5) ------------------
+    ingest = _ingest_tier(spark, qs, ddir)
+
     # --- flagship parity under FINE-TUNED weights (r5 VERDICT task
     # 8): reproduce tests/test_checkpoint_e2e.py's 3-epoch distributed
     # fine-tune, write the tuned .npz, and re-run a whale-doc subset
@@ -593,6 +720,7 @@ def main() -> None:
         "dedup_secs": dedup_secs,
         "ann": ann,
         "web": web,
+        "ingest": ingest,
         "tuned_parity": {
             "docs": n_tuned_docs,
             "spans": n_tuned_spans,

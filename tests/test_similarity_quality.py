@@ -147,3 +147,50 @@ def test_semantic_dedup_drops_planted_duplicates(spark):
         assert all(out[i] is False for i in ids if i != min(ids))
     # random 64-dim singles never reach cos >= 0.95 with anything
     assert all(out[i] is True for i in single_ids)
+
+
+def test_neardup_ivf_precluster_recall_and_candidate_cut(spark):
+    """The IVF-preclustered scale path (n_cells set): planted tight
+    near-dup clusters (cos >= 0.99) are fully recalled through the
+    2-nearest-cell multi-assignment, the surfaced cosines stay exact,
+    and the candidate stage strictly shrinks vs pure banding — the
+    whole point of the precluster (r7 verdict: pure banding's
+    candidates grow quadratically on clustered corpora)."""
+    import numpy as np
+
+    from ocr_pytorch_spark.operators.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    rows, clusters, vid = [], [], 0
+    for c in range(12):
+        base = rng.standard_normal(64)
+        ids = []
+        for _ in range(6):                       # 6-member clusters
+            v = base + rng.standard_normal(64) * 0.01
+            rows.append((vid, [float(x) for x in v]))
+            ids.append(vid)
+            vid += 1
+        clusters.append(ids)
+    for _ in range(80):                          # background singles
+        rows.append((vid, [float(x)
+                           for x in rng.standard_normal(64)]))
+        vid += 1
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>")
+
+    got = {(r["vec_a"], r["vec_b"]): r["cos"]
+           for r in embedding_neardup_pairs(
+               emb, threshold=0.9, n_cells=16).collect()}
+    want = {(a, b) for ids in clusters
+            for i, a in enumerate(ids) for b in ids[i + 1:]}
+    missed = want - set(got)
+    recall = 1 - len(missed) / len(want)
+    assert recall >= 0.95, f"ivf near-dup recall {recall:.3f}"
+    # no cross-cluster / background false positive reaches cos 0.9
+    assert set(got) <= want
+
+    # candidate volume strictly below the pure-banding path
+    def _n_cand(**kw):
+        return (embedding_neardup_pairs(emb, threshold=-1.0, **kw)
+                .count())
+    assert _n_cand(n_cells=16) < _n_cand()
