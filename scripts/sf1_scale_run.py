@@ -273,8 +273,12 @@ def _ingest_tier(spark, qs, ddir) -> dict:
 
     # --- (b) incremental near-dup with a hot band bucket --------------
     n_docs = ING_DOCS
-    viral_n = max(200, n_docs // 200)        # ~0.5% of the corpus
-    quiet_n = viral_n                        # 2-member quiet clusters
+    # the whale: 5% of the corpus shares ONE text (cf. the web leg's
+    # 30% whale domain) — big enough that its 4 band buckets rival a
+    # uniform reducer share, so the uncapped straggler is structural,
+    # not noise
+    viral_n = max(200, n_docs // 20)
+    quiet_n = max(200, n_docs // 200)        # 2-member quiet clusters
     cut = int(0.99 * 16 ** 8)                # history:batch ~ 99:1
     viral_text = " ".join(f"viral{j}" for j in range(12))
     quiet_c = ((F.col("id") - viral_n) / 2).cast("long")
