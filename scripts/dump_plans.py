@@ -42,11 +42,31 @@ COMMENT = {
     "dedup_embedding_cosine": "projections are literal-weight array "
                               "dots (map-side codegen, no explode to "
                               "components); candidates are a skinny "
-                              "(vec_id, band_idx, bucket) equi-join "
-                              "with Hamming<=1 multi-probe; the exact "
-                              "cosine verify moves ONE array row per "
-                              "candidate pair (array_dot), not dim "
-                              "exploded rows",
+                              "(cell, band_idx, bucket) equi-join "
+                              "with Hamming<=1 multi-probe, IVF-"
+                              "preclustered (r8) so band buckets only "
+                              "pair within a vector's 3 nearest cells "
+                              "— candidate exponent 1.19 vs 2.0 "
+                              "unclustered (BENCH/EMB_COSINE.json); "
+                              "the exact cosine verify moves ONE "
+                              "array row per candidate pair "
+                              "(array_dot), not dim exploded rows",
+    "dedup_incremental": "batch x history only (history x history "
+                         "never pairs); the bucket cap is a broadcast "
+                         "LeftAnti of the oversized-bucket list "
+                         "derived from ONE map-side-partial groupBy "
+                         "(no count(*) OVER window over the history "
+                         "index — r8)",
+    "robots_parse": "per-host blob parse: one narrow shuffle on host "
+                    "for the line-group window over ~dozens of rows "
+                    "per host; output is the tiny broadcast side of "
+                    "robots_match",
+    "robots_match": "the per-agent rule tier broadcasts against the "
+                    "URL scan (map-side regex match); the winner-per-"
+                    "URL is a groupBy max_by whose map-side partial "
+                    "agg collapses candidate rules before the "
+                    "exchange, so the only shuffle is |urls| skinny "
+                    "verdict rows",
     "sim_topk_cosine": "the bounded query set broadcasts against a "
                        "single linear scan of candidates (array-native "
                        "cosine per row); top-k is two-phase — "
@@ -252,6 +272,7 @@ def main() -> None:
                  "bm25_topk", "stratified_sample", "skew_profile",
                  "url_canonical_dedup", "domain_doc_cap",
                  "html_outlinks",
+                 "dedup_incremental", "robots_parse", "robots_match",
                  "ocr_extract"):
         df = qs[name](spark, SF)
         buf = io.StringIO()
