@@ -44,6 +44,10 @@ SCALE = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "4"))
 SHAPES = {
     "png_ocr_extract": 2,  # r6: two-sided parity surface (both-OCR
     #                        anti-join), ~2x the r5 single-sided work
+    "dedup_embedding_cosine": 2,  # r8: IVF-preclustered candidates —
+    #                        pairs now restricted to shared-cell
+    #                        buckets (scale fix), a smaller relation
+    #                        than the pure-banding gen 1
 }
 
 HEADLINE = [
