@@ -1854,6 +1854,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "embeddings")),
         "sim_ivf_topk": lambda s, sf: S.ivf_cosine_topk(
             _t(s, sf, "embeddings")),
+        # r8: product quantization — the ANN memory dial (8-byte
+        # codes instead of 256-byte floats at the serving tier)
+        "sim_pq_codes": lambda s, sf: S.pq_codes(
+            _t(s, sf, "embeddings")),
+        "sim_pq_topk": lambda s, sf: S.pq_topk(
+            _t(s, sf, "embeddings")),
         # SemDeDup (arXiv:2303.09540): IVF-cluster then drop
         # within-cell cosine>=tau duplicates, lowest id survives
         # (operators/similarity.semantic_dedup)
@@ -2234,7 +2240,8 @@ _SLOW_PER_ROUND = 0
 # CORRECTNESS_r*.json rounds, so a misplaced key cannot skip its
 # debut window again (r7 VERDICT task 1).  This list remains the
 # declared intent (the partition test checks it).
-_ROT_DEBUT: list[str] = ["robots_parse", "robots_match"]
+_ROT_DEBUT: list[str] = ["robots_parse", "robots_match",
+                         "sim_pq_codes", "sim_pq_topk"]
 
 
 def _round_number() -> int:
@@ -2396,6 +2403,32 @@ _PAIR_COS = quant4_sql(
     "list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm)")
 _QC_COS = quant4_sql(
     "list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm)")
+
+# product quantization (operators/similarity.pq_codes / pq_topk):
+# per-subspace squared-L2 in micro-unit BIGINTs; argmin with
+# lowest-code tiebreak is the single integer MIN(du * ks + code)
+_PQ_M, _PQ_KS = 8, 16
+_PQ_SUB = _EMB_DIM // _PQ_M
+_PQ_AV = f"list_slice(a.vec, g.j*{_PQ_SUB}+1, g.j*{_PQ_SUB}+{_PQ_SUB})"
+_PQ_CV = f"list_slice(c.cvec, g.j*{_PQ_SUB}+1, g.j*{_PQ_SUB}+{_PQ_SUB})"
+_PQ_D2 = (f"list_dot_product({_PQ_AV}, {_PQ_AV})"
+          f" - 2 * list_dot_product({_PQ_AV}, {_PQ_CV})"
+          f" + list_dot_product({_PQ_CV}, {_PQ_CV})")
+_PQ_CTE = f"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), cents AS (
+  SELECT CAST(vec_id AS INT) AS code, vec AS cvec
+  FROM v WHERE vec_id < {_PQ_KS}
+), sub AS (
+  SELECT a.vec_id, c.code, g.j,
+         CAST(floor(({_PQ_D2}) * 10000 + 0.5) AS BIGINT) AS du
+  FROM v a CROSS JOIN cents c
+  CROSS JOIN generate_series(0, {_PQ_M - 1}) g(j)
+), codes AS (
+  SELECT vec_id, j,
+         CAST(min(du * {_PQ_KS} + code) % {_PQ_KS} AS INT) AS code
+  FROM sub GROUP BY vec_id, j
+)"""
 
 
 # --- main-content extraction oracle fragments (operators/html.py's
@@ -3605,6 +3638,41 @@ def oracle_sql() -> dict[str, str]:
                 FROM cand cd
                 JOIN vn q ON cd.q_id = q.vec_id
                 JOIN vn c ON cd.vec_id = c.vec_id))
+            WHERE rank <= 10""",
+        "sim_pq_codes": _PQ_CTE + f"""
+            SELECT vec_id, {", ".join(
+                f"max(CASE WHEN j = {j} THEN code END) AS c{j}"
+                for j in range(_PQ_M))}
+            FROM codes GROUP BY vec_id""",
+        "sim_pq_topk": _PQ_CTE + """, scored AS (
+              SELECT q.vec_id AS q_id, c.vec_id,
+                     CAST(sum(q.du) AS BIGINT) AS adist
+              FROM codes c JOIN sub q
+                ON q.j = c.j AND q.code = c.code
+              WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+              GROUP BY q.vec_id, c.vec_id
+            ), short AS (
+              SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY adist, vec_id) AS srank
+                FROM scored)
+              WHERE srank <= 80
+            ), refined AS (
+              SELECT s.q_id, s.vec_id,
+                     CAST(floor((list_dot_product(qv.vec, qv.vec)
+                           - 2 * list_dot_product(qv.vec, cv.vec)
+                           + list_dot_product(cv.vec, cv.vec))
+                           * 10000 + 0.5) AS BIGINT) AS d2u
+              FROM short s
+              JOIN v qv ON qv.vec_id = s.q_id
+              JOIN v cv ON cv.vec_id = s.vec_id
+            )
+            SELECT q_id, vec_id, d2u, rank FROM (
+              SELECT q_id, vec_id, d2u,
+                     CAST(row_number() OVER (PARTITION BY q_id
+                          ORDER BY d2u, vec_id) AS INT) AS rank
+              FROM refined)
             WHERE rank <= 10""",
         "sim_lsh_topk": _EMB_LSH_CTE + f""", qc AS (
               SELECT DISTINCT p.vec_id AS q_id, s.vec_id

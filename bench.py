@@ -65,7 +65,7 @@ HEADLINE = [
     "doc_chunks", "pack_sequences", "lm_perplexity",
     "dsir_topk", "corpus_overlap_minhash", "classifier_auc",
     "dataset_split", "gate_ablation", "robots_filter",
-    "robots_parse", "robots_match",
+    "robots_parse", "robots_match", "sim_pq_topk",
     "semdedup", "boilerplate_blocks",
     "multimodal_audio", "multimodal_video",
     # png_ocr_extract retired from the bench in r8 (r7 VERDICT task

@@ -194,3 +194,67 @@ def test_neardup_ivf_precluster_recall_and_candidate_cut(spark):
         return (embedding_neardup_pairs(emb, threshold=-1.0, **kw)
                 .count())
     assert _n_cand(n_cells=16) < _n_cand()
+
+
+def test_pq_codes_pick_nearest_subspace_centroid(spark):
+    """PQ encoding: a vector assembled from KNOWN codebook subvectors
+    must encode to exactly those codes (per-subspace argmin, lowest
+    code on exact ties), and every code is within [0, ks)."""
+    import numpy as np
+
+    from ocr_pytorch_spark.operators.similarity import pq_codes
+
+    rng = np.random.default_rng(3)
+    cents = rng.standard_normal((16, 64))
+    rows = [(i, [float(x) for x in cents[i]]) for i in range(16)]
+    # vec 100: subspace j copied from centroid (j * 3) % 16
+    want = [(j * 3) % 16 for j in range(8)]
+    v = np.concatenate([cents[want[j], j * 8:(j + 1) * 8]
+                        for j in range(8)])
+    rows.append((100, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: [r[f"c{j}"] for j in range(8)]
+           for r in pq_codes(emb).collect()}
+    assert out[100] == want
+    # each codebook vector encodes to itself in every subspace
+    for i in range(16):
+        assert out[i] == [i] * 8
+    assert all(0 <= c < 16 for cs in out.values() for c in cs)
+
+
+def test_pq_topk_tracks_exact_l2_ranking(spark):
+    """PQ top-k (ADC shortlist + exact refine) vs the exact L2 top-k
+    (numpy) at the 500-vector tier: the shortlist is only x8 of k, so
+    this measures real shortlist quality, not a trivially-complete
+    shortlist; d2u must equal the exact micro-unit distance for every
+    surfaced row."""
+    import os
+
+    import numpy as np
+
+    from ocr_pytorch_spark.operators.similarity import pq_topk
+
+    sf_med = os.path.join(os.path.dirname(SF_SMALL.rstrip("/")),
+                          "sf0.01")
+    emb = load_table(spark, sf_med, "embeddings")
+    rows = emb.orderBy("vec_id").collect()
+    E = np.array([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in rows])
+    got, d2us = {}, {}
+    for r in pq_topk(emb, n_queries=5, k=10).collect():
+        got.setdefault(r["q_id"], set()).add(r["vec_id"])
+        d2us[(r["q_id"], r["vec_id"])] = r["d2u"]
+    hits = total = 0
+    for q in range(5):
+        d = ((E - E[q]) ** 2).sum(axis=1)
+        d[q] = np.inf
+        true10 = set(np.argsort(d, kind="stable")[:10])
+        hits += len(got[q] & true10)
+        total += 10
+    recall = hits / total
+    assert recall >= 0.7, f"PQ refine recall@10 collapsed: {recall:.2f}"
+    # surfaced distances are the exact micro-unit squared L2
+    for (q, v), d2u in d2us.items():
+        want = int(np.floor(((E[q] - E[v]) ** 2).sum() * 10000 + 0.5))
+        assert abs(d2u - want) <= 1, (q, v, d2u, want)
