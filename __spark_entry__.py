@@ -1784,6 +1784,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _WEB.robots_parse(
                 _WEB.robots_corpus(_t(s, sf, "documents"))),
             agent="ccbot"),
+        # r8: the second crawl control surface — sitemap blobs into
+        # per-URL frontier rows (map-side regex, zero shuffles)
+        "sitemap_parse": lambda s, sf: _WEB.sitemap_parse(
+            _WEB.sitemap_corpus(_t(s, sf, "documents"))),
         "tpch_q5": tpch_q5,
         "tpch_q10": tpch_q10,
         "tpch_q14": tpch_q14,
@@ -1951,7 +1955,11 @@ _SUITES: dict = {
     "suite_events": [
         "funnel_counts", "retention_cohorts", "sessionize",
         "time_bucket_rollup", "sample_documents",
-        "dedupe_consecutive_lag"],
+        "dedupe_consecutive_lag",
+        # r8 third pass: ODD event/window veterans green since r3-r5
+        # (suite is ODD-checked; their cadence is unchanged)
+        "asof_join_events", "window_moving_avg",
+        "session_window_agg"],
     "suite_text_dedup": [
         "text_normalize", "text_token_count", "filename_munge",
         "dedup_exact", "dedup_minhash_sig", "filter_minsize",
@@ -1967,6 +1975,12 @@ _SUITES: dict = {
         "pii_redact", "url_host_filter", "text_lang_id",
         "text_repetition", "decontam_overlap", "corpus_filter",
         "text_winnow_fp"],
+    # r8 third consolidation pass (headroom for the 5 r8 debuts):
+    # EVEN extraction-family veterans green r4+r6; the suite key
+    # debuts r8 (mechanical promotion), so the gap is 2
+    "suite_extraction": [
+        "html_strip", "html_main_block", "layout_reading_order",
+        "pdf_text_extract", "dedup_lines"],
 }
 _SUITE_MEMBERS = frozenset(m for ms in _SUITES.values() for m in ms)
 # member -> columns sorted by name, with an is_double flag driving the
@@ -2045,6 +2059,20 @@ _SUITE_SPECS: dict = {
                       ("n_tokens", 0), ("quality", 1)],
     "text_winnow_fp": [("doc_id", 0), ("fp_max", 0), ("fp_min", 0),
                        ("n_fps", 0)],
+    "asof_join_events": [("buy_s", 0), ("event_id", 0),
+                         ("user_id", 0), ("view_s", 0)],
+    "window_moving_avg": [("event_id", 0), ("mavg5", 1),
+                          ("user_id", 0)],
+    "session_window_agg": [("n_events", 0), ("sess_start_s", 0),
+                           ("user_id", 0)],
+    "html_strip": [("clean_text", 0), ("doc_id", 0),
+                   ("link_density", 1), ("n_links", 0),
+                   ("text_len", 0), ("title", 0)],
+    "html_main_block": [("block_idx", 0), ("block_text", 0),
+                        ("doc_id", 0), ("score", 1)],
+    "layout_reading_order": [("doc_id", 0), ("reading_text", 0)],
+    "pdf_text_extract": [("doc_id", 0), ("extracted_text", 0)],
+    "dedup_lines": [("doc_id", 0), ("kept_text", 0), ("n_kept", 0)],
 }
 
 
@@ -2128,19 +2156,24 @@ _PINNED = ["ocr_extract_parity"]
 # (16 keys, last green r4/r5) would have surfaced in r7/r8; their
 # suites ARE in r7's window, so every carried gap stays <= 3 and
 # shrinks to the suite cadence (2) thereafter.
-# Tiers after the restructure (numbers include the r7 SECOND pass,
-# which folded 8 ODD veterans into suite_joins_tpch and 7 EVEN
-# veterans into suite_web_hygiene — 42 members across 6 suites):
+# Tiers after the restructure (numbers include the r8 THIRD pass,
+# which folded 3 ODD event/window veterans into suite_events and 5
+# EVEN extraction veterans into the new suite_extraction — 50 members
+# across 7 suites):
 #   * _PINNED (1): the flagship parity key, EVERY round.
-#   * _ROT_ODD (37 = 32 singles + 5 suites) / _ROT_EVEN (38 = 37
-#     singles + suite_web_hygiene): every 2 rounds.  Suites debut in
-#     the parity leading their landing round (membership IS the debut
-#     check, the r6 pattern); suite_web_hygiene's members were last
-#     green r6, its first check is r8 — gap 2, within cadence.
-# Window arithmetic: odd rounds 1 + 37 = 38 (TWELVE free slots), even
-# rounds 1 + 38 = 39 (ELEVEN free slots).  tests/test_html.py asserts
-# >= 5 free slots in BOTH parities (headroom, not just fit), so new
-# keys for the next several rounds are plain appends — no cascade.
+#   * _ROT_ODD (35 = 30 singles + 5 suites) / _ROT_EVEN (36 = 34
+#     singles + suite_web_hygiene + suite_extraction): every 2
+#     rounds.  Suites debut in the parity leading their landing round
+#     OR mechanically (never-checked keys always sort into the next
+#     window); all folded members were green <= 2 rounds before their
+#     suite's first check, so every gap stays within cadence.
+# Window arithmetic: odd rounds 1 + 35 = 36, even rounds 1 + 36 = 37,
+# plus the 5 declared r8 debuts — >= 7 free slots at BOTH parities
+# AFTER the r8 debuts clear.  tests/test_html.py asserts >= 5 free
+# slots in BOTH parities (headroom, not just fit) and that the window
+# still holds every lead key even with all 12 currently-unchecked
+# keys mechanically promoted, so new keys for the next several rounds
+# are plain appends — no cascade.
 # Suite members are excluded from the window by _rotate() and ordered
 # after it; rows-only keys trail last.  Steady state: every oracle
 # key (or its certifying suite) every 2 rounds.
@@ -2162,8 +2195,10 @@ _ROT_ODD = [
     "text_quality", "text_fingerprint",
     # sessionize demoted to _ROT_SLOW in the r6 fourth-pass rebalance
     "project_bbox_decode",
-    "ohem_topk_sum", "asof_join_events",
-    "window_moving_avg", "session_window_agg", "dedup_keeper_policy",
+    "ohem_topk_sum",
+    # asof_join_events / window_moving_avg / session_window_agg
+    # folded into suite_events in the r8 third pass
+    "dedup_keeper_policy",
     # sample_documents demoted to _ROT_SLOW in the r6 fifth-pass
     # rebalance (html_outlinks landing)
     # window_reading_order + group_line_stats folded into
@@ -2222,10 +2257,11 @@ _ROT_EVEN = [
     # moved from _ROT_ODD in the r5 rebalance; corpus_filter /
     # text_winnow_fp / text_repetition / decontam_overlap /
     # pii_redact / url_host_filter (+ text_lang_id above) folded into
-    # suite_web_hygiene in the r7 second pass
-    "html_strip", "html_main_block",
-    "layout_reading_order", "pdf_text_extract",
-    "dedup_lines",
+    # suite_web_hygiene in the r7 second pass; html_strip /
+    # html_main_block / layout_reading_order / pdf_text_extract /
+    # dedup_lines folded into suite_extraction in the r8 third pass
+    # (headroom for the 5 r8 debuts)
+    "suite_extraction",
 ]
 # The r6 low-cadence `_ROT_SLOW` tier is GONE (r7 restructure): all
 # 24 of its keys are now suite members — certified by their suite's
@@ -2241,7 +2277,8 @@ _SLOW_PER_ROUND = 0
 # debut window again (r7 VERDICT task 1).  This list remains the
 # declared intent (the partition test checks it).
 _ROT_DEBUT: list[str] = ["robots_parse", "robots_match",
-                         "sim_pq_codes", "sim_pq_topk"]
+                         "sim_pq_codes", "sim_pq_topk",
+                         "sitemap_parse"]
 
 
 def _round_number() -> int:
@@ -3153,6 +3190,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": _WEB.robots_filter_oracle_sql(),
         "robots_parse": _WEB.robots_parse_oracle_sql(),
         "robots_match": _WEB.robots_match_oracle_sql(),
+        "sitemap_parse": _WEB.sitemap_parse_oracle_sql(),
         "zorder_key": f"""
             SELECT doc_id,
                    {_IX.zorder_key_sql('doc_id', 'n_chars')} AS z

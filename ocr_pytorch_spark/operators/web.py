@@ -773,3 +773,128 @@ def robots_match_oracle_sql(agent: str = "ccbot") -> str:
                                    ELSE 'disallow' END)
                END AS rule_kind
         FROM ranked WHERE rn = 1"""
+
+
+# --- sitemap ingestion (r8) -------------------------------------------
+#
+# The second crawl control surface next to robots.txt: a fetched
+# (host, sitemap_xml) table is parsed into per-URL rows that seed the
+# frontier.  Parsing is pure map-side string work (regexp over the
+# tiny per-host blob), so the plan is one narrow projection fused
+# into the sitemap scan — at 10^9 hosts this is an embarrassingly
+# parallel pass with zero shuffles before the frontier join.
+
+def sitemap_parse(sitemaps: DataFrame, host_col: str = "host",
+                  xml_col: str = "sitemap_xml") -> DataFrame:
+    """Parse sitemap XML blobs into (host, pos, url, lastmod) rows —
+    one row per ``<url>`` block in document order (``pos`` is the
+    1-based block index, the crawl-priority order sitemaps imply);
+    ``lastmod`` is NULL when the block has none.  Entity-decoded
+    ``&amp;`` in <loc> (the one escape required in sitemap URLs).
+
+    Scale shape: blocks are extracted with one regexp_extract_all per
+    blob and exploded — no shuffle; the output feeds robots_match /
+    url_canonical_dedup / domain_doc_cap downstream."""
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"<url>(.*?)</url>"), 1)
+    df = (sitemaps
+          .select(F.col(host_col).alias("host"),
+                  F.posexplode(blocks).alias("pos0", "block")))
+    loc = F.regexp_extract(F.col("block"),
+                           r"<loc>\s*(.*?)\s*</loc>", 1)
+    lastmod = F.regexp_extract(F.col("block"),
+                               r"<lastmod>\s*(.*?)\s*</lastmod>", 1)
+    return df.select(
+        "host",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.regexp_replace(loc, "&amp;", "&").alias("url"),
+        F.when(lastmod == "", F.lit(None).cast("string"))
+        .otherwise(lastmod).alias("lastmod"))
+
+
+def sitemap_corpus(documents: DataFrame) -> DataFrame:
+    """Deterministic (host, sitemap_xml) fabric over the robots host
+    fabric: per host, 1 + md5(host)%4 url blocks; every odd block
+    carries a lastmod date derived from the hash; block 2 (when
+    present) exercises the &amp; escape."""
+    grp_n = F.floor(F.col("doc_id") / 4).cast("long")
+    host = F.concat(F.lit("www.example-"),
+                    (grp_n % 8).cast("string"), F.lit(".com"))
+    hosts = documents.select(host.alias("host")).distinct()
+    h = _md5_int8_w(F.col("host"))
+    n_blocks = (h % 4) + 1
+
+    def block(i: int):
+        url = F.concat(
+            F.lit("https://"), F.col("host"), F.lit("/page-"),
+            F.lit(str(i)),
+            F.when(F.lit(i) == 2, F.lit("?a=1&amp;b=2"))
+            .otherwise(F.lit("")))
+        lastmod = F.concat(
+            F.lit("<lastmod>2025-0"), ((h + i) % 9 + 1).cast("string"),
+            F.lit("-15</lastmod>"))
+        body = F.concat(F.lit("<url><loc> "), url, F.lit(" </loc>"),
+                        F.when(F.lit(i % 2 == 1), lastmod)
+                        .otherwise(F.lit("")),
+                        F.lit("</url>"))
+        return F.when(F.lit(i) <= n_blocks, body).otherwise(F.lit(""))
+
+    xml = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas'
+              '/sitemap/0.9">'),
+        *[block(i) for i in range(1, 5)],
+        F.lit("</urlset>"))
+    return hosts.select("host", xml.alias("sitemap_xml"))
+
+
+def sitemap_parse_oracle_sql() -> str:
+    """DuckDB oracle for the sitemap_parse driver key — same fabric,
+    same block regexes."""
+    h = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(host), {i + 1}, 1))"
+        f" - 1) * {16 ** (7 - i)}" for i in range(8))
+    blocks = " || ".join(
+        f"""CASE WHEN {i} <= n_blocks THEN
+              '<url><loc> https://' || host || '/page-{i}'
+              || CASE WHEN {i} = 2 THEN '?a=1&amp;b=2' ELSE '' END
+              || ' </loc>'
+              || CASE WHEN {i % 2} = 1 THEN
+                   '<lastmod>2025-0'
+                   || CAST((h + {i}) % 9 + 1 AS VARCHAR)
+                   || '-15</lastmod>' ELSE '' END
+              || '</url>'
+            ELSE '' END""" for i in range(1, 5))
+    return rf"""
+        WITH hosts AS (
+          SELECT DISTINCT
+            'www.example-'
+              || CAST(CAST(floor(doc_id / 4) AS BIGINT) % 8
+                      AS VARCHAR) || '.com' AS host
+          FROM documents
+        ), hh AS (
+          SELECT host, ({h}) AS h, (({h}) % 4) + 1 AS n_blocks
+          FROM hosts
+        ), sm AS (
+          SELECT host,
+                 '<urlset xmlns="http://www.sitemaps.org/schemas'
+                 || '/sitemap/0.9">' || {blocks} || '</urlset>'
+                   AS sitemap_xml
+          FROM hh
+        ), ex AS (
+          SELECT host,
+                 generate_subscripts(regexp_extract_all(sitemap_xml,
+                     '<url>(.*?)</url>', 1), 1) AS pos,
+                 unnest(regexp_extract_all(sitemap_xml,
+                     '<url>(.*?)</url>', 1)) AS block
+          FROM sm
+        )
+        SELECT host, CAST(pos AS BIGINT) AS pos,
+               replace(regexp_extract(block,
+                   '<loc>\s*(.*?)\s*</loc>', 1), '&amp;', '&') AS url,
+               CASE WHEN regexp_extract(block,
+                   '<lastmod>\s*(.*?)\s*</lastmod>', 1) = ''
+                    THEN NULL
+                    ELSE regexp_extract(block,
+                        '<lastmod>\s*(.*?)\s*</lastmod>', 1)
+               END AS lastmod
+        FROM ex"""

@@ -582,3 +582,27 @@ def test_robots_match_no_rules_host_allows_all(spark):
     assert len(rows) == 1
     assert rows[0]["blocked"] is False
     assert rows[0]["rule_pattern"] is None
+
+
+def test_sitemap_parse_blocks_lastmod_and_escapes(spark):
+    """Sitemap parse: one row per <url> block in document order,
+    lastmod NULL when absent, surrounding whitespace trimmed, and
+    &amp; entity-decoded in <loc> (the one escape sitemap URLs
+    require)."""
+    from ocr_pytorch_spark.operators.web import sitemap_parse
+
+    xml = ('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap'
+           '/0.9"><url><loc> https://h.example/a?x=1&amp;y=2 </loc>'
+           '<lastmod>2024-01-02</lastmod></url>'
+           '<url><loc>https://h.example/b</loc></url>'
+           '<url><lastmod> 2024-03-04 </lastmod>'
+           '<loc>https://h.example/c</loc></url></urlset>')
+    sm = spark.createDataFrame([("h.example", xml)],
+                               "host string, sitemap_xml string")
+    rows = {r["pos"]: (r["url"], r["lastmod"])
+            for r in sitemap_parse(sm).collect()}
+    assert rows == {
+        1: ("https://h.example/a?x=1&y=2", "2024-01-02"),
+        2: ("https://h.example/b", None),
+        3: ("https://h.example/c", "2024-03-04"),
+    }
