@@ -67,6 +67,15 @@ COMMENT = {
                     "agg collapses candidate rules before the "
                     "exchange, so the only shuffle is |urls| skinny "
                     "verdict rows",
+    "sitemap_parse": "pure map-side blob parse (regexp_extract_all + "
+                     "posexplode) fused into the sitemap scan — zero "
+                     "shuffles before the frontier join",
+    "sim_pq_topk": "ADC retrieve: the per-query m x ks integer "
+                   "distance tables broadcast against ONE linear "
+                   "scan of the 8-byte codes tier (zip_with lookup + "
+                   "integer aggregate, pure codegen); only the k*8 "
+                   "shortlist reads original vectors for the exact "
+                   "refine",
     "sim_topk_cosine": "the bounded query set broadcasts against a "
                        "single linear scan of candidates (array-native "
                        "cosine per row); top-k is two-phase — "
@@ -273,6 +282,7 @@ def main() -> None:
                  "url_canonical_dedup", "domain_doc_cap",
                  "html_outlinks",
                  "dedup_incremental", "robots_parse", "robots_match",
+                 "sitemap_parse", "sim_pq_topk",
                  "ocr_extract"):
         df = qs[name](spark, SF)
         buf = io.StringIO()
