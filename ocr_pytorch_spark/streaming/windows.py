@@ -292,3 +292,57 @@ def stream_domain_cap(docs: DataFrame, k: int = 10,
                 stateStructType=DOMAIN_CAP_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def stream_incremental_neardup(docs: DataFrame,
+                               history_index: DataFrame,
+                               k: int = 8, bands: int = 4,
+                               shingle_n: int = 3,
+                               bucket_cap: int | None = 64) -> DataFrame:
+    """Continuous batch-vs-history near-dup — the streaming face of
+    operators/dedup.incremental_neardup and the daily-crawl shape's
+    natural end state: documents arrive as a stream, the already-
+    ingested corpus sits in a PERSISTED (band_idx, key, dup_of) band
+    index (a static table at 10^12 rows), and each arriving doc is
+    flagged against history via a STREAM-STATIC equi-join on
+    (band_idx, key).
+
+    Scale contract: the plan is fully STATELESS on the streaming side
+    — map-side signatures (dedup.minhash_sig_array, aggregation-free)
+    + band explode + one join whose static side Spark plans like any
+    batch relation (broadcast when small, shuffled-side-static
+    otherwise) — so there is no state store to age and replays are
+    naturally idempotent (same input file -> same match rows).
+    ``bucket_cap`` prunes oversized history buckets STATIC-side via
+    the same broadcast anti-join as the batch operator (sizes from
+    one groupBy or the persisted bucket-size table), so one viral
+    bucket cannot amplify every micro-batch.  Matches are emitted
+    at-least-once per matching band (doc_id, dup_of, band_idx);
+    consumers ``distinct()`` on (doc_id, dup_of) exactly as the batch
+    operator groups them."""
+    from ocr_pytorch_spark.operators.dedup import minhash_sig_array
+
+    rows = k // bands
+    hashed = (docs
+              .withColumn("sig", minhash_sig_array("text", k, shingle_n))
+              .where(F.col("sig")[0].isNotNull()))
+    band_structs = [
+        F.struct(F.lit(b).alias("band_idx"),
+                 F.md5(F.concat_ws("|", *[
+                     F.col("sig")[b * rows + r] for r in range(rows)]))
+                 .alias("key"))
+        for b in range(bands)]
+    banded = (hashed
+              .select("doc_id",
+                      F.explode(F.array(*band_structs)).alias("bk"))
+              .select("doc_id", "bk.band_idx", "bk.key"))
+    hist = history_index
+    if bucket_cap is not None:
+        sizes = hist.groupBy("band_idx", "key").agg(
+            F.count("*").alias("n"))
+        oversized = (sizes.where(F.col("n") > bucket_cap)
+                     .select("band_idx", "key"))
+        hist = hist.join(F.broadcast(oversized),
+                         ["band_idx", "key"], "left_anti")
+    return (banded.join(hist, ["band_idx", "key"])
+            .select("doc_id", "dup_of", "band_idx"))

@@ -382,3 +382,88 @@ def test_stream_domain_cap_matches_batch_prefix(spark,
         per_src[s] = per_src.get(s, 0) + 1
     assert max(per_src.values()) <= k
     assert per_src["whale.com"] == k  # the hot domain IS capped
+
+
+def test_stream_incremental_neardup_matches_batch(spark,
+                                                  tmp_path_factory):
+    """Stream-static batch-vs-history near-dup: streamed docs joined
+    against a persisted band index must flag exactly the pairs the
+    batch operator flags (distinct over the per-band emissions), a
+    replayed file adds nothing new (stateless join => idempotent
+    output per input), and the plan has NO stateful operator."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ocr_pytorch_spark.operators.dedup import (_minhash_band_rows,
+                                                   incremental_neardup)
+    from ocr_pytorch_spark.streaming.windows import \
+        stream_incremental_neardup
+    from tests.conftest import SF_SMALL
+
+    base = (spark.read.parquet(os.path.join(SF_SMALL,
+                                            "documents.parquet"))
+            .select("doc_id", "text").limit(80))
+    # history = md5-lower-half split (the batch operator's default) —
+    # build the persisted index exactly as an ingest job would
+    cut = int(0.5 * 16 ** 8)
+    is_hist = (F.conv(F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") < cut)
+    hist_index = (_minhash_band_rows(base.where(is_hist), 8, 4)
+                  .withColumnRenamed("doc_id", "dup_of"))
+    idx_dir = str(tmp_path_factory.mktemp("hist_idx"))
+    hist_index.write.parquet(os.path.join(idx_dir, "idx"))
+    static_idx = spark.read.parquet(os.path.join(idx_dir, "idx"))
+
+    want = {(r["doc_id"], r["dup_of"]) for r in
+            incremental_neardup(base, bucket_cap=64).collect()}
+
+    batch_docs = base.where(~is_hist).select(
+        "doc_id", "text",
+        F.lit(dt.datetime(2026, 1, 1)).alias("ts"))
+    src = str(tmp_path_factory.mktemp("inc_src"))
+    batch_docs.repartition(3).write.parquet(os.path.join(src, "p"))
+
+    stream = (spark.readStream
+              .schema(batch_docs.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(os.path.join(src, "*")))
+    out = stream_incremental_neardup(stream, static_idx,
+                                     bucket_cap=64)
+    ckpt = str(tmp_path_factory.mktemp("inc_ckpt"))
+    q = (out.writeStream.format("memory").queryName("inc_out")
+         .outputMode("append")
+         .option("checkpointLocation", ckpt).start())
+    q.processAllAvailable()
+    got = {(r["doc_id"], r["dup_of"])
+           for r in spark.sql("select * from inc_out").collect()}
+    n_rows_1 = spark.sql("select count(*) n from inc_out") \
+        .collect()[0]["n"]
+    q.stop()
+    assert got == want
+
+    # stateless plan: no state store operator anywhere
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "flatMapGroupsWithState" not in plan
+    assert "StateStore" not in plan
+
+    # replay: delivering the same files again through a FRESH query
+    # (new checkpoint) produces the same distinct pair set
+    stream2 = (spark.readStream.schema(batch_docs.schema)
+               .option("maxFilesPerTrigger", "2")
+               .parquet(os.path.join(src, "*")))
+    ckpt2 = str(tmp_path_factory.mktemp("inc_ckpt2"))
+    q2 = (stream_incremental_neardup(stream2, static_idx,
+                                     bucket_cap=64)
+          .writeStream.format("memory").queryName("inc_out2")
+          .outputMode("append")
+          .option("checkpointLocation", ckpt2).start())
+    q2.processAllAvailable()
+    got2 = {(r["doc_id"], r["dup_of"])
+            for r in spark.sql("select * from inc_out2").collect()}
+    n_rows_2 = spark.sql("select count(*) n from inc_out2") \
+        .collect()[0]["n"]
+    q2.stop()
+    assert got2 == got and n_rows_2 == n_rows_1
