@@ -389,21 +389,16 @@ def pq_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
           .select("q_id", "code",
                   _pq_subdist_micro(F.col("qv"), F.col("cvec"),
                                     m, sub).alias("du")))
-    # (q_id, dtab: m x ks bigint matrix), ordered by (j, code)
-    per_code = qd.select(
-        "q_id", "code",
-        F.posexplode("du").alias("j", "duj"))
-    per_j = (per_code.groupBy("q_id", "j")
-             .agg(F.array_sort(F.collect_list(
-                 F.struct("code", "duj"))).alias("cd"))
-             .select("q_id", "j",
-                     F.transform("cd", lambda x: x["duj"])
-                     .alias("djs")))
-    dtab = (per_j.groupBy("q_id")
-            .agg(F.array_sort(F.collect_list(
-                F.struct("j", "djs"))).alias("jt"))
+    # (q_id, dtab: m x ks bigint matrix): ONE groupBy collects the ks
+    # (code, du-array) rows per query, then a pure transform
+    # transposes to dtab[j][code] — no explode, no second exchange
+    cd = F.array_sort(F.collect_list(F.struct("code", "du")))
+    dtab = (qd.groupBy("q_id").agg(cd.alias("cd"))
             .select("q_id",
-                    F.transform("jt", lambda x: x["djs"])
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(m - 1)),
+                        lambda j: F.transform(
+                            F.col("cd"), lambda x: x["du"][j]))
                     .alias("dtab")))
     codes = pq_codes(embeddings, m, ks, dim).select(
         "vec_id", F.array(*[F.col(f"c{j}")
