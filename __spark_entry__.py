@@ -1624,6 +1624,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_type", F.col("n").cast("long").alias("n"),
             quant4(F.col("sum_value")).alias("sum_value_q4"))
 
+    def dedup_incremental_stream_q(spark, sf):
+        """Stream-static batch-vs-history near-dup
+        (streaming/windows.stream_incremental_neardup): the history
+        band index is built exactly as an ingest job persists it (the
+        md5-lower-half doc sample), the batch half plays the stream,
+        and the stateless stream-static join emits one row per
+        matching band — identical relation in batch and streaming, so
+        the batch run is the oracle surface.  Capped at 1 to mirror
+        the dedup_incremental driver key."""
+        from ocr_pytorch_spark.operators.dedup import _minhash_band_rows
+        from ocr_pytorch_spark.streaming import windows as SW
+        docs = _t(spark, sf, "documents")
+        cut = F.lit(int(0.5 * 16 ** 8))
+        is_hist = (F.conv(F.substring(
+            F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") < cut)
+        hist_index = (_minhash_band_rows(docs.where(is_hist), 8, 4)
+                      .withColumnRenamed("doc_id", "dup_of"))
+        batch = docs.where(~is_hist).select("doc_id", "text")
+        return SW.stream_incremental_neardup(batch, hist_index,
+                                             bucket_cap=1)
+
     def stream_interval_join_q(spark, sf):
         """Watermarked stream-stream interval join (ad-attribution
         shape, streaming/windows.stream_interval_join): inner interval
@@ -1885,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming operators via batch equivalence (r4, new)
         "stream_windowed_counts": stream_windowed_counts,
         "stream_interval_join": stream_interval_join_q,
+        "dedup_incremental_stream": dedup_incremental_stream_q,
         "stream_dedup_hashes": stream_dedup_hashes,
         # LLM training-data prep (r4, new)
         "doc_chunks": doc_chunks,
@@ -2278,7 +2301,7 @@ _SLOW_PER_ROUND = 0
 # declared intent (the partition test checks it).
 _ROT_DEBUT: list[str] = ["robots_parse", "robots_match",
                          "sim_pq_codes", "sim_pq_topk",
-                         "sitemap_parse"]
+                         "sitemap_parse", "dedup_incremental_stream"]
 
 
 def _round_number() -> int:
@@ -3463,6 +3486,33 @@ def oracle_sql() -> dict[str, str]:
               ON z.band_idx = h.band_idx AND z.key = h.key
             WHERE NOT b.is_hist AND h.is_hist AND z.n <= 1
             GROUP BY b.doc_id, h.doc_id""",
+        # the stream-static form: one row per matching band, no
+        # grouping (the stream emits per micro-batch; batch == union
+        # of micro-batches because the join is stateless)
+        "dedup_incremental_stream": _GRAMS_CTE + f""", sig AS (
+              SELECT doc_id, {_MH} FROM grams GROUP BY doc_id
+            ), banded AS (
+              SELECT doc_id, {_BANDS} FROM sig
+            ), stacked AS (
+              SELECT doc_id, 0 AS band_idx, band0 AS key FROM banded
+              UNION ALL SELECT doc_id, 1, band1 FROM banded
+              UNION ALL SELECT doc_id, 2, band2 FROM banded
+              UNION ALL SELECT doc_id, 3, band3 FROM banded
+            ), flagged AS (
+              SELECT doc_id, band_idx, key,
+                     ({_H8_DOC}) < 2147483648 AS is_hist
+              FROM stacked
+            ), hsz AS (
+              SELECT band_idx, key, count(*) AS n
+              FROM flagged WHERE is_hist GROUP BY band_idx, key
+            )
+            SELECT b.doc_id AS doc_id, h.doc_id AS dup_of,
+                   CAST(b.band_idx AS INT) AS band_idx
+            FROM flagged b JOIN flagged h
+              ON b.band_idx = h.band_idx AND b.key = h.key
+            JOIN hsz z
+              ON z.band_idx = h.band_idx AND z.key = h.key
+            WHERE NOT b.is_hist AND h.is_hist AND z.n <= 1""",
         "dedup_simhash": _W_CTE + f""", c AS (
               SELECT doc_id, {_SIMHASH_CODE} AS code FROM w
             ), bits AS (
