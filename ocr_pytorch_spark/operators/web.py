@@ -796,14 +796,14 @@ def sitemap_parse(sitemaps: DataFrame, host_col: str = "host",
     blob and exploded — no shuffle; the output feeds robots_match /
     url_canonical_dedup / domain_doc_cap downstream."""
     blocks = F.regexp_extract_all(
-        F.col(xml_col), F.lit(r"<url>(.*?)</url>"), 1)
+        F.col(xml_col), F.lit(r"<url>([\s\S]*?)</url>"), 1)
     df = (sitemaps
           .select(F.col(host_col).alias("host"),
                   F.posexplode(blocks).alias("pos0", "block")))
     loc = F.regexp_extract(F.col("block"),
-                           r"<loc>\s*(.*?)\s*</loc>", 1)
+                           r"<loc>\s*([\s\S]*?)\s*</loc>", 1)
     lastmod = F.regexp_extract(F.col("block"),
-                               r"<lastmod>\s*(.*?)\s*</lastmod>", 1)
+                               r"<lastmod>\s*([\s\S]*?)\s*</lastmod>", 1)
     return df.select(
         "host",
         (F.col("pos0") + 1).cast("long").alias("pos"),
@@ -883,18 +883,19 @@ def sitemap_parse_oracle_sql() -> str:
         ), ex AS (
           SELECT host,
                  generate_subscripts(regexp_extract_all(sitemap_xml,
-                     '<url>(.*?)</url>', 1), 1) AS pos,
+                     '<url>([\s\S]*?)</url>', 1), 1) AS pos,
                  unnest(regexp_extract_all(sitemap_xml,
-                     '<url>(.*?)</url>', 1)) AS block
+                     '<url>([\s\S]*?)</url>', 1)) AS block
           FROM sm
         )
         SELECT host, CAST(pos AS BIGINT) AS pos,
                replace(regexp_extract(block,
-                   '<loc>\s*(.*?)\s*</loc>', 1), '&amp;', '&') AS url,
+                   '<loc>\s*([\s\S]*?)\s*</loc>', 1), '&amp;', '&')
+                 AS url,
                CASE WHEN regexp_extract(block,
-                   '<lastmod>\s*(.*?)\s*</lastmod>', 1) = ''
+                   '<lastmod>\s*([\s\S]*?)\s*</lastmod>', 1) = ''
                     THEN NULL
                     ELSE regexp_extract(block,
-                        '<lastmod>\s*(.*?)\s*</lastmod>', 1)
+                        '<lastmod>\s*([\s\S]*?)\s*</lastmod>', 1)
                END AS lastmod
         FROM ex"""

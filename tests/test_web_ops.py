@@ -606,3 +606,26 @@ def test_sitemap_parse_blocks_lastmod_and_escapes(spark):
         2: ("https://h.example/b", None),
         3: ("https://h.example/c", "2024-03-04"),
     }
+
+
+def test_sitemap_parse_multiline_blocks(spark):
+    """Real sitemap blobs put each tag on its own line — the block
+    and tag regexes must span newlines."""
+    from ocr_pytorch_spark.operators.web import sitemap_parse
+
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>https://h.example/x</loc>
+    <lastmod>2024-05-06</lastmod>
+  </url>
+  <url>
+    <loc>https://h.example/y</loc>
+  </url>
+</urlset>"""
+    sm = spark.createDataFrame([("h.example", xml)],
+                               "host string, sitemap_xml string")
+    rows = {r["pos"]: (r["url"], r["lastmod"])
+            for r in sitemap_parse(sm).collect()}
+    assert rows == {1: ("https://h.example/x", "2024-05-06"),
+                    2: ("https://h.example/y", None)}
