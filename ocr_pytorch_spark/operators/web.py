@@ -459,7 +459,7 @@ def robots_parse(robots: DataFrame, host_col: str = "host",
 
     lines = robots.select(
         F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(txt_col), "\n"))
+        F.posexplode(F.split(F.col(txt_col), r"\r?\n"))
         .alias("pos", "raw"))
     clean = F.trim(F.regexp_replace(F.col("raw"), "#.*", ""))
     field = F.lower(F.regexp_extract(clean, r"^([A-Za-z\-]+)\s*:", 1))
@@ -663,10 +663,10 @@ def _robots_parse_body_sql() -> str:
     return rf"""
         lines AS (
           SELECT host,
-                 generate_subscripts(string_split(robots_txt,
-                                                  chr(10)), 1)
-                   AS line_no,
-                 unnest(string_split(robots_txt, chr(10))) AS raw
+                 generate_subscripts(string_split_regex(robots_txt,
+                     chr(13) || '?' || chr(10)), 1) AS line_no,
+                 unnest(string_split_regex(robots_txt,
+                     chr(13) || '?' || chr(10))) AS raw
           FROM rt
         ), fields AS (
           SELECT host, line_no,

@@ -629,3 +629,18 @@ def test_sitemap_parse_multiline_blocks(spark):
             for r in sitemap_parse(sm).collect()}
     assert rows == {1: ("https://h.example/x", "2024-05-06"),
                     2: ("https://h.example/y", None)}
+
+
+def test_robots_parse_crlf_line_endings(spark):
+    """Real robots.txt is served with CRLF line endings (RFC 9309
+    2.3: lines are CR, LF, or CRLF separated) — no \\r may leak into
+    agents or patterns."""
+    from ocr_pytorch_spark.operators.web import robots_parse
+
+    txt = "User-agent: CCBot\r\nDisallow: /private/\r\nAllow: /pub\r\n"
+    rows = robots_parse(_robots_df(spark, txt)).collect()
+    got = {(r["agent"], r["pattern"], r["is_allow"]) for r in rows}
+    assert got == {("ccbot", "/private/", False),
+                   ("ccbot", "/pub", True)}
+    for r in rows:
+        assert "\r" not in r["pattern"] and "\r" not in r["agent"]
