@@ -804,10 +804,16 @@ def sitemap_parse(sitemaps: DataFrame, host_col: str = "host",
                            r"<loc>\s*([\s\S]*?)\s*</loc>", 1)
     lastmod = F.regexp_extract(F.col("block"),
                                r"<lastmod>\s*([\s\S]*?)\s*</lastmod>", 1)
+    # the five XML escapes sitemap <loc> values may carry — &amp;
+    # decoded LAST so "&amp;lt;" round-trips as the literal "&lt;"
+    url = loc
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        url = F.replace(url, F.lit(ent), F.lit(ch))
     return df.select(
         "host",
         (F.col("pos0") + 1).cast("long").alias("pos"),
-        F.regexp_replace(loc, "&amp;", "&").alias("url"),
+        url.alias("url"),
         F.when(lastmod == "", F.lit(None).cast("string"))
         .otherwise(lastmod).alias("lastmod"))
 
@@ -889,9 +895,11 @@ def sitemap_parse_oracle_sql() -> str:
           FROM sm
         )
         SELECT host, CAST(pos AS BIGINT) AS pos,
-               replace(regexp_extract(block,
-                   '<loc>\s*([\s\S]*?)\s*</loc>', 1), '&amp;', '&')
-                 AS url,
+               replace(replace(replace(replace(replace(
+                   regexp_extract(block,
+                       '<loc>\s*([\s\S]*?)\s*</loc>', 1),
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', chr(34)),
+                   '&apos;', chr(39)), '&amp;', '&') AS url,
                CASE WHEN regexp_extract(block,
                    '<lastmod>\s*([\s\S]*?)\s*</lastmod>', 1) = ''
                     THEN NULL

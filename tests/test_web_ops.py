@@ -644,3 +644,18 @@ def test_robots_parse_crlf_line_endings(spark):
                    ("ccbot", "/pub", True)}
     for r in rows:
         assert "\r" not in r["pattern"] and "\r" not in r["agent"]
+
+
+def test_sitemap_parse_decodes_all_xml_escapes(spark):
+    """All five XML escapes a sitemap <loc> may carry are decoded,
+    and a double-escaped &amp;lt; round-trips to the literal &lt;
+    (amp decoded last)."""
+    from ocr_pytorch_spark.operators.web import sitemap_parse
+
+    xml = ("<urlset><url><loc>https://h.example/p?q=&quot;a&quot;"
+           "&amp;r=&apos;b&apos;&amp;s=&lt;c&gt;&amp;t=&amp;lt;"
+           "</loc></url></urlset>")
+    sm = spark.createDataFrame([("h.example", xml)],
+                               "host string, sitemap_xml string")
+    [r] = sitemap_parse(sm).collect()
+    assert r["url"] == "https://h.example/p?q=\"a\"&r='b'&s=<c>&t=&lt;"
