@@ -2240,6 +2240,10 @@ _ROT_ODD = [
     "suite_text_dedup", "suite_joins_tpch",
     # r7 debuts (round 7 is odd, membership IS the debut check)
     "classifier_auc", "gate_ablation",
+    # r9 fold of the r8 debuts (r8 VERDICT task 1): checked green in
+    # r8, so the odd slice lands r9/r11/... — cadence gap stays <= 2.
+    # Split 3 odd / 3 even keeps both parities at >= 5 free slots.
+    "robots_parse", "robots_match", "sitemap_parse",
 ]
 # outside round 3's window -> lead even rounds (incl. this round 4)
 _ROT_EVEN = [
@@ -2277,6 +2281,10 @@ _ROT_EVEN = [
     "bpe_encode_tokens",
     # demoted from _PINNED in r6 (see CAPACITY NOTE above):
     "salted_join",
+    # r9 fold of the r8 debuts (r8 VERDICT task 1), even slice —
+    # checked r8, so r10/r12/... keeps the 2-round cadence; the sim_*
+    # family already lives in this group
+    "sim_pq_codes", "sim_pq_topk", "dedup_incremental_stream",
     # moved from _ROT_ODD in the r5 rebalance; corpus_filter /
     # text_winnow_fp / text_repetition / decontam_overlap /
     # pii_redact / url_host_filter (+ text_lang_id above) folded into
@@ -2299,9 +2307,10 @@ _SLOW_PER_ROUND = 0
 # CORRECTNESS_r*.json rounds, so a misplaced key cannot skip its
 # debut window again (r7 VERDICT task 1).  This list remains the
 # declared intent (the partition test checks it).
-_ROT_DEBUT: list[str] = ["robots_parse", "robots_match",
-                         "sim_pq_codes", "sim_pq_topk",
-                         "sitemap_parse", "dedup_incremental_stream"]
+# (empty since r9: the six r8 debuts were driver-checked green in
+# CORRECTNESS_r08.json and are now folded into _ROT_ODD/_ROT_EVEN
+# above — r8 VERDICT task 1.  New oracle keys debut here as before.)
+_ROT_DEBUT: list[str] = []
 
 
 def _round_number() -> int:
