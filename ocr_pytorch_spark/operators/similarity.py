@@ -31,7 +31,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ocr_pytorch_spark.functions import (array_dot, as_double_array,
-                                         quant4, weights_matrix)
+                                         fan_out, quant4, weights_matrix)
 
 # Shared defaults — the DuckDB oracles in __spark_entry__.py are
 # generated from the same constants.
@@ -43,9 +43,17 @@ DIM = 64
 def vectors_with_norm(embeddings: DataFrame) -> DataFrame:
     """(vec_id, vec: array<double>, nrm) — the verify-side dimension
     table.  At real scale this is materialized once (bucketed by
-    vec_id) instead of recomputed per consumer."""
+    vec_id) instead of recomputed per consumer.
+
+    fan_out (r9): the array math here and in every consumer is
+    higher-order-function expressions, which Spark evaluates
+    INTERPRETED (no codegen) — per-row cost is high enough that scan
+    parallelism is the wall.  A small local parquet arrives as ~4
+    splits on a 32-core box, serializing the map-side compute 8x;
+    fan_out repartitions ONLY under-partitioned inputs and is a no-op
+    at real scale (thousands of splits)."""
     vec = as_double_array(F.col("embedding"))
-    return (embeddings.select("vec_id", vec.alias("vec"))
+    return (fan_out(embeddings).select("vec_id", vec.alias("vec"))
             .withColumn("nrm",
                         F.sqrt(array_dot(F.col("vec"), F.col("vec")))))
 
@@ -87,19 +95,20 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 5,
     return _two_phase_topk(cos, k)
 
 
-def lsh_band_keys(embeddings: DataFrame, n_planes: int = N_PLANES,
-                  bands: int = BANDS, dim: int = DIM) -> DataFrame:
-    """(vec_id, band_idx, bucket): per-band sign-projection keys.
-    Projections are ``bands * r`` literal-weight dot products per row —
-    pure map-side codegen, one explode to band rows (skinny: 3 ints)."""
+def projs_col(vec_col, n_planes: int = N_PLANES,
+              dim: int = DIM):
+    """All n_planes sign-projection dot products of one array<double>
+    vector column as a single array expression (one 2D weight literal
+    + one transform — a per-plane column fan-out makes Catalyst
+    analysis/codegen the dominant cost at small scale)."""
+    return F.transform(weights_matrix(n_planes, dim),
+                       lambda wrow: array_dot(vec_col, wrow))
+
+
+def band_structs_col(n_planes: int = N_PLANES, bands: int = BANDS):
+    """array<struct<band_idx,bucket>> of banded sign keys from a
+    ``projs`` column (r sign bits per band)."""
     r = n_planes // bands
-    vec = as_double_array(F.col("embedding"))
-    # one 2D weight literal + one transform = all n_planes projections
-    # in a single expression (a per-plane column fan-out makes Catalyst
-    # analysis/codegen the dominant cost at small scale)
-    projs = F.transform(weights_matrix(n_planes, dim),
-                        lambda wrow: array_dot(vec, wrow))
-    df = embeddings.select("vec_id", projs.alias("projs"))
     band_structs = []
     for b in range(bands):
         key = reduce(
@@ -110,8 +119,22 @@ def lsh_band_keys(embeddings: DataFrame, n_planes: int = N_PLANES,
         band_structs.append(
             F.struct(F.lit(b).alias("band_idx"),
                      key.cast("int").alias("bucket")))
+    return F.array(*band_structs)
+
+
+def lsh_band_keys(embeddings: DataFrame, n_planes: int = N_PLANES,
+                  bands: int = BANDS, dim: int = DIM) -> DataFrame:
+    """(vec_id, band_idx, bucket): per-band sign-projection keys.
+    Projections are ``bands * r`` literal-weight dot products per row —
+    pure map-side codegen, one explode to band rows (skinny: 3 ints)."""
+    vec = as_double_array(F.col("embedding"))
+    # fan_out: the n_planes interpreted dot products per row need scan
+    # parallelism on small local inputs (no-op at scale)
+    df = fan_out(embeddings).select(
+        "vec_id", projs_col(vec, n_planes, dim).alias("projs"))
     return (df
-            .select("vec_id", F.explode(F.array(*band_structs))
+            .select("vec_id",
+                    F.explode(band_structs_col(n_planes, bands))
                     .alias("bk"))
             .select("vec_id", "bk.band_idx", "bk.bucket"))
 
@@ -149,6 +172,43 @@ def bucket_sizes(keys: DataFrame) -> DataFrame:
         F.count("*").alias("n"))
 
 
+def _neg_cos_micro(va, vb, na, nb):
+    """quant4-cosine as a NEGATED integer numerator (floor(cos * 1e4
+    + 0.5)): two quant4 doubles order exactly as their integer
+    numerators (k -> k/1e4 is monotone and injective at 4dp), so
+    ascending (neg_micro, cell) struct order == the window's
+    (quant4 cos DESC, cell ASC) — same values, same ties."""
+    return -F.floor(array_dot(va, vb) / (na * nb) * 10000
+                    + F.lit(0.5)).cast("long")
+
+
+def _with_cells(vt: DataFrame, cents_src: DataFrame, n_centroids: int,
+                n_assign: int, col: str = "cells") -> DataFrame:
+    """Attach the IVF assignment MAP-SIDE: ``vt`` (vec_id, vec, nrm)
+    gains a ``cells`` array of its ``n_assign`` nearest centroids —
+    computed per ROW against a one-row broadcast of the centroid
+    array, so the corpus is neither exploded to (vec x centroid) rows
+    nor shuffled for a per-vec_id rank window (r9: the old
+    crossJoin + row_number plan exchanged and sorted the whole corpus
+    just to argmin 16 candidates per row)."""
+    cents = (cents_src.where(F.col("vec_id") < n_centroids)
+             .select(F.struct(
+                 F.col("vec_id").alias("cell"),
+                 F.col("vec").alias("cv"),
+                 F.col("nrm").alias("cn")).alias("c")))
+    carr = cents.agg(F.collect_list("c").alias("_cents"))
+    ranked = F.array_sort(F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            _neg_cos_micro(F.col("vec"), c["cv"],
+                           F.col("nrm"), c["cn"]).alias("nc"),
+            c["cell"].alias("cell"))))
+    cells = F.transform(F.slice(ranked, 1, n_assign),
+                        lambda s: s["cell"])
+    return (vt.crossJoin(F.broadcast(carr))
+            .withColumn(col, cells).drop("_cents"))
+
+
 def ivf_cells(embeddings: DataFrame,
               n_centroids: int = 16,
               n_assign: int = 1) -> DataFrame:
@@ -159,22 +219,14 @@ def ivf_cells(embeddings: DataFrame,
     cell).  Centroids here are a deterministic sample
     (vec_id < n_centroids) — a real deployment trains k-means
     offline and broadcasts the trained codebook; the assignment plan
-    (broadcast the k centroids against one linear scan, array-native
-    cosine, rank per row) is identical either way and is the part
-    that must scale.  Output: vec_id, cell (n_assign rows per vec)."""
+    (broadcast the k centroids against one linear scan with a
+    per-row argmin — r9: map-side array sort/slice, no corpus
+    exchange, no rank window) is identical either way and is the
+    part that must scale.  Output: vec_id, cell (n_assign rows per
+    vec)."""
     vt = vectors_with_norm(embeddings)
-    cents = (vt.where(F.col("vec_id") < n_centroids)
-             .select(F.col("vec_id").alias("cell"),
-                     F.col("vec").alias("cv"),
-                     F.col("nrm").alias("cn")))
-    cos = (vt.crossJoin(F.broadcast(cents))
-           .select("vec_id", "cell",
-                   _pair_cos(F.col("vec"), F.col("cv"),
-                             F.col("nrm"), F.col("cn")).alias("cos")))
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(),
-                                             "cell")
-    return (cos.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= n_assign).select("vec_id", "cell"))
+    wc = _with_cells(vt, vt, n_centroids, n_assign)
+    return wc.select("vec_id", F.explode("cells").alias("cell"))
 
 
 def ivf_cosine_topk(embeddings: DataFrame, n_queries: int = 5,
@@ -187,20 +239,15 @@ def ivf_cosine_topk(embeddings: DataFrame, n_queries: int = 5,
     stay bounded).  Output: q_id, vec_id, cos, rank."""
     vt = vectors_with_norm(embeddings)
     cells = ivf_cells(embeddings, n_centroids)
-    cents = (vt.where(F.col("vec_id") < n_centroids)
-             .select(F.col("vec_id").alias("cell"),
-                     F.col("vec").alias("cv"),
-                     F.col("nrm").alias("cn")))
+    # query-side probe selection is the same map-side argmin (r9) —
+    # no rank window, no exchange of the (tiny) query frame
+    qwc = _with_cells(vt.where(F.col("vec_id") < n_queries), vt,
+                      n_centroids, n_probe)
+    probed = qwc.select(F.col("vec_id").alias("q_id"),
+                        F.explode("cells").alias("cell"))
     q = (vt.where(F.col("vec_id") < n_queries)
          .select(F.col("vec_id").alias("q_id"),
                  F.col("vec").alias("qv"), F.col("nrm").alias("qn")))
-    qcos = (q.crossJoin(F.broadcast(cents))
-            .select("q_id", "cell",
-                    _pair_cos(F.col("qv"), F.col("cv"),
-                              F.col("qn"), F.col("cn")).alias("cos")))
-    wq = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "cell")
-    probed = (qcos.withColumn("rk", F.row_number().over(wq))
-              .where(F.col("rk") <= n_probe).select("q_id", "cell"))
     cand = (cells.join(F.broadcast(probed), "cell")
             .where(F.col("q_id") != F.col("vec_id"))
             .select("q_id", "vec_id"))
@@ -231,8 +278,14 @@ def lsh_cosine_topk(embeddings: DataFrame, n_queries: int = 5,
             .where(F.col("q_id") != F.col("vec_id"))
             .select("q_id", "vec_id").distinct())
     vt = vectors_with_norm(embeddings)
-    q = vt.select(F.col("vec_id").alias("q_id"),
-                  F.col("vec").alias("qv"), F.col("nrm").alias("qn"))
+    # r9: only the n_queries query vectors broadcast — the old plan
+    # broadcast the ENTIRE vector table as the q side even though
+    # cand only ever carries q_id < n_queries (at corpus scale that
+    # is a broadcast of the corpus; here it was 1600x the rows
+    # needed).  Join result is identical.
+    q = (vt.where(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("vec").alias("qv"), F.col("nrm").alias("qn")))
     cos = (cand.join(vt, "vec_id").join(F.broadcast(q), "q_id")
            .select("q_id", "vec_id",
                    _pair_cos(F.col("qv"), F.col("vec"),
@@ -258,22 +311,24 @@ def semantic_dedup(embeddings: DataFrame, n_centroids: int = 16,
     shuffles the corpus more than once.
     """
     vt = vectors_with_norm(embeddings)
-    # the (vec_id, cell) assignment is consumed by THREE plan branches
-    # (both self-join sides + the final keep join); an eager
-    # localCheckpoint makes the broadcast-assignment scan run once per
-    # query instead of thrice (measured 4.2s -> 3.0s at the bench tier
-    # with the equivalent cache()).  localCheckpoint over cache()
-    # because the harness invokes this repeatedly in one session: a
-    # cache() here is never safely unpersistable (the returned plan
-    # still references it), so it leaks cached partitions for the
-    # session lifetime (r5 ADVICE), while checkpoint blocks are
-    # reclaimed by the ContextCleaner once the frame is unreferenced.
-    # The frame is skinny (two ids per vector); at real scale you'd
-    # materialize the assignment to a bucketed table once and share
-    # it — localCheckpoint also documents that executor loss requires
-    # recompute-from-source, acceptable for a two-column side input.
-    cells = ivf_cells(embeddings, n_centroids).localCheckpoint()
-    vc = vt.join(cells, "vec_id")
+    # r9: the assignment is computed MAP-SIDE per row (_with_cells —
+    # no crossJoin row blow-up, no rank window, no vt x cells join),
+    # and the (vec, nrm, cell) frame is localCheckpoint-materialized
+    # ONCE.  The checkpoint is load-bearing beyond sharing across the
+    # three consumers (both self-join sides + the final keep join):
+    # higher-order-function expressions are INTERPRETED (never
+    # codegen'd), and the optimizer's constraint inference copies
+    # join-key/filter isnotnull() predicates — with an un-truncated
+    # lineage those predicates embed the whole 16-centroid argmin and
+    # the norm dot product, re-evaluating them several times per row
+    # (measured 9.2s vs 2.4s at the bench tier).  Checkpoint blocks
+    # are reclaimed by the ContextCleaner once the frame is
+    # unreferenced (same rationale as r8's checkpoint of the old
+    # shuffle-produced assignment).
+    vc = (_with_cells(vt, vt, n_centroids, 1)
+          .select("vec_id", "vec", "nrm",
+                  F.element_at(F.col("cells"), 1).alias("cell"))
+          .localCheckpoint())
     hi = vc.select(F.col("vec_id").alias("id_hi"),
                    F.col("vec").alias("vh"), F.col("nrm").alias("nh"),
                    "cell")
@@ -287,7 +342,7 @@ def semantic_dedup(embeddings: DataFrame, n_centroids: int = 16,
                       >= F.lit(tau))
                .select(F.col("id_hi").alias("vec_id"))
                .distinct())
-    return (cells
+    return (vc.select("vec_id", "cell")
             .join(dropped.withColumn("dropped", F.lit(1)),
                   "vec_id", "left")
             .select("vec_id", "cell",
@@ -335,19 +390,33 @@ def pq_codes(embeddings: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
     sub = dim // m
     vec = as_double_array(F.col("embedding"))
     vt = embeddings.select("vec_id", vec.alias("vec"))
-    cents = (vt.where(F.col("vec_id") < ks)
-             .select(F.col("vec_id").cast("int").alias("code"),
-                     F.col("vec").alias("cvec")))
-    cross = (vt.crossJoin(F.broadcast(cents))
-             .select("vec_id", "code",
-                     _pq_subdist_micro(F.col("vec"), F.col("cvec"),
-                                       m, sub).alias("du")))
-    encs = [F.min(F.col("du")[j] * ks + F.col("code")).alias(f"e{j}")
-            for j in range(m)]
-    g = cross.groupBy("vec_id").agg(*encs)
-    return g.select(
-        "vec_id", *[(F.col(f"e{j}") % ks).cast("int").alias(f"c{j}")
-                    for j in range(m)])
+    carr = (vt.where(F.col("vec_id") < ks)
+            .select(F.struct(
+                F.col("vec_id").cast("int").alias("code"),
+                F.col("vec").alias("cvec")).alias("c"))
+            .agg(F.collect_list("c").alias("_cb")))
+
+    # r9: the per-subspace argmin runs MAP-SIDE against a one-row
+    # broadcast of the codebook array — the old crossJoin exploded the
+    # corpus x ks and a groupBy re-collapsed it (one full exchange)
+    # just to take a 16-way integer min per row.  Same integers, same
+    # single-key tiebreak min(du * ks + code).  fan_out: interpreted
+    # per-row distance math needs scan parallelism on small local
+    # inputs (no-op at scale).
+    def _enc(j: int):
+        def keyed(c):
+            a = F.slice(F.col("vec"), j * sub + 1, sub)
+            b = F.slice(c["cvec"], j * sub + 1, sub)
+            val = (array_dot(a, a) - 2 * array_dot(a, b)
+                   + array_dot(b, b))
+            du = F.floor(val * 10000 + F.lit(0.5)).cast("long")
+            return du * ks + c["code"]
+        return F.array_min(F.transform(F.col("_cb"), keyed))
+
+    return (fan_out(vt).crossJoin(F.broadcast(carr))
+            .select("vec_id",
+                    *[(_enc(j) % ks).cast("int").alias(f"c{j}")
+                      for j in range(m)]))
 
 
 def pq_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
@@ -391,7 +460,12 @@ def pq_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
                                     m, sub).alias("du")))
     # (q_id, dtab: m x ks bigint matrix): ONE groupBy collects the ks
     # (code, du-array) rows per query, then a pure transform
-    # transposes to dtab[j][code] — no explode, no second exchange
+    # transposes to dtab[j][code] — no explode, no second exchange.
+    # (An r9 experiment built dtab map-side against a one-row
+    # codebook broadcast instead: execution was a wash — the relation
+    # is n_queries x ks tiny rows — and the m x ks expression fan-out
+    # cost ~3.5s of per-invocation DataFrame CONSTRUCTION, so the
+    # groupBy form stays.)
     cd = F.array_sort(F.collect_list(F.struct("code", "du")))
     dtab = (qd.groupBy("q_id").agg(cd.alias("cd"))
             .select("q_id",
