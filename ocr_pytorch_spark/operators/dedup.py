@@ -449,13 +449,18 @@ def _star_components(documents: DataFrame, edges: DataFrame,
 
 def word_sets(documents: DataFrame) -> DataFrame:
     """(doc_id, ws: array<string> distinct words, n: long) — the
-    verify-side dimension table for set-similarity checks."""
-    from ocr_pytorch_spark.functions import word_rows
+    verify-side dimension table for set-similarity checks.  Built
+    MAP-SIDE with array_distinct over the token array (r9): the old
+    explode + distinct + collect_list moved the whole word stream
+    through two exchanges to reassemble per-doc arrays this select
+    produces directly; consumers only use the rows as sets
+    (array_intersect / size), so element order is immaterial."""
+    from ocr_pytorch_spark.functions import fan_out, words
 
-    return (word_rows(documents).select("doc_id", "word").distinct()
-            .groupBy("doc_id")
-            .agg(F.collect_list("word").alias("ws"))
-            .withColumn("n", F.size("ws").cast("long")))
+    return (fan_out(documents).select(
+        "doc_id",
+        F.array_distinct(words(F.col("text"))).alias("ws"))
+        .withColumn("n", F.size("ws").cast("long")))
 
 
 def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,

@@ -59,7 +59,13 @@ def html_wrap(documents: DataFrame) -> DataFrame:
         rest,
         F.lit(" tail &amp; end</main>"),
         F.lit(_PAGE_SUFFIX))
-    return documents.select("doc_id", html.alias("html"))
+    # fan_out (r9): every consumer runs several multi-pass regexes
+    # over the ~1KB page per row BEFORE its first exchange, so scan
+    # parallelism (not the shuffle) is the wall on few-split local
+    # inputs; no-op at real scale (see functions.fan_out)
+    from ocr_pytorch_spark.functions import fan_out
+
+    return fan_out(documents).select("doc_id", html.alias("html"))
 
 
 def _strip_expr(html):

@@ -34,6 +34,11 @@ from ocr_pytorch_spark.functions import quant4
 
 
 def _word_rows(documents: DataFrame) -> DataFrame:
+    # deliberately NO fan_out here (r9): this explode feeds pure
+    # codegen count aggregations — cheap enough per row that the
+    # repartition costs more than the extra parallelism buys
+    # (measured bm25 0.99s -> 1.58s with fan_out); fan_out pays only
+    # where per-row work is interpreted (array math, md5 chains)
     return documents.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word"))
 
@@ -47,7 +52,10 @@ def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
           .agg(F.count("*").alias("tf")))
     df_ = (tf.groupBy("word")
            .agg(F.count("*").alias("df")))
-    scored = (tf.join(df_, "word")
+    # broadcast the df side (r9): it is vocab-shaped; without the hint
+    # the planner sort-merge-joined, re-shuffling the full (doc, word)
+    # tf relation by word just to attach one count per term
+    scored = (tf.join(F.broadcast(df_), "word")
               .withColumn(
                   "score",
                   quant4(F.col("tf")
@@ -519,8 +527,7 @@ def bm25_topk(documents: DataFrame, k: int = 20,
     depend on reduction order and differ between engines at the ulp.
     Output: rank, doc_id, score_micro (bigint, BM25 * 1e6)."""
     n_docs = documents.count()
-    w = documents.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word"))
+    w = _word_rows(documents)
     tf = (w.groupBy("doc_id", "word")
           .agg(F.count("*").alias("tf")))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))

@@ -31,6 +31,16 @@ def _stop_hits(text_col):
     return hits
 
 
+def _lang_pred_col():
+    """The lang_id prediction as a bare column expression (shared by
+    lang_id and gate_ablation so the two can never drift)."""
+    n_tokens = F.size(words(F.col("text")))
+    stop_hits = _stop_hits("text")
+    return (F.when(n_tokens < 5, F.lit("short"))
+            .when(stop_hits * 10 >= n_tokens, F.lit("en"))
+            .otherwise(F.lit("other")))
+
+
 def lang_id(documents: DataFrame) -> DataFrame:
     """N-gram/stopword language heuristic: docs whose stopword density
     clears a threshold are tagged 'en', short texts 'short', the rest
@@ -41,9 +51,7 @@ def lang_id(documents: DataFrame) -> DataFrame:
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
         stop_hits.alias("stop_hits"),
-        F.when(n_tokens < 5, F.lit("short"))
-        .when(stop_hits * 10 >= n_tokens, F.lit("en"))
-        .otherwise(F.lit("other")).alias("lang_pred"),
+        _lang_pred_col().alias("lang_pred"),
     )
 
 
@@ -225,20 +233,35 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
         F.size(words(F.col("text"))).cast("long").alias("n_words"),
         F.size(F.array_distinct(words(F.col("text")))).cast("long")
         .alias("n_distinct"))
-    top = (word_ngrams(documents, 2)
-           .groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
-           .groupBy("doc_id")
-           .agg(F.max("c").cast("long").alias("top_bigram_n"),
-                F.sum("c").cast("long").alias("bigram_total")))
+    top = _bigram_top_agg(documents)
+    dup_frac, top_frac = _rep_frac_cols()
     return (base.join(top, "doc_id", "left")
-            .select(
-                "doc_id", "n_words",
-                quant4(F.lit(1.0) - F.col("n_distinct")
-                       / F.col("n_words")).alias("dup_word_frac"),
-                quant4(F.coalesce(F.col("top_bigram_n"), F.lit(0))
-                       / F.greatest(F.coalesce(F.col("bigram_total"),
-                                               F.lit(0)), F.lit(1)))
-                .alias("top_bigram_frac")))
+            .select("doc_id", "n_words",
+                    dup_frac.alias("dup_word_frac"),
+                    top_frac.alias("top_bigram_frac")))
+
+
+def _bigram_top_agg(documents: DataFrame) -> DataFrame:
+    """(doc_id, top_bigram_n, bigram_total) — the aggregation half of
+    repetition_signals (shared with gate_ablation)."""
+    return (word_ngrams(documents, 2)
+            .groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+            .groupBy("doc_id")
+            .agg(F.max("c").cast("long").alias("top_bigram_n"),
+                 F.sum("c").cast("long").alias("bigram_total")))
+
+
+def _rep_frac_cols():
+    """The repetition fraction expressions over (n_words, n_distinct,
+    top_bigram_n, bigram_total) columns — shared with gate_ablation."""
+    from ocr_pytorch_spark.functions import quant4
+
+    dup_frac = quant4(F.lit(1.0) - F.col("n_distinct")
+                      / F.col("n_words"))
+    top_frac = quant4(F.coalesce(F.col("top_bigram_n"), F.lit(0))
+                      / F.greatest(F.coalesce(F.col("bigram_total"),
+                                              F.lit(0)), F.lit(1)))
+    return dup_frac, top_frac
 
 
 def decontam_overlap(documents: DataFrame, n: int = 8,
@@ -281,16 +304,10 @@ QC_WEIGHTS = (1.2, 0.8, 2.0, 1.5)
 QC_BIAS = -2.5
 
 
-def quality_classifier(documents: DataFrame) -> DataFrame:
-    """Fixed-weight logistic quality classifier (the fastText-style
-    model-based gate, with hand-set weights so it is deterministic
-    and engine-portable): features are token-count saturation,
-    avg-word-length saturation, stopword ratio, and type/token
-    diversity; score = sigmoid(w.x + b), keep = score >= 0.5.
-    Pure codegen arithmetic — exp() is bitwise identical across
-    engines, so the score carries no float divergence risk beyond
-    the shared 4dp quantizer.
-    Output: doc_id, f_len, f_wlen, f_stop, f_uniq, score, keep."""
+def _qc_feature_cols():
+    """The quality-classifier feature and raw-score expressions
+    (shared by quality_classifier and gate_ablation so the two can
+    never drift).  Returns (f_len, f_wlen, f_stop, f_uniq, score)."""
     w1, w2, w3, w4 = QC_WEIGHTS
     ws = words(F.col("text"))
     n_tokens = F.size(ws)
@@ -304,6 +321,20 @@ def quality_classifier(documents: DataFrame) -> DataFrame:
     z = (f_len * w1 + f_wlen * w2 + f_stop * w3 + f_uniq * w4
          + F.lit(float(QC_BIAS)))
     score = 1.0 / (1.0 + F.exp(-z))
+    return f_len, f_wlen, f_stop, f_uniq, score
+
+
+def quality_classifier(documents: DataFrame) -> DataFrame:
+    """Fixed-weight logistic quality classifier (the fastText-style
+    model-based gate, with hand-set weights so it is deterministic
+    and engine-portable): features are token-count saturation,
+    avg-word-length saturation, stopword ratio, and type/token
+    diversity; score = sigmoid(w.x + b), keep = score >= 0.5.
+    Pure codegen arithmetic — exp() is bitwise identical across
+    engines, so the score carries no float divergence risk beyond
+    the shared 4dp quantizer.
+    Output: doc_id, f_len, f_wlen, f_stop, f_uniq, score, keep."""
+    f_len, f_wlen, f_stop, f_uniq, score = _qc_feature_cols()
     return documents.select(
         "doc_id", quant4(f_len).alias("f_len"),
         quant4(f_wlen).alias("f_wlen"),
@@ -642,9 +673,16 @@ def lm_perplexity(documents: DataFrame, smooth_k: float = 0.5
     v = uni.count()  # scalar: vocab size (one tiny job)
 
     k = float(smooth_k)
+    # r9: BROADCAST both count tables.  They are vocab-shaped (far
+    # smaller than the corpus — the docstring's broadcastability
+    # argument), but AQE's estimates never picked broadcast here, so
+    # the full bigram stream was shuffled TWICE (by (w1,w2) for the
+    # bi join, then by w1 for the uni join) before the per-doc
+    # groupBy.  With explicit hints the stream's only exchange is the
+    # final map-side-combined groupBy on doc_id.
     scored = (doc_bi
-              .join(bi, ["w1", "w2"])        # always matches (self-LM)
-              .join(uni, ["w1"])
+              .join(F.broadcast(bi), ["w1", "w2"])  # always matches
+              .join(F.broadcast(uni), ["w1"])
               .select("doc_id",
                       (-F.log((F.col("c12") + k)
                               / (F.col("c1") + k * v))).alias("nll")))
@@ -788,11 +826,22 @@ def dsir_topk(documents: DataFrame, k: int = 50,
         .alias("bucket"),
         (_md5_int8(F.col("doc_id").cast("string")) < cut)
         .alias("is_tgt"))
-    buckets = (g.groupBy("bucket")
-               .agg(F.sum(F.when(F.col("is_tgt"), 1).otherwise(0))
-                    .alias("t_cnt"),
-                    F.sum(F.when(F.col("is_tgt"), 0).otherwise(1))
-                    .alias("r_cnt")))
+    # ONE pass over the gram stream (r9): pre-aggregate (doc_id,
+    # bucket, is_tgt) counts, then derive both the per-bucket feature
+    # distributions AND the per-doc scoring counts from that relation.
+    # The two consumers share the identical exchange subtree
+    # (ReusedExchange), so the gram explode + md5 hashing runs once —
+    # the old plan keyed its two groupBys differently (bucket vs
+    # doc_id+bucket) and recomputed the whole stream for each.
+    # is_tgt is constant per doc_id, so grouping by it adds nothing
+    # to the key's cardinality; all sums are exact integers.
+    per = (g.groupBy("doc_id", "bucket", "is_tgt")
+           .agg(F.count("*").alias("cnt")))
+    buckets = (per.groupBy("bucket")
+               .agg(F.sum(F.when(F.col("is_tgt"), F.col("cnt"))
+                          .otherwise(0)).alias("t_cnt"),
+                    F.sum(F.when(F.col("is_tgt"), 0)
+                          .otherwise(F.col("cnt"))).alias("r_cnt")))
     totals = buckets.agg(F.sum("t_cnt").alias("t_tot"),
                          F.sum("r_cnt").alias("r_tot"))
     lw = (F.log((F.col("t_cnt") + F.lit(1)).cast("double")
@@ -803,9 +852,8 @@ def dsir_topk(documents: DataFrame, k: int = 50,
                .select("bucket",
                        F.floor(lw * F.lit(1000000.0) + F.lit(0.5))
                        .cast("long").alias("lw_micro")))
-    per_doc = (g.where(~F.col("is_tgt"))
-               .groupBy("doc_id", "bucket")
-               .agg(F.count("*").alias("cnt"))
+    per_doc = (per.where(~F.col("is_tgt"))
+               .select("doc_id", "bucket", "cnt")
                .join(F.broadcast(weights), "bucket")
                .groupBy("doc_id")
                .agg(F.sum(F.col("cnt") * F.col("lw_micro"))
@@ -1035,13 +1083,28 @@ def gate_ablation(documents: DataFrame, min_words: int = 8,
     shuffle carries (doc_id, counters) rows only), then an 8-group
     rollup with map-side combine.
     Output: fail_rep, fail_quality, fail_lang, n_docs, kept."""
-    rep = repetition_signals(documents)
-    qc = quality_classifier(documents).select("doc_id", "score")
-    li = lang_id(documents).select("doc_id", "lang_pred")
-    flags = (rep.join(qc, "doc_id").join(li, "doc_id")
+    # r9: the quality score and language prediction are pure per-row
+    # expressions, so they ride the SAME map-side projection as the
+    # repetition base counts — the old plan materialized three signal
+    # relations and shuffle-joined them on doc_id twice just to AND
+    # per-row flags back together.  Only the bigram aggregation (the
+    # one genuinely aggregated signal) still joins.  The expressions
+    # are the shared _qc_feature_cols/_lang_pred_col/_rep_frac_cols
+    # builders, so the flags cannot drift from the oracle-proven
+    # quality_classifier / lang_id / text_repetition keys.
+    score = quant4(_qc_feature_cols()[4])
+    base = documents.select(
+        "doc_id",
+        F.size(words(F.col("text"))).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words(F.col("text")))).cast("long")
+        .alias("n_distinct"),
+        score.alias("score"),
+        _lang_pred_col().alias("lang_pred"))
+    dup_frac, top_frac = _rep_frac_cols()
+    flags = (base.join(_bigram_top_agg(documents), "doc_id", "left")
              .select(((F.col("n_words") < min_words)
-                      | (F.col("dup_word_frac") > max_dup)
-                      | (F.col("top_bigram_frac") > max_bigram))
+                      | (dup_frac > max_dup)
+                      | (top_frac > max_bigram))
                      .alias("fail_rep"),
                      (F.col("score") < min_quality)
                      .alias("fail_quality"),

@@ -187,5 +187,11 @@ def pdf_roundtrip_extract(documents: DataFrame) -> DataFrame:
                 texts.append(extract_pdf_text(blob)[0])
             yield pd.DataFrame({"doc_id": ids, "extracted_text": texts})
 
-    return (documents.select("doc_id", "text")
+    # fan_out (r9): the per-document encode+parse is pure Python —
+    # worker parallelism equals input splits, and a small local
+    # parquet arrives as ~4 splits on a 32-core box; fan_out is a
+    # no-op at real scale (see functions.fan_out)
+    from ocr_pytorch_spark.functions import fan_out
+
+    return (fan_out(documents.select("doc_id", "text"))
             .mapInPandas(run, schema=PDF_EXTRACT_SCHEMA))
