@@ -47,7 +47,10 @@ def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
     """Top-k terms per document by smoothed TF-IDF
     (idf = ln((N+1)/(df+1)) + 1).
     Output: doc_id, word, tf, score (4dp), rank."""
-    n_docs = documents.count()
+    # corpus size as a broadcast 1-row relation (r9): documents.count()
+    # was a separate per-invocation driver action (the oracle already
+    # phrases it as CROSS JOIN n)
+    nrow = documents.agg(F.count("*").alias("n_docs"))
     tf = (_word_rows(documents).groupBy("doc_id", "word")
           .agg(F.count("*").alias("tf")))
     df_ = (tf.groupBy("word")
@@ -56,10 +59,11 @@ def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
     # the planner sort-merge-joined, re-shuffling the full (doc, word)
     # tf relation by word just to attach one count per term
     scored = (tf.join(F.broadcast(df_), "word")
+              .crossJoin(F.broadcast(nrow))
               .withColumn(
                   "score",
                   quant4(F.col("tf")
-                         * (F.log((n_docs + 1.0)
+                         * (F.log((F.col("n_docs") + 1.0)
                                   / (F.col("df") + 1.0)) + 1.0))))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("word"))
@@ -526,7 +530,10 @@ def bm25_topk(documents: DataFrame, k: int = 20,
     order-independent bigint addition — a float sum's result would
     depend on reduction order and differ between engines at the ulp.
     Output: rank, doc_id, score_micro (bigint, BM25 * 1e6)."""
-    n_docs = documents.count()
+    # corpus size as a broadcast 1-row relation (r9): documents.count()
+    # was a separate per-invocation driver action; riding it through
+    # the (8-row) qterms relation keeps it out of the wide scans
+    nrow = documents.agg(F.count("*").alias("n_docs"))
     w = _word_rows(documents)
     tf = (w.groupBy("doc_id", "word")
           .agg(F.count("*").alias("tf")))
@@ -535,13 +542,14 @@ def bm25_topk(documents: DataFrame, k: int = 20,
                    F.count("*").alias("nd"))
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     qterms = (dfreq
+              .crossJoin(F.broadcast(nrow))
               .where((F.col("df") >= 2)
-                     & (F.col("df") * 4 <= F.lit(n_docs)))
+                     & (F.col("df") * 4 <= F.col("n_docs")))
               .orderBy(F.col("df").desc(), "word")
               .limit(n_query_terms))
     avgdl = F.col("tw").cast("double") / F.col("nd").cast("double")
     idf = F.log(F.lit(1.0)
-                + ((F.lit(n_docs) - F.col("df")) + F.lit(0.5))
+                + ((F.col("n_docs") - F.col("df")) + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5)))
     denom = (F.col("tf")
              + F.lit(1.2) * (F.lit(0.25)

