@@ -75,8 +75,13 @@ def as_double_array(col) -> Column:
 
 def array_dot(a: Column, b: Column) -> Column:
     """Sequential left-fold float64 dot product of two array<double>
-    columns — whole-stage codegen (higher-order functions, no Python),
-    bit-identical to DuckDB list_dot_product."""
+    columns — higher-order functions, no Python, bit-identical to
+    DuckDB list_dot_product.  (r9 note: HOF expressions evaluate
+    interpreted, but an explicit a[0]*b[0] + ... term-sum rewrite was
+    measured and REJECTED — at dim 64 it is no faster per row once
+    the interpreter is JIT-warm, and at 32 planes x 64 terms it blows
+    codegen's 64 KB method limit and falls back to something slower;
+    see OPTIMIZATION_r09.md.)"""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, x: acc + x)
 
