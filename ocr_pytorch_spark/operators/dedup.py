@@ -202,6 +202,21 @@ def embedding_neardup_candidates(embeddings: DataFrame,
     sharing one of their ``n_cell_probe`` nearest IVF cells
     (``n_cells``).  Split out so scale measurement
     (scripts/emb_cosine_scale.py) times exactly the shipped stage."""
+    return _neardup_candidate_stream(
+        embeddings, n_planes, bands, dim, bucket_cap, n_cells,
+        n_cell_probe).distinct()
+
+
+def _neardup_candidate_stream(embeddings: DataFrame,
+                              n_planes: int | None = None,
+                              bands: int | None = None,
+                              dim: int | None = None,
+                              bucket_cap: int | None = None,
+                              n_cells: int | None = None,
+                              n_cell_probe: int = 3) -> DataFrame:
+    """Pre-distinct candidate pair stream (multi-band/multi-cell hits
+    still duplicated) — embedding_neardup_pairs dedups it INSIDE its
+    verify-stage repartition (one exchange does both, r9)."""
     from ocr_pytorch_spark.operators import similarity as S
 
     n_planes = n_planes or S.N_PLANES
@@ -254,8 +269,7 @@ def embedding_neardup_candidates(embeddings: DataFrame,
     return (p.join(keys, join_key)
             .where(F.col("pv") < F.col("vec_id"))
             .select(F.col("pv").alias("vec_a"),
-                    F.col("vec_id").alias("vec_b"))
-            .distinct())
+                    F.col("vec_id").alias("vec_b")))
 
 
 def embedding_neardup_pairs(embeddings: DataFrame,
@@ -293,20 +307,30 @@ def embedding_neardup_pairs(embeddings: DataFrame,
     Output: vec_a, vec_b (vec_a < vec_b), cos >= threshold."""
     from ocr_pytorch_spark.operators import similarity as S
 
-    cand = embedding_neardup_candidates(
+    cand = _neardup_candidate_stream(
         embeddings, n_planes, bands, dim, bucket_cap, n_cells,
         n_cell_probe)
-    # explicit fan-out for the verify stage: candidate rows are tiny but
-    # each carries a dim-length dot product, and AQE would coalesce the
-    # low-byte shuffle to 1 task (REPARTITION_BY_NUM is exempt)
+    # ONE exchange dedups AND fans out (r9): hash-repartitioning the
+    # raw hit stream by (vec_a, vec_b) satisfies the distribution the
+    # dedup aggregation needs, so dropDuplicates() runs on top of the
+    # same exchange — the old plan shuffled the pair set twice (once
+    # for distinct, once for this explicit repartition).  The explicit
+    # REPARTITION_BY_NUM also keeps AQE from coalescing the verify
+    # stage to one task (candidate rows are tiny but each carries a
+    # dim-length dot product).
     n_par = embeddings.sparkSession.sparkContext.defaultParallelism
-    cand = cand.repartition(n_par, "vec_a", "vec_b")
+    cand = (cand.repartition(n_par, "vec_a", "vec_b")
+            .dropDuplicates())
     vt = S.vectors_with_norm(embeddings)
     va = vt.select(F.col("vec_id").alias("vec_a"),
                    F.col("vec").alias("va"), F.col("nrm").alias("na"))
     vb = vt.select(F.col("vec_id").alias("vec_b"),
                    F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
-    return (cand.join(va, "vec_a").join(vb, "vec_b")
+    # SHUFFLE_HASH (guide §3.1): the vector side is small per
+    # partition; a sort-merge join would SORT the multi-million-row
+    # pair relation twice just to attach arrays
+    return (cand.join(va.hint("shuffle_hash"), "vec_a")
+            .join(vb.hint("shuffle_hash"), "vec_b")
             .select("vec_a", "vec_b",
                     quant4(array_dot(F.col("va"), F.col("vb"))
                            / (F.col("na") * F.col("nb"))).alias("cos"))

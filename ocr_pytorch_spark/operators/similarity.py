@@ -390,30 +390,47 @@ def pq_codes(embeddings: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
     sub = dim // m
     vec = as_double_array(F.col("embedding"))
     vt = embeddings.select("vec_id", vec.alias("vec"))
+
+    def _self_dots(col):
+        # per-subspace squared norms as one array column
+        return F.array(*[
+            array_dot(F.slice(col, j * sub + 1, sub),
+                      F.slice(col, j * sub + 1, sub))
+            for j in range(m)])
+
     carr = (vt.where(F.col("vec_id") < ks)
             .select(F.struct(
                 F.col("vec_id").cast("int").alias("code"),
-                F.col("vec").alias("cvec")).alias("c"))
+                F.col("vec").alias("cvec"),
+                _self_dots(F.col("vec")).alias("bb")).alias("c"))
             .agg(F.collect_list("c").alias("_cb")))
 
     # r9: the per-subspace argmin runs MAP-SIDE against a one-row
     # broadcast of the codebook array — the old crossJoin exploded the
     # corpus x ks and a groupBy re-collapsed it (one full exchange)
     # just to take a 16-way integer min per row.  Same integers, same
-    # single-key tiebreak min(du * ks + code).  fan_out: interpreted
-    # per-row distance math needs scan parallelism on small local
-    # inputs (no-op at scale).
+    # single-key tiebreak min(du * ks + code).  The d2 expansion
+    # aa - 2ab + bb hoists both self-dot terms: aa is computed once
+    # per ROW (not once per codebook entry) and bb once per CENTROID
+    # inside the broadcast — the interpreted dot count per row drops
+    # from 3·m·ks to m·ks + m (384 -> 136 at the defaults), with the
+    # identical operand values and operation order.  fan_out:
+    # interpreted per-row distance math needs scan parallelism on
+    # small local inputs (no-op at scale).
+    base = fan_out(vt).select(
+        "vec_id", "vec", _self_dots(F.col("vec")).alias("_aa"))
+
     def _enc(j: int):
         def keyed(c):
             a = F.slice(F.col("vec"), j * sub + 1, sub)
             b = F.slice(c["cvec"], j * sub + 1, sub)
-            val = (array_dot(a, a) - 2 * array_dot(a, b)
-                   + array_dot(b, b))
+            val = (F.col("_aa")[j] - 2 * array_dot(a, b)
+                   + c["bb"][j])
             du = F.floor(val * 10000 + F.lit(0.5)).cast("long")
             return du * ks + c["code"]
         return F.array_min(F.transform(F.col("_cb"), keyed))
 
-    return (fan_out(vt).crossJoin(F.broadcast(carr))
+    return (base.crossJoin(F.broadcast(carr))
             .select("vec_id",
                     *[(_enc(j) % ks).cast("int").alias(f"c{j}")
                       for j in range(m)]))
