@@ -535,6 +535,11 @@ def bm25_topk(documents: DataFrame, k: int = 20,
     # the (8-row) qterms relation keeps it out of the wide scans
     nrow = documents.agg(F.count("*").alias("n_docs"))
     w = _word_rows(documents)
+    # (tf also feeds the broadcast qterms/stats subqueries, which
+    # recompute the count pipeline independently — an r9
+    # localCheckpoint attempt to share it measured SLOWER warm (0.82
+    # vs 0.72 s): broadcast jobs overlap asynchronously, the eager
+    # checkpoint serializes.)
     tf = (w.groupBy("doc_id", "word")
           .agg(F.count("*").alias("tf")))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))

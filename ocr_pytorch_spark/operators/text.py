@@ -666,6 +666,10 @@ def lm_perplexity(documents: DataFrame, smooth_k: float = 0.5
               .select("doc_id", F.explode(pairs).alias("p"))
               .select("doc_id", "p.w1", "p.w2"))
 
+    # (uni is consumed by two broadcast subqueries, which recompute
+    # its word explode independently — an r9 localCheckpoint attempt
+    # to share it measured SLOWER warm (1.43 vs 1.25 s): broadcast
+    # jobs overlap asynchronously, the eager checkpoint serializes.)
     uni = (documents
            .select(F.explode(words(F.col("text"))).alias("w1"))
            .groupBy("w1").agg(F.count("*").alias("c1")))
@@ -840,14 +844,18 @@ def dsir_topk(documents: DataFrame, k: int = 50,
     # ONE pass over the gram stream (r9): pre-aggregate (doc_id,
     # bucket, is_tgt) counts, then derive both the per-bucket feature
     # distributions AND the per-doc scoring counts from that relation.
-    # The two consumers share the identical exchange subtree
-    # (ReusedExchange), so the gram explode + md5 hashing runs once —
-    # the old plan keyed its two groupBys differently (bucket vs
-    # doc_id+bucket) and recomputed the whole stream for each.
-    # is_tgt is constant per doc_id, so grouping by it adds nothing
-    # to the key's cardinality; all sums are exact integers.
+    # The old plan keyed its two groupBys differently (bucket vs
+    # doc_id+bucket) and recomputed the gram explode + md5 hashing for
+    # each.  localCheckpoint is required for the sharing: the bucket
+    # branch feeds a BROADCAST subquery (the weights table), and
+    # broadcast exchanges materialize outside AQE's stage-reuse scope,
+    # so without it the identical shuffle subtree still ran twice
+    # (measured 2.2 s vs 1.4 s at the bench tier).  is_tgt is constant
+    # per doc_id, so grouping by it adds nothing to the key's
+    # cardinality; all sums are exact integers.
     per = (g.groupBy("doc_id", "bucket", "is_tgt")
-           .agg(F.count("*").alias("cnt")))
+           .agg(F.count("*").alias("cnt"))
+           .localCheckpoint())
     buckets = (per.groupBy("bucket")
                .agg(F.sum(F.when(F.col("is_tgt"), F.col("cnt"))
                           .otherwise(0)).alias("t_cnt"),
