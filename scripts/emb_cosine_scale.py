@@ -6,8 +6,9 @@ task 4; reworked for r7 task 2): wall + candidate-pair volume at
   keyspace per band, so on clustered corpora bucket population grows
   with n and candidates go quadratic (r7 measured exponent 2.0).
 * ``ivf`` (the shipped plan since r8): IVF-precluster first — every
-  vector is assigned to its 2 nearest of ``max(16, n/128)`` cells and
-  band buckets only pair within a cell — so cell population stays
+  vector is assigned to its 3 nearest of ``max(16, n/128)`` cells
+  (embedding_neardup_pairs' default ``n_cell_probe=3``) and band
+  buckets only pair within a cell — so cell population stays
   constant as the corpus grows and candidates stay ~linear plus the
   true pairs themselves.
 
