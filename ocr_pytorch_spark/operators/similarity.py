@@ -269,7 +269,11 @@ def lsh_cosine_topk(embeddings: DataFrame, n_queries: int = 5,
     keys = cap_buckets(lsh_band_keys(embeddings, n_planes, bands, dim),
                        bucket_cap)
     # one exchange on the join key -> the projection lineage runs once
-    # and both the query-probe side and the join reuse it
+    # and both the query-probe side and the join reuse it.  (An r9
+    # variant derived the probe keys from the filtered n_queries rows
+    # and dropped this repartition — consistently SLOWER, 2.8 vs
+    # 1.9 s warm: the materialized exchange is what lets the probe
+    # subquery and the join share the projection work.)
     keys = keys.repartition("band_idx", "bucket")
     qprobe = (probe_keys(keys.where(F.col("vec_id") < n_queries),
                          n_planes, bands)
