@@ -443,8 +443,12 @@ def pq_codes(embeddings: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
 def pq_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
             m: int = PQ_M, ks: int = PQ_KS,
             dim: int = DIM, rerank: int = 8) -> DataFrame:
-    """PQ ANN top-k: ADC shortlist, then exact rerank — the standard
-    two-tier serving shape (IVFADC + refine).  Each query precomputes
+    """PQ ANN top-k: brute-force ADC shortlist, then exact rerank.
+    (NOT IVFADC: the ADC stage scans the FULL codes table per query
+    batch — the coarse ``ivf_cells`` pruning stage is not composed in
+    front of it yet, so at 10^12 codes this is the diagnostic
+    brute-ADC path, not the serving plan; r8 VERDICT task 2 tracks
+    the composition as new-oracle-key work.)  Each query precomputes
     its m x ks distance table to the codebook (micro-unit BIGINTs); a
     candidate's approximate distance is the integer sum of m table
     lookups by its stored codes — no original vectors are touched in

@@ -789,8 +789,8 @@ def sitemap_parse(sitemaps: DataFrame, host_col: str = "host",
     """Parse sitemap XML blobs into (host, pos, url, lastmod) rows —
     one row per ``<url>`` block in document order (``pos`` is the
     1-based block index, the crawl-priority order sitemaps imply);
-    ``lastmod`` is NULL when the block has none.  Entity-decoded
-    ``&amp;`` in <loc> (the one escape required in sitemap URLs).
+    ``lastmod`` is NULL when the block has none.  All five XML
+    escapes (&amp; &lt; &gt; &quot; &apos;) are decoded in <loc>.
 
     Scale shape: blocks are extracted with one regexp_extract_all per
     blob and exploded — no shuffle; the output feeds robots_match /
