@@ -310,16 +310,19 @@ def embedding_neardup_pairs(embeddings: DataFrame,
     cand = _neardup_candidate_stream(
         embeddings, n_planes, bands, dim, bucket_cap, n_cells,
         n_cell_probe)
-    # ONE exchange dedups AND fans out (r9): hash-repartitioning the
-    # raw hit stream by (vec_a, vec_b) satisfies the distribution the
-    # dedup aggregation needs, so dropDuplicates() runs on top of the
-    # same exchange — the old plan shuffled the pair set twice (once
-    # for distinct, once for this explicit repartition).  The explicit
-    # REPARTITION_BY_NUM also keeps AQE from coalescing the verify
-    # stage to one task (candidate rows are tiny but each carries a
-    # dim-length dot product).
+    # ONE exchange dedups, fans out, AND pre-positions the first
+    # verify join (r9): hash-repartitioning the raw hit stream by
+    # vec_a alone satisfies the clustered distribution the dedup
+    # aggregation needs (vec_a is a subset of its grouping keys — all
+    # equal (vec_a, vec_b) rows co-locate) AND the vec_a equi-join's
+    # requirement, so the old plan's THREE pair-set shuffles
+    # (distinct by (a,b), repartition, re-shuffle by vec_a for the
+    # join) collapse to one.  The explicit REPARTITION_BY_NUM also
+    # keeps AQE from coalescing the verify stage to one task
+    # (candidate rows are tiny but each carries a dim-length dot
+    # product).
     n_par = embeddings.sparkSession.sparkContext.defaultParallelism
-    cand = (cand.repartition(n_par, "vec_a", "vec_b")
+    cand = (cand.repartition(n_par, "vec_a")
             .dropDuplicates())
     vt = S.vectors_with_norm(embeddings)
     va = vt.select(F.col("vec_id").alias("vec_a"),
