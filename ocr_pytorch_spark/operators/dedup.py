@@ -503,7 +503,12 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
     cand = (minhash_lsh_pairs(documents, k, bands, bucket_cap)
             .select("doc_a", "doc_b"))
     # same AQE-coalesce guard as embedding_neardup_pairs: the set
-    # intersection per pair is compute-heavy relative to its bytes
+    # intersection per pair is compute-heavy relative to its bytes.
+    # (The embedding-pairs r9 tricks — repartition by the first join
+    # key only + SHUFFLE_HASH verify joins — were A/B'd here and
+    # REJECTED, 1.75 vs 1.37 s warm: this candidate set is far
+    # smaller than the word-array side, so hash-building the array
+    # relation costs more than sort-merge over the small pair set.)
     n_par = documents.sparkSession.sparkContext.defaultParallelism
     cand = cand.repartition(n_par, "doc_a", "doc_b")
     ws = word_sets(documents)
