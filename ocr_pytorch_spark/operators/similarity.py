@@ -395,18 +395,21 @@ def pq_codes(embeddings: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
     vec = as_double_array(F.col("embedding"))
     vt = embeddings.select("vec_id", vec.alias("vec"))
 
-    def _self_dots(col):
-        # per-subspace squared norms as one array column
-        return F.array(*[
-            array_dot(F.slice(col, j * sub + 1, sub),
-                      F.slice(col, j * sub + 1, sub))
-            for j in range(m)])
+    def _subs(col):
+        # the m subvectors as one array-of-arrays column
+        return F.array(*[F.slice(col, j * sub + 1, sub)
+                         for j in range(m)])
+
+    def _self_dots(subs_col):
+        # per-subspace squared norms from the pre-split subvectors
+        return F.transform(subs_col, lambda s: array_dot(s, s))
 
     carr = (vt.where(F.col("vec_id") < ks)
+            .select(F.col("vec_id").cast("int").alias("code"),
+                    _subs(F.col("vec")).alias("csubs"))
             .select(F.struct(
-                F.col("vec_id").cast("int").alias("code"),
-                F.col("vec").alias("cvec"),
-                _self_dots(F.col("vec")).alias("bb")).alias("c"))
+                "code", "csubs",
+                _self_dots(F.col("csubs")).alias("bb")).alias("c"))
             .agg(F.collect_list("c").alias("_cb")))
 
     # r9: the per-subspace argmin runs MAP-SIDE against a one-row
@@ -414,21 +417,24 @@ def pq_codes(embeddings: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
     # corpus x ks and a groupBy re-collapsed it (one full exchange)
     # just to take a 16-way integer min per row.  Same integers, same
     # single-key tiebreak min(du * ks + code).  The d2 expansion
-    # aa - 2ab + bb hoists both self-dot terms: aa is computed once
-    # per ROW (not once per codebook entry) and bb once per CENTROID
-    # inside the broadcast — the interpreted dot count per row drops
-    # from 3·m·ks to m·ks + m (384 -> 136 at the defaults), with the
-    # identical operand values and operation order.  fan_out:
-    # interpreted per-row distance math needs scan parallelism on
-    # small local inputs (no-op at scale).
-    base = fan_out(vt).select(
-        "vec_id", "vec", _self_dots(F.col("vec")).alias("_aa"))
+    # aa - 2ab + bb hoists both self-dot terms (aa once per ROW, bb
+    # once per CENTROID inside the broadcast — interpreted dots per
+    # row drop 3·m·ks -> m·ks + m, 384 -> 136 at the defaults), and
+    # the subvector SLICES are pre-split once per row / per centroid
+    # instead of re-sliced in every inner-loop distance (m·ks x 2
+    # array copies -> m).  Operand values and operation order are
+    # identical throughout.  fan_out: interpreted per-row distance
+    # math needs scan parallelism on small local inputs (no-op at
+    # scale).
+    base = (fan_out(vt)
+            .select("vec_id", _subs(F.col("vec")).alias("_subs"))
+            .select("vec_id", "_subs",
+                    _self_dots(F.col("_subs")).alias("_aa")))
 
     def _enc(j: int):
         def keyed(c):
-            a = F.slice(F.col("vec"), j * sub + 1, sub)
-            b = F.slice(c["cvec"], j * sub + 1, sub)
-            val = (F.col("_aa")[j] - 2 * array_dot(a, b)
+            val = (F.col("_aa")[j]
+                   - 2 * array_dot(F.col("_subs")[j], c["csubs"][j])
                    + c["bb"][j])
             du = F.floor(val * 10000 + F.lit(0.5)).cast("long")
             return du * ks + c["code"]
